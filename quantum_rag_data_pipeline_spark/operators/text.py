@@ -1,0 +1,93 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions — tokenization,
+quality scoring, language ID, and fingerprinting run inside whole-stage
+codegen with zero Python in the hot path, so they stream through a 100 TB
+document scan at parquet-read speed.
+
+Operates on the ``documents`` table (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal deterministic stopword lists for the n-gram/stopword language-ID
+# heuristic. Real deployments would swap in larger lists; the operator shape
+# (score = |tokens ∩ stopwords| per language, argmax) is what matters.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "por", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "ein", "eine", "mit"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "他", "这", "不"],
+}
+
+PUNCT_RE = r"[\.,;:!\?'\"()\[\]{}\-]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization with empty tokens removed (leading/trailing
+    whitespace would otherwise produce '' entries)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token-count proxy for BPE vocabularies: splits on word boundaries AND
+    punctuation so 'don't' counts 3, like a byte-pair encoder roughly would.
+    Pure regexp — no tokenizer library needed for budget estimates."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.filter(F.split(c, r"[\s\.,;:!\?'\"()\[\]{}\-]+"), lambda t: t != "")
+    return F.size(pieces)
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: length, token stats, punctuation ratio,
+    stopword ratio, distinct-token ratio. These are the standard cheap
+    filters (C4/Gopher-style) applied before expensive dedup/embedding."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    en_stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))
+    n_punct = n_char - F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, ""))
+    return df.select(
+        "*",
+        n_char.alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        F.when(n_tok > 0, (n_char.cast("double") / n_tok)).alias("q_avg_token_len"),
+        F.when(n_char > 0, n_punct.cast("double") / n_char).otherwise(F.lit(0.0)).alias("q_punct_ratio"),
+        F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0)).alias("q_stopword_ratio"),
+        F.when(n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("q_distinct_ratio"),
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-overlap language ID: score each language by the number of
+    its stopwords present in the text, argmax with deterministic tie-break
+    (language code ascending), 'und' when no stopword hits at all."""
+    toks = F.array_distinct(F.transform(tokens(col), lambda t: F.lower(t)))
+    scored = []
+    for code in sorted(LANG_STOPWORDS):
+        stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS[code]])
+        scored.append(F.struct(F.size(F.array_intersect(toks, stop)).alias("score"), F.lit(code).alias("code")))
+    # fold keeps the FIRST language hitting the max score → deterministic
+    # tie-break toward the lexicographically smallest code.
+    arr = F.array(*scored)
+    init = F.struct(F.lit(-1).alias("score"), F.lit("und").alias("code"))
+    best = F.aggregate(arr, init, lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc))
+    return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased text.
+    md5 is available in both Spark and DuckDB, so the oracle can verify it;
+    xxhash64 is the faster production choice (see ``simhash`` in dedup)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))

@@ -1,0 +1,691 @@
+"""The correctness corpus: every operator from SURVEY.md §2 (plus the
+north-star LLM-data-pipeline operators) declared as a (Spark query,
+DuckDB oracle SQL) pair over the driver's synthetic tables.
+
+Conventions that make the hash-gate deterministic:
+- float SUM/AVG go through DECIMAL so results are independent of
+  partition/accumulation order (see operators.aggregates);
+- every computed column is aliased identically on both sides;
+- ORDER-insensitive compare → no ORDER BY needed, but ties in top-k are
+  broken explicitly so the SET of rows is well-defined.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quantum_rag_data_pipeline_spark.operators import aggregates as agg_ops
+from quantum_rag_data_pipeline_spark.operators import dedup as dedup_ops
+from quantum_rag_data_pipeline_spark.operators import joins as join_ops
+from quantum_rag_data_pipeline_spark.operators import projection as proj_ops
+from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
+from quantum_rag_data_pipeline_spark.operators import text as text_ops
+from quantum_rag_data_pipeline_spark.operators import windows as win_ops
+from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — configurable metric catalog (reference src/main.py:69-93,101-205)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a1_metric_catalog",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      MAX(l_extendedprice) AS max_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) AS sum_discount,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price
+    FROM lineitem
+    """,
+)
+def a1_metric_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global hash aggregate, no grouping keys — one pass over the fact
+    table, partial+final agg; the reference loops per (field, method)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        agg_ops.metric_agg("l_quantity", "average", "avg_qty"),
+        agg_ops.metric_agg("l_extendedprice", "max", "max_price"),
+        agg_ops.metric_agg("l_discount", "sum", "sum_discount"),
+        agg_ops.metric_agg("l_extendedprice", "average", "avg_price"),
+    )
+
+
+@query(
+    "a1_empty_agg_zero",
+    oracle="""
+    SELECT
+      COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 0.0) AS sum_qty,
+      COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_quantity), 0.0) AS avg_qty,
+      COALESCE(MAX(l_quantity), 0.0) AS max_qty
+    FROM lineitem WHERE l_quantity < 0
+    """,
+)
+def a1_empty_agg_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 quirk: the reference yields 0.0 (not NULL) when a requested field
+    has zero parseable values (src/main.py:90-91)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 0)
+    out = li.agg(
+        agg_ops.metric_agg("l_quantity", "sum", "sum_qty"),
+        agg_ops.metric_agg("l_quantity", "average", "avg_qty"),
+        agg_ops.metric_agg("l_quantity", "max", "max_qty"),
+    )
+    return out.select(*[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out.columns])
+
+
+# ---------------------------------------------------------------------------
+# P2 — permissive cast + bad-cell drop (reference src/main.py:74-79), over
+# the JSON props column of events (P11/P13 flattening analog for JSON).
+# ---------------------------------------------------------------------------
+
+@query(
+    "p2_permissive_json_cast",
+    oracle="""
+    SELECT event_type,
+           COUNT(k_val) AS n_valid,
+           CAST(SUM(CAST(k_val AS DECIMAL(30,8))) AS DOUBLE) / COUNT(k_val) AS avg_k
+    FROM (
+      SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+      FROM events
+    ) GROUP BY event_type
+    """,
+)
+def p2_permissive_json_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = proj_ops.permissive_double(proj_ops.json_field("props", "$.k"))
+    return (
+        ev.select("event_type", k.alias("k_val"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k_val").alias("n_valid"),
+            (F.sum(F.col("k_val").cast("decimal(30,8)")).cast("double") / F.count("k_val")).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — sliding temporal window 2 days / 1 day (reference src/main.py:288-369)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w1_sliding_window",
+    oracle="""
+    SELECT ws AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws, value
+      FROM events
+    ) GROUP BY ws
+    """,
+)
+def w1_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event belongs to exactly two [d, d+2) windows: starts
+    trunc(ts) and trunc(ts)-1d — the oracle materializes that expansion."""
+    ev = _t(spark, sf_dir, "events")
+    out = win_ops.sliding_window_agg(
+        ev,
+        "ts",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
+        ],
+        "2 days",
+        "1 day",
+    )
+    return out.select("window_start", "n_events", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# J2 — equi join + group (reference sentence_builder.py:12-29 ERCOT⋈weather)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j2_join_agg",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j2_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "star_join_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: fact⋈fact shuffled on the key, all dimension sides
+    broadcast — at 100 TB only lineitem⋈orders shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — long→wide pivot (reference weather.py:94-97 N-way outer merge)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j1_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,8)) END) AS DOUBLE)
+             / COUNT(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,8)) END) AS DOUBLE)
+             / COUNT(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def j1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with EXPLICIT values — avoids the extra distinct() discovery
+    job over the fact table at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact_avg = (F.sum(F.col("l_quantity").cast("decimal(30,8)")).cast("double")
+                 / F.count("l_quantity"))
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(exact_avg)
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — horizontal skipna mean (reference weather.py:111), over a pivot of
+# events by type per day: the weather city×hour wide-table analog.
+# ---------------------------------------------------------------------------
+
+@query(
+    "a3_pivot_rowmean",
+    oracle="""
+    WITH wide AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CASE WHEN event_type='click'    THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE)
+               / COUNT(CASE WHEN event_type='click'    THEN value END) AS v_click,
+             CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE)
+               / COUNT(CASE WHEN event_type='purchase' THEN value END) AS v_purchase,
+             CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE)
+               / COUNT(CASE WHEN event_type='signup'   THEN value END) AS v_signup
+      FROM events GROUP BY 1
+    )
+    SELECT day, v_click, v_purchase, v_signup,
+           CASE WHEN (v_click IS NOT NULL OR v_purchase IS NOT NULL OR v_signup IS NOT NULL)
+                THEN (COALESCE(v_click,0)+COALESCE(v_purchase,0)+COALESCE(v_signup,0))
+                     / ((v_click IS NOT NULL)::INT + (v_purchase IS NOT NULL)::INT + (v_signup IS NOT NULL)::INT)
+           END AS row_mean
+    FROM wide
+    """,
+)
+def a3_pivot_rowmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    exact_avg = (F.sum(F.col("value").cast("decimal(30,8)")).cast("double") / F.count("value"))
+    wide = (
+        ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("day")
+        .pivot("event_type", ["click", "purchase", "signup"])
+        .agg(exact_avg)
+        .withColumnsRenamed({"click": "v_click", "purchase": "v_purchase", "signup": "v_signup"})
+    )
+    return wide.select(
+        "day", "v_click", "v_purchase", "v_signup",
+        agg_ops.horizontal_skipna_mean(["v_click", "v_purchase", "v_signup"], "row_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — first-per-group (reference meteostat_weather.py:46-50)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a5_first_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey AS first_orderkey, o_totalprice AS first_totalprice
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def a5_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    first = agg_ops.first_per_group(
+        o, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    )
+    return first.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_totalprice").alias("first_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k (north-star helper + [absent] ranking ops)
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_customers_by_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TakeOrderedAndProject: per-partition k-row heaps, only k rows per
+    partition cross to the driver-side merge — no global sort at scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("revenue"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "c_name", "revenue")
+    )
+    return win_ops.top_k(rev, [F.col("revenue").desc(), F.col("c_custkey").asc()], 10)
+
+
+# ---------------------------------------------------------------------------
+# [absent] builtins the gate exercises: distinct, rollup, set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "set_ops_custkeys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 400000
+    """,
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(F.col("o_custkey").alias("custkey"))
+    big_f = o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 400000)).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(high).subtract(big_f)
+
+
+# ---------------------------------------------------------------------------
+# F1-F10 scalar function surface; P5/P6 unit conversion & rounding
+# ---------------------------------------------------------------------------
+
+@query(
+    "f_date_functions",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           MIN(CAST(o_orderdate AS DATE) + INTERVAL 1 DAY) AS min_next_day,
+           MAX(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || 'T00:00:00') AS max_iso
+    FROM orders GROUP BY 1
+    """,
+)
+def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F8: strptime/strftime, timedelta arithmetic, ISO concat."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.date_add(F.to_date("o_orderdate"), 1)).cast("timestamp").alias("min_next_day"),
+            F.max(F.concat(F.to_date("o_orderdate").cast("string"), F.lit("T00:00:00"))).alias("max_iso"),
+        )
+    )
+
+
+@query(
+    "p5_p6_unit_conversion",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(value), 2) AS avg_c,
+           ROUND((CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(value)) * 9 / 5 + 32, 2) AS avg_f
+    FROM events GROUP BY event_type
+    """,
+)
+def p5_p6_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    avg_c = F.sum(F.col("value").cast("decimal(30,8)")).cast("double") / F.count("value")
+    return ev.groupBy("event_type").agg(
+        proj_ops.round_fixed(avg_c, 2).alias("avg_c"),
+        proj_ops.round_fixed(proj_ops.celsius_to_fahrenheit(avg_c), 2).alias("avg_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 — deterministic text serialization ("semantic sentence" analog)
+# ---------------------------------------------------------------------------
+
+@query(
+    "u2_sentence_serialization",
+    oracle="""
+    SELECT region,
+           'ISO: ' || region
+           || ' / Orders: ' || CAST(n_orders AS VARCHAR)
+           || ' / Revenue: ' || CAST(CAST(ROUND(revenue, 0) AS BIGINT) AS VARCHAR) || ' USD'
+           || ' / Avg price: ' || CAST(CAST(ROUND(avg_price, 2) AS DECIMAL(18,2)) AS VARCHAR) || ' USD'
+           AS sentence
+    FROM (
+      SELECT r_name AS region, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+    )
+    """,
+)
+def u2_sentence_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 11-line semantic-sentence template (reference
+    sentence_builder.py:71-98) as a pure column expression — stays
+    optimizable, exactly testable. Numeric rendering goes through
+    ROUND+CAST (identical in Spark and DuckDB) rather than printf-style
+    formatting, whose half-even vs half-up rules differ between runtimes."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("revenue"),
+            (F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        )
+    )
+    sentence = F.concat(
+        F.lit("ISO: "), F.col("region"),
+        F.lit(" / Orders: "), F.col("n_orders").cast("string"),
+        F.lit(" / Revenue: "), F.round("revenue", 0).cast("bigint").cast("string"), F.lit(" USD"),
+        F.lit(" / Avg price: "), F.round("avg_price", 2).cast("decimal(18,2)").cast("string"), F.lit(" USD"),
+    )
+    return base.select("region", sentence.alias("sentence"))
+
+
+# ---------------------------------------------------------------------------
+# North star: text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stats_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))) AS total_tokens,
+           CAST(SUM(length(text)) AS DOUBLE)
+             / SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))) AS chars_per_token,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY source
+    """,
+)
+def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + corpus stats. Ratios are computed from exact
+    integer sums (never averaged doubles) so the oracle matches bitwise."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.length("text").alias("len"), text_ops.token_count("text").alias("ntok"),
+                 F.col("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            (F.sum("len").cast("double") / F.sum("ntok")).alias("chars_per_token"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, doc_id
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(text_ops.fingerprint("text").alias("fp"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# North star: deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    fp AS (
+      SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, doc_id
+      FROM unioned
+    )
+    SELECT fp, COUNT(*) AS group_size, MIN(doc_id) AS keep_id
+    FROM fp GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a corpus with injected duplicates (documents ∪ a
+    shifted-id copy of every 3rd doc — derived purely from the table)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 3 == 0).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return dedup_ops.exact_dup_groups(d.unionByName(dup))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    shingles AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.35
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard near-dup pairs; candidates via
+    inverted-index self-join (only docs sharing a shingle ever meet)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(d, n=5, threshold=0.35)
+
+
+@query("dedup_minhash_lsh")  # xxhash64-based — not oracle-expressible; rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_pairs(d, num_hashes=64, bands=16, n=5, verify_threshold=0.35)
+
+
+@query("dedup_simhash")  # xxhash64-based — rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_pairs(d, max_hamming=6, blocks=8)
+
+
+# ---------------------------------------------------------------------------
+# North star: similarity search
+# ---------------------------------------------------------------------------
+
+_COS_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(c.cvec, q.qvec)
+               / (sqrt(list_dot_product(c.cvec, c.cvec))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))) AS cos
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rn <= 10
+"""
+
+
+@query("ann_brute_force_topk", oracle=_COS_ORACLE)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim_ops.brute_force_topk(e, q, k=10)
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b.vec, b.vec))) >= 0.9
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_near_dup_pairs(e, threshold=0.9)
+
+
+@query("ann_lsh_topk")  # approximate — checked by recall tests, not the oracle
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim_ops.lsh_bucket_topk(e, q, dim=64, k=10, n_planes=8, n_tables=4)

@@ -1,0 +1,71 @@
+"""Parquet table registry over the driver's synthetic testdata.
+
+The TPC-H-ish star schema (``TESTDATA.md``) stands in for the reference's
+API result sets in the correctness corpus (FIXTURES.md §7).
+
+Scale notes: ``lineitem``/``orders``/``events`` are the fact tables and
+grow with SF — they are scanned with pushed filters and pruned columns
+(Catalyst handles both as long as plans stay declarative). ``region``,
+``nation``, ``supplier``, ``documents``, ``embeddings`` are dimension-sized
+and always broadcast-joined.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables small enough to broadcast at ANY scale factor (bounded cardinality
+# in TPC-H terms: region=5, nation=25; documents/embeddings are corpus-sized
+# in the testdata but would NOT be broadcast in production — see operators
+# that join them for per-case decisions).
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    sf_dir = sf_dir or default_sf_dir()
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # must be set before the scan is planned; runtime-settable SQLConf,
+        # so this works even on a session we didn't build (the driver's).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) → read as nanos-since-epoch
+        # long (spark.sql.legacy.parquet.nanosAsLong); truncate to µs like
+        # every µs-native engine (DuckDB, Spark elsewhere) does.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every table as a temp view so ``spark.sql`` works directly."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
