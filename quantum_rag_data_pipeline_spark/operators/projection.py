@@ -55,7 +55,8 @@ def format_metric(col: Column | str, unit: str = "MW", precision: int = 0) -> Co
     """
     c = F.col(col) if isinstance(col, str) else col
     formatted = F.format_string(f"%.{precision}f {unit}", F.bround(c, precision))
-    return F.coalesce(formatted, F.lit("N/A"))
+    # format_string does not null-propagate; test explicitly
+    return F.when(c.isNotNull(), formatted).otherwise(F.lit("N/A"))
 
 
 def scrub_literal_backslash_n(col: Column | str, fix_newlines: bool = False) -> Column:

@@ -1,0 +1,183 @@
+"""Per-operator unit tests for the SURVEY.md §2 inventory quirks."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from quantum_rag_data_pipeline_spark.operators import aggregates as agg_ops
+from quantum_rag_data_pipeline_spark.operators import projection as proj_ops
+from quantum_rag_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+from quantum_rag_data_pipeline_spark.operators.text import lang_id, token_count
+from quantum_rag_data_pipeline_spark.sources.ercot import (
+    FakeErcotClient,
+    RetryingClient,
+    ThrottledError,
+    envelope_to_df,
+)
+from quantum_rag_data_pipeline_spark.sources.weather import (
+    daily_avg_temperature,
+    fake_daily_weather,
+    fake_hourly_weather,
+    hourly_wide_table,
+)
+
+
+def test_p2_permissive_cast_drops_bad_cells(spark):
+    """P2 (src/main.py:74-79): junk cells → NULL, aggregates over the rest."""
+    env = {
+        "fields": [{"name": "x"}, {"name": "y"}],
+        "data": [[1, "2.5"], ["N/A", 3], [None, "junk"], [4], []],
+    }
+    df = envelope_to_df(spark, env)
+    out = df.select(
+        proj_ops.permissive_double("x").alias("x"), proj_ops.permissive_double("y").alias("y")
+    ).agg(F.sum("x").alias("sx"), F.count("x").alias("cx"), F.sum("y").alias("sy"))
+    row = out.collect()[0]
+    assert row["sx"] == 5.0 and row["cx"] == 2  # 1 + 4; "N/A"/None dropped
+    assert row["sy"] == 5.5  # 2.5 + 3; short records padded with NULL
+
+
+def test_a1_empty_values_yield_zero(spark):
+    """A1 (src/main.py:90-91): zero parseable values → 0.0, not NULL."""
+    df = spark.createDataFrame([("a",)], "v string")
+    out = df.select(proj_ops.permissive_double("v").alias("v")).agg(
+        F.coalesce(F.sum("v"), F.lit(0.0)).alias("s")
+    )
+    assert out.collect()[0]["s"] == 0.0
+
+
+def test_p15_literal_backslash_n_scrub(spark):
+    """P15 quirk (embedding_service.py:67): scrubs the two-char literal
+    \\n, leaves real newlines."""
+    df = spark.createDataFrame([(r"a\nb" + "\nc",)], "t string")
+    out = df.select(proj_ops.scrub_literal_backslash_n("t").alias("s")).collect()[0]["s"]
+    assert out == "a b\nc"
+    fixed = df.select(
+        proj_ops.scrub_literal_backslash_n("t", fix_newlines=True).alias("s")
+    ).collect()[0]["s"]
+    assert fixed == "a b c"
+
+
+def test_a3_horizontal_skipna_mean(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (1.0, None, 3.0), (None, None, None)], "a double, b double, c double"
+    )
+    vals = [r["m"] for r in df.select(agg_ops.horizontal_skipna_mean(["a", "b", "c"], "m")).collect()]
+    assert vals[0] == 2.0
+    assert vals[1] == 2.0  # pandas skipna semantics (weather.py:111)
+    assert vals[2] is None
+
+
+def test_s2_retry_backoff():
+    """S2 (client.py:61-71): exponential backoff with jitter, then success."""
+    calls = {"n": 0}
+    sleeps = []
+
+    def fetch(endpoint, params):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ThrottledError("429")
+        return {"fields": [], "data": []}
+
+    client = RetryingClient(fetch, max_retries=8, base_delay=5.0,
+                            sleep=sleeps.append, rand=lambda a, b: 1.0)
+    assert client.get_data("ep", {}) == {"fields": [], "data": []}
+    assert sleeps == [5.0 * 1 + 1.0, 5.0 * 2 + 1.0]  # base*2**attempt + jitter
+
+
+def test_weather_daily_avg_and_wide_table(spark):
+    daily = fake_daily_weather(spark, "2025-05-01", "2025-05-03")
+    avg = daily_avg_temperature(daily)
+    rows = {str(r["date"]): r["avg_temp_c"] for r in avg.collect()}
+    assert len(rows) == 3
+    # cross-checks: round(mean of non-null, 2) per the reference
+    import statistics
+
+    pdf = daily.toPandas()
+    for day, got in rows.items():
+        vals = [v for v in pdf[pdf["date"].astype(str) == day]["tavg"] if v == v and v is not None]
+        assert got == round(statistics.mean(vals), 2)
+
+    hourly = fake_hourly_weather(spark, "2025-05-01")
+    wide = hourly_wide_table(hourly)
+    assert wide.columns[0] == "timestamp"
+    assert "houston_temp_c" in wide.columns and "avg_temperature_f" in wide.columns
+    w0 = wide.collect()[0]
+    present = [w0[f"{c}_temp_c"] for c in
+               ("houston", "austin", "dallas", "san_antonio", "fort_worth", "corpus_christi")]
+    present = [v for v in present if v is not None]
+    assert abs(w0["avg_temperature_c"] - sum(present) / len(present)) < 1e-9
+    assert abs(w0["avg_temperature_f"] - (w0["avg_temperature_c"] * 9 / 5 + 32)) < 1e-9
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same  text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 3]  # whitespace-normalized match, min id wins
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    sh = df.select(word_shingles("t", 3).alias("s")).collect()[0]["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], "t string")
+    sh2 = short.select(word_shingles("t", 3).alias("s")).collect()[0]["s"]
+    assert sh2 == ["a b"]
+
+
+def test_minhash_lsh_finds_near_dups_that_jaccard_finds(spark, sf_dir):
+    """LSH recall invariant: high-similarity pairs from the exact
+    Jaccard operator must be recovered by the LSH candidates."""
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(docs, n=5, threshold=0.6).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_pairs(docs, num_hashes=64, bands=16, n=5, verify_threshold=0.4).collect()}
+    assert exact, "fixture should contain near-duplicate documents"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low ({len(exact)} exact pairs)"
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww vv uu")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=64).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and it is fine",),
+         ("el gato y la casa de los niños",),
+         ("qqq zzz www",)],
+        "t string",
+    )
+    langs = [r["l"] for r in df.select(lang_id("t").alias("l")).collect()]
+    assert langs == ["en", "es", "und"]
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("  a  b   c ",), ("", ), (" ", )], "t string")
+    counts = [r["n"] for r in df.select(token_count("t").alias("n")).collect()]
+    assert counts == [3, 0, 0]
+
+
+def test_fake_ercot_client_deterministic(spark):
+    c = FakeErcotClient({"ep": ["a", "b"]})
+    e1 = c.get_data("ep", {"d": "2025-01-01"})
+    e2 = c.get_data("ep", {"d": "2025-01-01"})
+    e3 = c.get_data("ep", {"d": "2025-01-02"})
+    assert e1 == e2
+    assert e1 != e3
