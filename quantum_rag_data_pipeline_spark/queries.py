@@ -662,7 +662,7 @@ _COS_ORACLE = """
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return sim_ops.brute_force_topk(e, q, k=10)
+    return sim_ops.brute_force_topk(e, q, k=10, dim=64)
 
 
 @query(
@@ -676,12 +676,12 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.vec, b.vec)
              / (sqrt(list_dot_product(a.vec, a.vec))
-                * sqrt(list_dot_product(b.vec, b.vec))) >= 0.9
+                * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    return sim_ops.embedding_near_dup_pairs(e, threshold=0.9)
+    return sim_ops.embedding_near_dup_pairs(e, threshold=0.4, dim=64)
 
 
 @query("ann_lsh_topk")  # approximate — checked by recall tests, not the oracle
