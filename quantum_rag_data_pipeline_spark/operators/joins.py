@@ -23,6 +23,70 @@ def broadcast_enrich(
     return fact.join(F.broadcast(dim), on, how)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    suffix: str = "_matched",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` on the same key.
+
+    Union-and-window formulation — the scale-correct plan: ONE shuffle on
+    the key (no per-key range cross product, no point-in-interval
+    explosion), then a running ``last(..., ignorenulls=True)`` over the
+    merged timeline. Right rows sort before left rows at equal timestamps
+    so ties match (<=, like DuckDB/pandas ASOF)."""
+    from pyspark.sql.window import Window
+
+    l_tagged = left.select(
+        F.col(key), F.col(left_ts).alias("_t"), F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload_cols],
+    )
+    r_tagged = right.select(
+        F.col(key), F.col(right_ts).alias("_t"), F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload_cols:
+        merged = merged.withColumn(f"{c}{suffix}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    return merged.filter(F.col("_is_left") == 1).select(
+        *out_cols, *[F.col(f"{c}{suffix}") for c in payload_cols]
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower,
+    upper,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: right rows with ``left.ts + lower <= right.ts <
+    left.ts + upper`` on the same key. Equi-join on the key carries the
+    shuffle; the range predicate evaluates post-match — at 100 TB add
+    coarse time-bucket keys to both sides to bound the per-key fan-out."""
+    lts, rts = F.col(f"_l.{left_ts}"), F.col(f"_r.{right_ts}")
+    cond = (F.col(f"_l.{key}") == F.col(f"_r.{key}")) & (rts >= lts + lower) & (rts < lts + upper)
+    return left.alias("_l").join(right.alias("_r"), cond, how)
+
+
 def pivot_wide(
     df: DataFrame,
     key_col: str,

@@ -689,3 +689,316 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return sim_ops.lsh_bucket_topk(e, q, dim=64, k=10, n_planes=8, n_tables=4)
+
+
+# ---------------------------------------------------------------------------
+# [absent] ranking / analytic window functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "rank_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + analytic functions over one shuffle on the partition key."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wr).alias("price_rank"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(30,8)")).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "semi_anti_join",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(CASE WHEN has_urgent THEN 1 END) AS n_with_urgent,
+           COUNT(CASE WHEN NOT has_urgent THEN 1 END) AS n_without_urgent
+    FROM (
+      SELECT c.c_custkey, c.c_mktsegment,
+             EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT') AS has_urgent
+      FROM customer c
+    ) GROUP BY c_mktsegment
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti — Spark's dedicated join types (no row
+    duplication, right side reduced to existence bits)."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_custkey")
+    with_u = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi") \
+        .groupBy(F.col("c_mktsegment").alias("segment")).agg(F.count(F.lit(1)).alias("n_with_urgent"))
+    without_u = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti") \
+        .groupBy(F.col("c_mktsegment").alias("segment")).agg(F.count(F.lit(1)).alias("n_without_urgent"))
+    return with_u.join(without_u, "segment", "full_outer").select(
+        "segment",
+        F.coalesce("n_with_urgent", F.lit(0)).alias("n_with_urgent"),
+        F.coalesce("n_without_urgent", F.lit(0)).alias("n_without_urgent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of + range joins (time-series ops the reference lacks; north-star)
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_click_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, NULL::TIMESTAMP AS click_ts, 1 AS is_purchase
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, ts AS click_ts, 0 AS is_purchase
+      FROM events WHERE event_type = 'click'
+    ),
+    w AS (
+      SELECT user_id, ts, is_purchase,
+             MAX(click_ts) OVER (PARTITION BY user_id ORDER BY ts, is_purchase
+                                 ROWS UNBOUNDED PRECEDING) AS click_ts_matched
+      FROM u
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           COUNT(click_ts_matched) AS n_attributed,
+           SUM(CAST(epoch_us(ts) - epoch_us(click_ts_matched) AS BIGINT)) AS total_gap_us
+    FROM w WHERE is_purchase = 1
+    GROUP BY user_id
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest preceding
+    click (classic attribution). Gap sums are integer microseconds —
+    exact, so the distributed result hash-matches the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    matched = join_ops.asof_join(
+        purchases, clicks.select("user_id", F.col("ts").alias("click_ts")),
+        key="user_id", left_ts="ts", right_ts="click_ts", payload_cols=["click_ts"],
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros("click_ts_matched")
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_ts_matched").alias("n_attributed"),
+        F.sum(gap_us).alias("total_gap_us"),
+    )
+
+
+@query(
+    "range_join_clicks_before_purchase",
+    oracle="""
+    SELECT p.event_id, COUNT(c.event_id) AS n_clicks_prev_hour
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = purchases.alias("_l").join(
+        clicks.alias("_r"),
+        (F.col("_l.user_id") == F.col("_r.user_id"))
+        & (F.col("_r.c_ts") >= F.col("_l.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("_r.c_ts") < F.col("_l.ts")),
+        "left",
+    )
+    return joined.groupBy(F.col("_l.event_id").alias("event_id")).agg(
+        F.count("_r.c_event_id").alias("n_clicks_prev_hour")
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS session_value
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via Spark's native
+    session_window — the same gaps-and-islands computation the oracle
+    spells out with window functions."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("session_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# North star: text analysis (continued)
+# ---------------------------------------------------------------------------
+
+_LANG_CASE = """
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+           WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+           WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+           WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+           WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+           ELSE 'zh' END
+"""
+
+
+@query(
+    "text_lang_id_confusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+             list_distinct(list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               t -> lower(t))) AS tok
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang,
+             len(list_intersect(tok, ['der','die','das','und','ist','von','den','ein','eine','mit'])) AS s_de,
+             len(list_intersect(tok, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+             len(list_intersect(tok, ['el','la','de','que','y','en','un','una','por','los'])) AS s_es,
+             len(list_intersect(tok, ['le','la','de','et','les','des','un','une','du','est'])) AS s_fr,
+             len(list_intersect(tok, ['的','是','在','了','和','有','我','他','这','不'])) AS s_zh
+      FROM toks
+    )
+    SELECT lang, {_LANG_CASE} AS detected, COUNT(*) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column (confusion matrix).
+    The oracle replicates the same stopword-overlap argmax, tie-broken
+    toward the lexicographically smallest code."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text_ops.lang_id("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_quality_metrics",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS q_n_chars,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS q_n_tokens,
+           ROUND(CAST(length(text) AS DOUBLE)
+             / len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')), 6) AS q_chars_per_token,
+           ROUND(CAST(len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))) AS DOUBLE)
+             / len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')), 6) AS q_distinct_ratio
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = text_ops.tokens("text")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        F.round(F.length("text").cast("double") / n_tok, 6).alias("q_chars_per_token"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 6).alias("q_distinct_ratio"),
+    )
+
+
+@query(
+    "bpe_token_budget",
+    oracle="""
+    SELECT source,
+           SUM(len(list_filter(regexp_split_to_array(text, '[\\s\\.,;:!\\?''"()\\[\\]{}\\-]+'), t -> t <> ''))) AS total_bpe_tokens,
+           SUM(length(text)) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation per source with the BPE-ish regex splitter."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(text_ops.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@query(
+    "percentiles_by_segment",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` = SQL
+    percentile_cont = DuckDB quantile_cont)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        )
+    )
