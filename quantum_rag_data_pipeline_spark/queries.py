@@ -1002,3 +1002,95 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant (SURVEY.md §2.7): same computation as w1_sliding_window
+# but through Structured Streaming — and checked against the SAME oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_sliding_window",
+    oracle="""
+    SELECT ws AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws, value
+      FROM events
+    ) GROUP BY ws
+    """,
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming (availableNow drain of the parquet source,
+    watermarked sliding window, complete-mode memory sink) must agree
+    with the batch plan — verified by the same DuckDB oracle as W1."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import (
+        drain_available_now,
+        sliding_window_stream,
+    )
+
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    nanos = isinstance(batch_schema["ts"].dataType, LongType)
+    # the file stream source wants a landing DIRECTORY (as in production);
+    # stage the single test file into one via symlink.
+    landing = f"/tmp/spark_graft_landing/{os.path.basename(os.path.normpath(sf_dir))}/events"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    agg = sliding_window_stream(
+        spark,
+        landing,
+        batch_schema,
+        ts_from_nanos_col="ts" if nanos else None,
+    )
+    return drain_available_now(agg, "stream_w1")
+
+
+# ---------------------------------------------------------------------------
+# North star: multimodal columns (binary payload + mapInPandas stages).
+# Payloads are sha256-seeded — not SQL-expressible → rows-only checks.
+# ---------------------------------------------------------------------------
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quantum_rag_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synth_media_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(synth_media_table(docs))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("width").alias("max_width"),
+        F.countDistinct("checksum").alias("n_distinct"),
+    )
+
+
+@query("multimodal_resize_and_frames")
+def multimodal_resize_and_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quantum_rag_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media_table(docs)
+    resized = resize_images(media, max_side=64).select(
+        F.lit("image_resized").alias("stage"),
+        F.col("media_id"),
+        F.greatest("width", "height").alias("metric"),
+    )
+    frames = sample_frames(media, every_k=8).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("metric")
+    ).select(F.lit("video_frames").alias("stage"), "media_id", "metric")
+    return resized.unionByName(frames)

@@ -1,0 +1,105 @@
+"""Structured Streaming variant of the temporal pipeline (SURVEY.md §2.7,
+§7 Milestone 7).
+
+The reference's restartable day-loop + idempotent keyed upsert is
+at-least-once + dedup-on-key; Structured Streaming gives the same
+effective-exactly-once with checkpoints, and the sliding ``window()`` +
+``withWatermark`` replaces the driver loop entirely.
+
+Two entry points:
+- ``sliding_window_stream`` — streaming clone of the W1 batch window agg
+  over a parquet directory source (file source streams new files as they
+  land; ``availableNow`` drains everything once for tests/backfills).
+- ``run_stream_to_upsert`` — full streaming pipeline: windowed agg →
+  foreachBatch parquet upsert keyed on window start (K1 semantics), i.e.
+  re-delivery of a window overwrites the same key instead of duplicating.
+
+At scale: the parquet dir becomes a Kafka/landing-zone source, watermark
+bounds state (2-day windows + 1-day lateness → ~3 days of window state
+per key-group), and foreachBatch upsert goes to the JDBC writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def sliding_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    ts_col: str = "ts",
+    window_duration: str = "2 days",
+    slide_duration: str = "1 day",
+    watermark: str = "2 days",
+    ts_from_nanos_col: str | None = None,
+) -> DataFrame:
+    """readStream over a parquet dir → watermarked sliding-window agg.
+    Returns the streaming DataFrame (caller picks sink/trigger).
+    ``ts_from_nanos_col`` converts a nanos-long column to timestamp (the
+    testdata events quirk)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+    if ts_from_nanos_col is not None:
+        stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_from_nanos_col} div 1000")))
+    w = F.window(F.col(ts_col), window_duration, slide_duration)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def drain_available_now(stream_df: DataFrame, query_name: str = "drain") -> DataFrame:
+    """Run the streaming query in availableNow mode with a complete-mode
+    memory sink and return the final result as a batch DataFrame —
+    streaming and batch must agree (the oracle checks that)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def run_stream_to_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    sink_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    ts_from_nanos_col: str | None = None,
+) -> None:
+    """Full streaming pipeline with a foreachBatch keyed upsert sink —
+    effective-exactly-once: window re-emissions overwrite by key."""
+    from quantum_rag_data_pipeline_spark.sinks.upsert import parquet_upsert
+
+    agg = sliding_window_stream(spark, source_dir, schema, ts_col,
+                                ts_from_nanos_col=ts_from_nanos_col)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with_ver = batch_df.withColumn("_batch_id", F.lit(batch_id))
+        parquet_upsert(spark, with_ver, sink_path, ["window_start"], version_col="_batch_id")
+
+    q = (
+        agg.writeStream.foreachBatch(upsert_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
