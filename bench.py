@@ -43,6 +43,19 @@ HEADLINE = [
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "embedding_near_dup",
+    "rank_lag_lead",
+    "cube_flag_status",
+    "semi_anti_join",
+    "asof_click_attribution",
+    "range_join_clicks_before_purchase",
+    "sessionization",
+    "text_lang_id_confusion",
+    "text_quality_metrics",
+    "bpe_token_budget",
+    "percentiles_by_segment",
+    "sql_grouping_sets",
+    "multimodal_features",
+    "streaming_sliding_window",
 ]
 
 

@@ -1094,3 +1094,46 @@ def multimodal_resize_and_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("metric")
     ).select(F.lit("video_frames").alias("stage"), "media_id", "metric")
     return resized.unionByName(frames)
+
+
+# ---------------------------------------------------------------------------
+# SQL surface (§3.4 entry point 2): spark.sql over registered views,
+# GROUPING SETS + HAVING + CTE in one statement.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sql_grouping_sets",
+    oracle="""
+    WITH joined AS (
+      SELECT r_name AS region, c_mktsegment AS segment, o_totalprice
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT region, segment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM joined
+    GROUP BY GROUPING SETS ((region), (segment), (region, segment))
+    HAVING COUNT(*) > 10
+    """,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry point: temp views + one multi-feature statement
+    (CTE, 4-way join, GROUPING SETS, HAVING) handed to Catalyst whole."""
+    for t in ("orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        WITH joined AS (
+          SELECT r_name AS region, c_mktsegment AS segment, o_totalprice
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        )
+        SELECT region, segment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+        FROM joined
+        GROUP BY GROUPING SETS ((region), (segment), (region, segment))
+        HAVING COUNT(*) > 10
+    """)

@@ -1,0 +1,97 @@
+"""Property-based spot checks (SURVEY.md §5.2-4, hypothesis): the engine
+never throws on malformed inputs, and permissive-cast/flatten semantics
+match a pure-Python model of the reference code."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from quantum_rag_data_pipeline_spark.operators.projection import permissive_double
+from quantum_rag_data_pipeline_spark.sources.ercot import envelope_to_df
+
+# cells the ERCOT envelope can carry: numbers, numeric strings, junk,
+# nulls (reference src/main.py:74-79 drops unparseable per-cell)
+cell = st.one_of(
+    st.none(),
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.floats(allow_nan=False, allow_infinity=False, width=32).map(lambda v: f"{v!r}"),
+    st.text(alphabet="abcN/A-_ ", max_size=8),
+)
+
+
+def python_model_extract(records, idx):
+    """Pure-python model of reference src/main.py:74-91."""
+    vals = []
+    for rec in records:
+        if len(rec) <= idx:
+            continue
+        try:
+            v = float(rec[idx]) if rec[idx] is not None else None
+        except (ValueError, TypeError):
+            continue
+        if v is not None:
+            vals.append(v)
+    return vals
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.lists(cell, max_size=4), min_size=0, max_size=25))
+def test_permissive_cast_matches_reference_model(spark, data):
+    env = {"fields": [{"name": f"c{i}"} for i in range(4)], "data": data}
+    df = envelope_to_df(spark, env)
+    for i in range(4):
+        got = sorted(
+            r["v"] for r in df.select(permissive_double(f"c{i}").alias("v")).collect()
+            if r["v"] is not None
+        )
+        want = sorted(python_model_extract(data, i))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert math.isclose(g, w, rel_tol=1e-6, abs_tol=1e-9)
+
+
+nested_item = st.fixed_dictionaries({
+    "dataId": st.one_of(st.none(), st.text(alphabet="abc123", min_size=1, max_size=6)),
+    "efficiency": st.one_of(
+        st.none(),
+        st.fixed_dictionaries({"value": st.one_of(st.none(), st.text(alphabet="0123456789.x", max_size=6)),
+                               "unit": st.just("lm/W")}),
+    ),
+    "seller": st.one_of(
+        st.none(),
+        st.fixed_dictionaries({"username": st.one_of(st.none(), st.text(max_size=5)),
+                               "feedbackScore": st.one_of(st.none(), st.integers(0, 10**6)),
+                               "feedbackPercentage": st.just("99")}),
+    ),
+})
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(items=st.lists(nested_item, min_size=0, max_size=10))
+def test_kv_flatten_never_throws_and_rejects_null_ids(spark, items):
+    from quantum_rag_data_pipeline_spark.sinks.kv import flatten_kv_items
+
+    schema = ("dataId string, "
+              "efficiency struct<value: string, unit: string>, "
+              "seller struct<username: string, feedbackScore: bigint, feedbackPercentage: string>")
+    rows = [
+        (
+            it["dataId"],
+            (it["efficiency"]["value"], it["efficiency"]["unit"]) if it["efficiency"] else None,
+            (it["seller"]["username"], it["seller"]["feedbackScore"],
+             it["seller"]["feedbackPercentage"]) if it["seller"] else None,
+        )
+        for it in items
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = flatten_kv_items(df).collect()
+    n_valid = sum(1 for it in items if it["dataId"] is not None)
+    assert len(out) == n_valid
+    for r in out:
+        assert r["dataId"] is not None
+        assert r["efficiency_value"] is not None  # coerced, 0 fallback
