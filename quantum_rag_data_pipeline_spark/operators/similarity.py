@@ -81,6 +81,61 @@ def brute_force_topk(
     ).select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def embedding_near_dup_pairs_fast(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """Hybrid exact near-dup: numpy-matmul PREFILTER + exact RESCORE.
+
+    Stage 1 broadcasts the (normalized) corpus matrix into a mapInPandas
+    over corpus blocks; each block computes a gram-matrix slice in one
+    BLAS call and emits candidate pairs with cos >= threshold - margin.
+    Stage 2 recomputes the candidates' cosine with the sequential exact
+    formula and applies the true threshold — so output VALUES are
+    bit-identical to the brute-force operator (matmul reordering only
+    affects which pairs reach stage 2, and the margin absorbs its ~1e-12
+    error). Work drops from n²·d expression eval to one matmul.
+
+    The corpus matrix is collected to the driver — the 'broadcast the
+    bounded side' pattern (fine to ~1M×few-hundred dims); beyond that,
+    block via LSH buckets instead (see srp_buckets_udf)."""
+    import numpy as np
+
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    spark = df.sparkSession
+
+    def find_pairs(batches):
+        for pdf in batches:
+            out_a, out_b = [], []
+            sub_idx = pdf["_idx"].to_numpy()
+            S = Mn[sub_idx] @ Mn.T  # (block, n)
+            for row_pos, i in enumerate(sub_idx):
+                js = np.nonzero((S[row_pos] >= threshold - margin) & (ids > ids[i]))[0]
+                out_a.extend([ids[i]] * len(js))
+                out_b.extend(ids[js])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    idx_df = spark.range(len(ids)).select(F.col("id").cast("int").alias("_idx")) \
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    cand = idx_df.mapInPandas(find_pairs, "id_a long, id_b long")
+    vecs = df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col), dim).alias("_n"))
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col("_n").alias("n_a"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), F.col("_n").alias("n_b"))
+    return (
+        cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+        .withColumn("cos_sim", dot(F.col("vec_a"), F.col("vec_b"), dim) / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

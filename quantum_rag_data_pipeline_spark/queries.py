@@ -681,7 +681,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    return sim_ops.embedding_near_dup_pairs(e, threshold=0.4, dim=64)
+    return sim_ops.embedding_near_dup_pairs_fast(e, dim=64, threshold=0.4)
 
 
 @query("ann_lsh_topk")  # approximate — checked by recall tests, not the oracle

@@ -57,6 +57,34 @@ def parquet_upsert(
     os.rename(staging, path)
 
 
+def observed_upsert(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str | None = None,
+    validity_col: str | None = None,
+) -> dict:
+    """A6 (reference dynamodb.py:185-228): per-batch success/failure tally,
+    Spark-first — an ``Observation`` rides the write (zero extra pass; the
+    reference re-iterates results to count). ``validity_col`` is a boolean
+    column marking rows the sink will accept; invalid rows are filtered
+    out and counted."""
+    from pyspark.sql import Observation
+
+    obs = Observation("sink_tally")
+    valid = F.col(validity_col) if validity_col else F.lit(True)
+    observed = new_rows.observe(
+        obs,
+        F.count(F.lit(1)).alias("attempted"),
+        F.sum(F.when(valid, 1).otherwise(0)).alias("succeeded"),
+        F.sum(F.when(~valid, 1).otherwise(0)).alias("failed"),
+    )
+    to_write = observed.filter(valid).drop(*([validity_col] if validity_col else []))
+    parquet_upsert(spark, to_write, path, key_cols, version_col)
+    return obs.get
+
+
 def jdbc_upsert_writer(
     table: str,
     key_cols: list[str],

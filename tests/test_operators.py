@@ -181,3 +181,19 @@ def test_fake_ercot_client_deterministic(spark):
     e3 = c.get_data("ep", {"d": "2025-01-02"})
     assert e1 == e2
     assert e1 != e3
+
+
+def test_near_dup_fast_matches_exact(spark, sf_dir):
+    """Hybrid matmul-prefilter + exact-rescore must equal brute force."""
+    from quantum_rag_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_fast,
+    )
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in embedding_near_dup_pairs(e, threshold=0.4, dim=64).collect()}
+    fast = {(r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in embedding_near_dup_pairs_fast(e, dim=64, threshold=0.4).collect()}
+    assert fast == exact

@@ -71,3 +71,17 @@ def test_kv_conditional_put_keeps_existing(spark, tmp_path):
     store_kv_items(spark, changed, path, if_not_exists=True)
     second = {r["dataId"]: r["description"] for r in spark.read.parquet(path).collect()}
     assert second == first  # attribute_not_exists semantics: no overwrite
+
+
+def test_observed_upsert_tally(spark, tmp_path):
+    from quantum_rag_data_pipeline_spark.sinks.upsert import observed_upsert
+
+    path = str(tmp_path / "obs")
+    df = spark.createDataFrame(
+        [("a", 1, True), ("b", 2, True), ("c", 3, False)],
+        "id string, v int, ok boolean",
+    )
+    tally = observed_upsert(spark, df, path, ["id"], validity_col="ok")
+    assert tally == {"attempted": 3, "succeeded": 2, "failed": 1}
+    stored = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert stored == {"a", "b"}
