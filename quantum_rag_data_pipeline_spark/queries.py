@@ -1137,3 +1137,131 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((region), (segment), (region, segment))
         HAVING COUNT(*) > 10
     """)
+
+
+# ---------------------------------------------------------------------------
+# North star: text analysis wave 3 — repetition filter, inverted index,
+# TF-IDF keyword scores.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tok
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, len(tok) AS n_tokens,
+             unnest(CASE WHEN len(tok) >= 2
+               THEN [tok[i] || ' ' || tok[i+1] FOR i IN range(1, len(tok))]
+               ELSE [] END) AS bigram
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, n_tokens, bigram, COUNT(*) AS c
+      FROM bigrams GROUP BY doc_id, n_tokens, bigram
+    )
+    SELECT doc_id,
+           MAX(c) AS top_bigram_count,
+           ROUND(CAST(MAX(c) AS DOUBLE) / (ANY_VALUE(n_tokens) - 1), 6) AS top_bigram_ratio,
+           (CAST(MAX(c) AS DOUBLE) / (ANY_VALUE(n_tokens) - 1)) <= 0.2 AS keep
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: docs whose most frequent bigram
+    exceeds 20% of bigram slots are flagged. Explode-once + two grouped
+    aggregates — linear in corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text_ops.tokens("text")
+    bigrams = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.explode(
+            F.when(F.size(toks) >= 2,
+                   F.transform(F.slice(toks, 1, F.size(toks) - 1),
+                               lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2))))
+            .otherwise(F.array())
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "n_tokens", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    ratio = F.max("c").cast("double") / (F.first("n_tokens") - 1)
+    return counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_count"),
+        F.round(ratio, 6).alias("top_bigram_ratio"),
+        (ratio <= 0.2).alias("keep"),
+    )
+
+
+@query(
+    "inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS term
+      FROM documents
+    )
+    SELECT term,
+           COUNT(DISTINCT doc_id) AS df,
+           COUNT(*) AS total_tf,
+           MIN(doc_id) AS first_doc
+    FROM toks GROUP BY term
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list statistics (term → document frequency, total term
+    frequency): the core retrieval-index build as one explode + aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(text_ops.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("total_tf"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3 AND doc_id < 50
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document: tf and df from one exploded
+    pass, df-side broadcast (vocabulary ≪ corpus), per-doc top-k window."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(text_ops.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    top = win_ops.top_k_per_group(
+        scored, ["doc_id"], [F.col("tfidf").desc(), F.col("term").asc()], 3
+    )
+    return top.filter(F.col("doc_id") < 50).select("doc_id", "term", "tfidf")
