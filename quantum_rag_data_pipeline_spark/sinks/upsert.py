@@ -55,6 +55,9 @@ def parquet_upsert(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(staging, path)
+    # the session caches parquet file listings per path; the swap above
+    # invalidated them
+    spark.catalog.refreshByPath(path)
 
 
 def observed_upsert(

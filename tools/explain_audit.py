@@ -1,0 +1,66 @@
+"""Plan anti-pattern audit: runs .explain over every corpus query and
+flags plans that would hurt at 100 TB:
+
+- CartesianProduct (unhinted cross product — BroadcastNestedLoopJoin with
+  an explicitly broadcast side is fine, a shuffled cartesian is not)
+- BatchEvalPython / ArrowEvalPython where unexpected (row-at-a-time or
+  UDF stages outside the known pandas-UDF operators)
+- parquet scans with no ReadSchema pruning (reading all columns)
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# queries where Python (Arrow) stages are by design
+UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_frames",
+                "embedding_near_dup"}
+# streaming query starts a real stream; skip static explain
+SKIP = {"streaming_sliding_window"}
+
+
+def main() -> int:
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+    from quantum_rag_data_pipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    problems = []
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        issues = []
+        if "CartesianProduct" in plan:
+            issues.append("CartesianProduct")
+        if re.search(r"BatchEvalPython", plan):
+            issues.append("row-at-a-time Python UDF")
+        if re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan) and name not in UDF_EXPECTED:
+            issues.append("unexpected Python stage")
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            n_cols = len([c for c in m.group(1).split(",") if c])
+            if n_cols > 12:
+                issues.append(f"wide scan ({n_cols} cols)")
+        if issues:
+            problems.append((name, issues))
+            print(f"FLAG  {name}: {', '.join(issues)}")
+        else:
+            print(f"ok    {name}")
+    print(f"\n{len(problems)} flagged")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
