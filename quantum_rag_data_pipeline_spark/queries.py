@@ -1265,3 +1265,54 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, ["doc_id"], [F.col("tfidf").desc(), F.col("term").asc()], 3
     )
     return top.filter(F.col("doc_id") < 50).select("doc_id", "term", "tfidf")
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON extraction (from_json) + ordered array aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "typed_json_extraction",
+    oracle="""
+    SELECT user_id,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def typed_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema (typed struct access, vs the
+    stringly get_json_object path of p2) — integer sums, exact."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", StructType([StructField("k", LongType())]))
+    )
+    return parsed.groupBy("user_id").agg(
+        F.sum("p.k").alias("sum_k"),
+        F.max("p.k").alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "ordered_array_agg",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_custkey
+    """,
+)
+def ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is unordered in a distributed engine — sort_array
+    makes the aggregation deterministic; serialized for hash compare."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -197,3 +197,27 @@ def test_near_dup_fast_matches_exact(spark, sf_dir):
     fast = {(r["id_a"], r["id_b"]): r["cos_sim"]
             for r in embedding_near_dup_pairs_fast(e, dim=64, threshold=0.4).collect()}
     assert fast == exact
+
+
+def test_salted_count_distinct_exact(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.operators.skew import salted_count_distinct
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    want = {r["l_returnflag"]: r["n"] for r in
+            li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("n")).collect()}
+    got = {r["l_returnflag"]: r["n_distinct_l_partkey"] for r in
+           salted_count_distinct(li, ["l_returnflag"], "l_partkey", buckets=16).collect()}
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.operators.skew import salted_join
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, "orders", sf_dir).withColumnRenamed("o_custkey", "c_custkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    plain = orders.join(cust, "c_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, cust, "c_custkey", ["o_orderkey"], buckets=8) \
+        .groupBy("c_mktsegment").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
