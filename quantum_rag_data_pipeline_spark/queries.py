@@ -52,10 +52,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "a1_metric_catalog",
     oracle="""
     SELECT
-      CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      ROUND(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) / COUNT(l_quantity), 6) AS avg_qty,
       MAX(l_extendedprice) AS max_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) AS sum_discount,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price
+      ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_discount,
+      ROUND(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE), 2) / COUNT(l_extendedprice), 6) AS avg_price
     FROM lineitem
     """,
 )
@@ -75,8 +75,8 @@ def a1_metric_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a1_empty_agg_zero",
     oracle="""
     SELECT
-      COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 0.0) AS sum_qty,
-      COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_quantity), 0.0) AS avg_qty,
+      COALESCE(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2), 0.0) AS sum_qty,
+      COALESCE(ROUND(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) / COUNT(l_quantity), 6), 0.0) AS avg_qty,
       COALESCE(MAX(l_quantity), 0.0) AS max_qty
     FROM lineitem WHERE l_quantity < 0
     """,
@@ -103,7 +103,7 @@ def a1_empty_agg_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(k_val) AS n_valid,
-           CAST(SUM(CAST(k_val AS DECIMAL(30,8))) AS DOUBLE) / COUNT(k_val) AS avg_k
+           ROUND(ROUND(CAST(SUM(CAST(k_val AS DECIMAL(30,2))) AS DOUBLE), 2) / COUNT(k_val), 6) AS avg_k
     FROM (
       SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
       FROM events
@@ -118,7 +118,7 @@ def p2_permissive_json_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("k_val").alias("n_valid"),
-            (F.sum(F.col("k_val").cast("decimal(30,8)")).cast("double") / F.count("k_val")).alias("avg_k"),
+            (F.round(F.round(F.sum(F.col("k_val").cast("decimal(30,2)")).cast("double"), 2) / F.count("k_val"), 6)).alias("avg_k"),
         )
     )
 
@@ -132,7 +132,7 @@ def p2_permissive_json_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT ws AS window_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value
     FROM (
       SELECT unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws, value
       FROM events
@@ -148,7 +148,7 @@ def w1_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2).alias("sum_value"),
         ],
         "2 days",
         "1 day",
@@ -165,7 +165,7 @@ def w1_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -178,7 +178,7 @@ def j2_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2).alias("total_price"),
         )
     )
 
@@ -188,7 +188,7 @@ def j2_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
            COUNT(*) AS n_lineitems,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -216,7 +216,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.sum(rev).cast("double").alias("revenue"),
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
         )
     )
 
@@ -229,10 +229,10 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j1_pivot",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,8)) END) AS DOUBLE)
-             / COUNT(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_O,
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,8)) END) AS DOUBLE)
-             / COUNT(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_F
+           ROUND(ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE), 2)
+             / COUNT(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_O,
+           ROUND(ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE), 2)
+             / COUNT(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_F
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -240,8 +240,8 @@ def j1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with EXPLICIT values — avoids the extra distinct() discovery
     job over the fact table at scale."""
     li = _t(spark, sf_dir, "lineitem")
-    exact_avg = (F.sum(F.col("l_quantity").cast("decimal(30,8)")).cast("double")
-                 / F.count("l_quantity"))
+    exact_avg = (F.round(F.round(F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double"), 2)
+                 / F.count("l_quantity"), 6))
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
@@ -261,12 +261,12 @@ def j1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(SUM(CASE WHEN event_type='click'    THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE)
-               / COUNT(CASE WHEN event_type='click'    THEN value END) AS v_click,
-             CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE)
-               / COUNT(CASE WHEN event_type='purchase' THEN value END) AS v_purchase,
-             CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE)
-               / COUNT(CASE WHEN event_type='signup'   THEN value END) AS v_signup
+             ROUND(ROUND(CAST(SUM(CASE WHEN event_type='click'    THEN CAST(value AS DECIMAL(30,2)) END) AS DOUBLE), 2)
+               / COUNT(CASE WHEN event_type='click'    THEN value END), 6) AS v_click,
+             ROUND(ROUND(CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(30,2)) END) AS DOUBLE), 2)
+               / COUNT(CASE WHEN event_type='purchase' THEN value END), 6) AS v_purchase,
+             ROUND(ROUND(CAST(SUM(CASE WHEN event_type='signup'   THEN CAST(value AS DECIMAL(30,2)) END) AS DOUBLE), 2)
+               / COUNT(CASE WHEN event_type='signup'   THEN value END), 6) AS v_signup
       FROM events GROUP BY 1
     )
     SELECT day, v_click, v_purchase, v_signup,
@@ -279,7 +279,7 @@ def j1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a3_pivot_rowmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    exact_avg = (F.sum(F.col("value").cast("decimal(30,8)")).cast("double") / F.count("value"))
+    exact_avg = (F.round(F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2) / F.count("value"), 6))
     wide = (
         ev.withColumn("day", F.date_trunc("day", F.col("ts")))
         .groupBy("day")
@@ -328,7 +328,7 @@ def a5_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_customers_by_revenue",
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey, c_name
     ORDER BY revenue DESC, c_custkey ASC
@@ -342,7 +342,7 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     rev = (
         o.groupBy("o_custkey")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2).alias("revenue"))
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .select("c_custkey", "c_name", "revenue")
     )
@@ -445,14 +445,14 @@ def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p5_p6_unit_conversion",
     oracle="""
     SELECT event_type,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(value), 2) AS avg_c,
-           ROUND((CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(value)) * 9 / 5 + 32, 2) AS avg_f
+           ROUND(ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) / COUNT(value), 6), 2) AS avg_c,
+           ROUND((ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) / COUNT(value), 6)) * 9 / 5 + 32, 2) AS avg_f
     FROM events GROUP BY event_type
     """,
 )
 def p5_p6_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    avg_c = F.sum(F.col("value").cast("decimal(30,8)")).cast("double") / F.count("value")
+    avg_c = F.round(F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2) / F.count("value"), 6)
     return ev.groupBy("event_type").agg(
         proj_ops.round_fixed(avg_c, 2).alias("avg_c"),
         proj_ops.round_fixed(proj_ops.celsius_to_fahrenheit(avg_c), 2).alias("avg_f"),
@@ -474,8 +474,8 @@ def p5_p6_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
            AS sentence
     FROM (
       SELECT r_name AS region, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS avg_price
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue,
+             ROUND(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) / COUNT(*), 6) AS avg_price
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -501,8 +501,11 @@ def u2_sentence_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("revenue"),
-            (F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2).alias("revenue"),
+            F.round(
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2)
+                / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
         )
     )
     sentence = F.concat(
@@ -727,7 +730,7 @@ def rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_flag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -735,7 +738,7 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(30,8)")).cast("double").alias("sum_qty"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double"), 2).alias("sum_qty"),
     )
 
 
@@ -866,7 +869,7 @@ def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
       FROM flagged
     )
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS session_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS session_value
     FROM islands GROUP BY user_id, session_no
     """,
 )
@@ -879,7 +882,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("session_value"),
+            F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2).alias("session_value"),
             F.min("ts").alias("session_start"),
         )
         .select("user_id", "session_start", "n_events", "session_value")
@@ -1014,7 +1017,7 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT ws AS window_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value
     FROM (
       SELECT unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws, value
       FROM events
@@ -1112,7 +1115,7 @@ def multimodal_resize_and_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region ON n_regionkey = r_regionkey
     )
     SELECT region, segment, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue
     FROM joined
     GROUP BY GROUPING SETS ((region), (segment), (region, segment))
     HAVING COUNT(*) > 10
@@ -1132,7 +1135,7 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN region ON n_regionkey = r_regionkey
         )
         SELECT region, segment, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue
         FROM joined
         GROUP BY GROUPING SETS ((region), (segment), (region, segment))
         HAVING COUNT(*) > 10

@@ -53,7 +53,7 @@ def sliding_window_stream(
         .groupBy(w.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
