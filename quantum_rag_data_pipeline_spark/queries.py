@@ -1319,3 +1319,82 @@ def ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("order_keys"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [absent] unpivot/melt, lateral explode, moving window frames
+# ---------------------------------------------------------------------------
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             ROUND(ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE), 2)
+               / COUNT(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_O,
+             ROUND(ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE), 2)
+               / COUNT(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_F
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, linestatus, avg_qty
+    FROM wide UNPIVOT (avg_qty FOR linestatus IN (qty_O, qty_F))
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long melt (the inverse of J1): Spark's native unpivot.
+    NULL cells are dropped by UNPIVOT in both engines."""
+    wide = j1_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_returnflag"], values=["qty_O", "qty_F"],
+        variableColumnName="linestatus", valueColumnName="avg_qty",
+    )
+
+
+@query(
+    "lateral_explode",
+    oracle="""
+    SELECT doc_id, pos, token
+    FROM (
+      SELECT doc_id,
+             generate_subscripts(toks, 1) - 1 AS pos,
+             unnest(toks) AS token
+      FROM (
+        SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents WHERE doc_id < 20
+      )
+    )
+    """,
+)
+def lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — one row per (doc, position, token); the lateral
+    fan-out primitive every tokenization pipeline starts with."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(text_ops.tokens("text")).alias("pos", "token")
+    )
+
+
+@query(
+    "moving_avg_frame",
+    oracle="""
+    SELECT user_id, ts,
+           ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+             / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+    FROM events WHERE user_id < 20
+    """,
+)
+def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: 7-row trailing average per user — decimal-
+    exact numerator so the sliding sum is order-stable."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    num = F.round(F.sum(F.col("value").cast("decimal(30,2)")).over(w).cast("double"), 2)
+    return ev.select(
+        "user_id", "ts",
+        F.round(num / F.count("value").over(w), 6).alias("moving_avg"),
+    )
