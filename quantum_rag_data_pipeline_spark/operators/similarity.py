@@ -88,48 +88,76 @@ def embedding_near_dup_pairs_fast(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     margin: float = 1e-6,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Hybrid exact near-dup: numpy-matmul PREFILTER + exact RESCORE.
+    """Exact near-dup: DISTRIBUTED block-pair matmul PREFILTER + exact RESCORE.
 
-    Stage 1 broadcasts the (normalized) corpus matrix into a mapInPandas
-    over corpus blocks; each block computes a gram-matrix slice in one
-    BLAS call and emits candidate pairs with cos >= threshold - margin.
-    Stage 2 recomputes the candidates' cosine with the sequential exact
-    formula and applies the true threshold — so output VALUES are
-    bit-identical to the brute-force operator (matmul reordering only
-    affects which pairs reach stage 2, and the margin absorbs its ~1e-12
-    error). Work drops from n²·d expression eval to one matmul.
+    Rows hash into B blocks; every unordered block pair (x ≤ y) becomes one
+    ``applyInPandas`` group whose gram-matrix slice is a single BLAS call on
+    an executor. Each row is shuffled to B groups (volume n·B vectors) and
+    each unordered ROW pair lands in exactly one group — exact coverage,
+    nothing ever collected to the driver. Stage 2 recomputes the candidates'
+    cosine with the sequential unrolled dot and applies the true threshold,
+    so output VALUES are bit-identical to the brute-force operator (matmul
+    reordering only affects which pairs reach stage 2; ``margin`` absorbs
+    its ~1e-12 error).
 
-    The corpus matrix is collected to the driver — the 'broadcast the
-    bounded side' pattern (fine to ~1M×few-hundred dims); beyond that,
-    block via LSH buckets instead (see srp_buckets_udf)."""
+    B defaults to ~sqrt(2·shuffle_partitions) so the B(B+1)/2 groups track
+    the cluster's parallelism while per-group flops stay (n/B)²·d. Exact
+    all-pairs is O(n²) on any engine — at 100 TB use LSH/cluster blocking
+    (``embedding_near_dup_pairs(block_col=...)``); this is the exact path
+    for corpora whose n²·d flops are budgeted."""
+    import math
+
     import numpy as np
 
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([r[1] for r in rows], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    B = n_blocks or max(4, int(math.ceil(math.sqrt(2.0 * n_part))))
+    thr = threshold - margin
 
-    def find_pairs(batches):
-        for pdf in batches:
-            out_a, out_b = [], []
-            sub_idx = pdf["_idx"].to_numpy()
-            S = Mn[sub_idx] @ Mn.T  # (block, n)
-            for row_pos, i in enumerate(sub_idx):
-                js = np.nonzero((S[row_pos] >= threshold - margin) & (ids > ids[i]))[0]
-                out_a.extend([ids[i]] * len(js))
-                out_b.extend(ids[js])
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    rows = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    pair_df = spark.createDataFrame(
+        [(x * B + y, x, y) for x in range(B) for y in range(x, B)],
+        "pid int, bx int, by int",
+    )
+    mem_a = rows.join(F.broadcast(pair_df), rows["_blk"] == pair_df["bx"]) \
+        .select("pid", F.lit("a").alias("_side"), "_id", "_vec")
+    mem_b = rows.join(F.broadcast(pair_df.filter("bx <> by")), rows["_blk"] == pair_df["by"]) \
+        .select("pid", F.lit("b").alias("_side"), "_id", "_vec")
+    mem = mem_a.unionByName(mem_b)
 
-    idx_df = spark.range(len(ids)).select(F.col("id").cast("int").alias("_idx")) \
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    cand = idx_df.mapInPandas(find_pairs, "id_a long, id_b long")
+    def find_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        a = pdf[pdf["_side"] == "a"]
+        b = pdf[pdf["_side"] == "b"]
+        if len(a) == 0:
+            return empty
+        ids_a = a["_id"].to_numpy(dtype=np.int64)
+        A = np.stack(a["_vec"].to_numpy()).astype(np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        if len(b):  # cross-block pair (x < y): a-side × b-side only
+            ids_b = b["_id"].to_numpy(dtype=np.int64)
+            Bm = np.stack(b["_vec"].to_numpy()).astype(np.float64)
+            Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+            ii, jj = np.nonzero(An @ Bn.T >= thr)
+            la, lb = ids_a[ii], ids_b[jj]
+        else:  # diagonal pair (x, x): upper triangle of the block's gram
+            ii, jj = np.nonzero(np.triu(An @ An.T >= thr, k=1))
+            la, lb = ids_a[ii], ids_a[jj]
+        if len(la) == 0:
+            return empty
+        return pd.DataFrame({"id_a": np.minimum(la, lb), "id_b": np.maximum(la, lb)})
+
+    cand = mem.groupBy("pid").applyInPandas(find_pairs, "id_a long, id_b long")
     vecs = df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col), dim).alias("_n"))
     a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col("_n").alias("n_a"))
     b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), F.col("_n").alias("n_b"))
     return (
-        cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+        cand.join(a, "id_a").join(b, "id_b")
         .withColumn("cos_sim", dot(F.col("vec_a"), F.col("vec_b"), dim) / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))

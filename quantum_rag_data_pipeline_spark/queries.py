@@ -526,7 +526,7 @@ def u2_sentence_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))) AS total_tokens,
+           CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))) AS BIGINT) AS total_tokens,
            CAST(SUM(length(text)) AS DOUBLE)
              / SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))) AS chars_per_token,
            MAX(n_chars) AS max_chars
@@ -797,7 +797,7 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_purchases,
            COUNT(click_ts_matched) AS n_attributed,
-           SUM(CAST(epoch_us(ts) - epoch_us(click_ts_matched) AS BIGINT)) AS total_gap_us
+           CAST(SUM(epoch_us(ts) - epoch_us(click_ts_matched)) AS BIGINT) AS total_gap_us
     FROM w WHERE is_purchase = 1
     GROUP BY user_id
     """,
@@ -968,8 +968,8 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_token_budget",
     oracle="""
     SELECT source,
-           SUM(len(list_filter(regexp_split_to_array(text, '[\\s\\.,;:!\\?''"()\\[\\]{}\\-]+'), t -> t <> ''))) AS total_bpe_tokens,
-           SUM(length(text)) AS total_chars
+           CAST(SUM(len(list_filter(regexp_split_to_array(text, '[\\s\\.,;:!\\?''"()\\[\\]{}\\-]+'), t -> t <> ''))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM documents GROUP BY source
     """,
 )
@@ -1278,7 +1278,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "typed_json_extraction",
     oracle="""
     SELECT user_id,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
            COUNT(*) AS n_events
     FROM events GROUP BY user_id

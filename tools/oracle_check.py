@@ -6,6 +6,13 @@ shape, and an order-insensitive value hash. Strictest plausible compare:
 values are canonicalized (floats via repr of float64, timestamps to ISO,
 NULL to a sentinel), columns sorted by name, rows sorted, sha256 hashed.
 
+Both sides are fetched THROUGH ARROW (``DataFrame.toArrow()`` /
+``duckdb .arrow()``) so engine-level typing divergences surface exactly
+as they do at the real driver gate: a DuckDB HUGEINT arrives as
+arrow decimal128(38,0) -> Python Decimal, which canonicalizes
+differently from Spark's int64 -> int. (Round-1 lesson: the old
+``fetchall()`` path collapsed HUGEINT to int and hid 4 gate failures.)
+
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
 
@@ -31,7 +38,9 @@ def canon(v) -> str:
             return repr(float(v))
         return repr(v)
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # Deliberately distinct from int/float canon: the driver hashes
+        # arrow-typed values, where decimal128 != int64 even when equal.
+        return "dec:" + str(v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
@@ -77,7 +86,8 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            stab = sdf.toArrow()
+            srows = [tuple(d[c] for c in scols) for d in stab.to_pylist()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
@@ -87,9 +97,9 @@ def main() -> int:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {dt:.1f}s) [no oracle]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dtab = con.execute(oracles[name]).arrow()
+            dcols = list(dtab.schema.names)
+            drows = [tuple(d[c] for c in dcols) for d in dtab.to_pylist()]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
