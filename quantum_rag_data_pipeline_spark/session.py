@@ -53,7 +53,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver == all executors: size the heap for 32 task
+        # slots (0.6×heap/32 per-task execution memory). 8g gave ~150MB a
+        # slot and GC-thrashed the heavy queries (2-5× run-to-run
+        # variance); 48g on the 128 GiB box makes timings stable. On a
+        # real cluster this conf is ignored in favor of executor sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
