@@ -24,6 +24,13 @@ Fake format (deterministic, derived from the documents table):
   height  4 bytes  big-endian uint32   (images/video)
   extra   4 bytes  channels (img) | sample_rate/1000 (aud) | n_frames (vid)
   payload N bytes  pseudo-random content seeded by the id
+
+Header fields and the body LENGTH come from ``_field`` — Knuth
+multiplicative hashing over (media_id, salt), pure integer arithmetic
+that a SQL oracle can reproduce verbatim (see the multimodal queries'
+DuckDB twins). Body CONTENT stays sha256+numpy-seeded — opaque bytes the
+way real media is; nothing downstream needs to predict it except the
+checksum column, which the oracled aggregates therefore avoid.
 """
 
 from __future__ import annotations
@@ -49,15 +56,24 @@ _MAGIC = {"image": b"IMG1", "audio": b"AUD1", "video": b"VID1"}
 _KIND = {v: k for k, v in _MAGIC.items()}
 
 
+def _field(media_id: int, salt: int, lo: int, hi: int) -> int:
+    """SQL-portable deterministic field in [lo, hi]: Knuth multiplicative
+    hash — ``lo + ((id*2654435761 + salt*40503) % 2^32) % span``. The
+    DuckDB oracle computes the identical expression in plain arithmetic."""
+    return lo + ((media_id * 2654435761 + salt * 40503) % 4294967296) % (hi - lo + 1)
+
+
 def _fake_payload(media_id: int, kind: str) -> bytes:
+    w = _field(media_id, 1, 16, 256)
+    h = _field(media_id, 2, 16, 256)
+    extra = _field(media_id, 3, 1, 4) if kind == "image" else (
+        44 if kind == "audio" else _field(media_id, 3, 8, 64)
+    )
+    body_len = _field(media_id, 4, 256, 2047)
     rng = np.random.default_rng(
         int.from_bytes(hashlib.sha256(f"{kind}|{media_id}".encode()).digest()[:8], "big")
     )
-    w, h = int(rng.integers(16, 257)), int(rng.integers(16, 257))
-    extra = int(rng.integers(1, 5)) if kind == "image" else (
-        44 if kind == "audio" else int(rng.integers(8, 65))
-    )
-    body = rng.integers(0, 256, size=int(rng.integers(256, 2048)), dtype=np.uint8).tobytes()
+    body = rng.integers(0, 256, size=body_len, dtype=np.uint8).tobytes()
     return _MAGIC[kind] + struct.pack(">III", w, h, extra) + body
 
 

@@ -140,16 +140,34 @@ def build_daily_summaries(
     per_endpoint = {
         name: aggregate_endpoint(df, METRIC_CATALOG[name]) for name, df in endpoints.items()
     }
-    # day spine from the window list: missing-ERCOT days drop out via the
-    # inner join on load/gen (reference aborts those rows); weather is a
-    # LEFT join (missing weather proceeds with N/A temperature).
+    # day spine from the window list: each endpoint aggregate LEFT-joins
+    # onto it — a day missing from ONE endpoint keeps its row with NULL
+    # metrics (→ N/A in the sentence), matching the reference, where
+    # extract_field_values returns {} for an empty envelope but the day's
+    # sentence still renders (src/main.py + sentence_builder N/A paths).
+    # Only a day with data from NO endpoint at all is aborted — the
+    # reference's fetch-returned-None case.
     days = spark.createDataFrame(
         [(a, b) for a, b in day_windows(start, end)], "date_from string, date_to string"
     )
     joined = days
+    markers = []
     for name, agg in per_endpoint.items():
-        joined = joined.join(F.broadcast(agg), "date_from", "inner")
-    joined = joined.withColumn("dam_avg_price", F.round("dam_avg_price_raw", 2))  # src/main.py:207
+        marker = f"_has_{name}"
+        markers.append(marker)
+        joined = joined.join(
+            F.broadcast(agg.withColumn(marker, F.lit(1))), "date_from", "left"
+        )
+    joined = joined.filter(
+        F.greatest(*[F.col(m).isNotNull() for m in markers])
+    ).drop(*markers)
+    # DAM price parity (src/main.py:207): a falsy average (0.0 or missing)
+    # renders N/A, not "0.00 $/MWh"; bround = Python round() half-even.
+    raw_dam = F.col("dam_avg_price_raw")
+    joined = joined.withColumn(
+        "dam_avg_price",
+        F.when(raw_dam.isNotNull() & (raw_dam != 0.0), F.bround(raw_dam, 2)),
+    )
     if weather_daily_avg is not None:
         w = weather_daily_avg.select(F.col("date").cast("string").alias("date_from"), "avg_temp_c")
         joined = joined.join(F.broadcast(w), "date_from", "left")

@@ -597,6 +597,51 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
       FROM documents
     ),
+    raw_shingles AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM toks
+    ),
+    -- frequent-shingle cut (max_df=64): mirrors the operator's guard
+    -- against boilerplate shingles exploding the candidate join
+    shingles AS (
+      SELECT r.doc_id, r.shingle FROM raw_shingles r
+      JOIN (SELECT shingle FROM raw_shingles GROUP BY shingle HAVING COUNT(*) <= 64) k
+        USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.35
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard near-dup pairs; candidates via
+    inverted-index self-join (only docs sharing a shingle ever meet).
+    ``max_df=64`` drops boilerplate shingles BEFORE the self-join — the
+    guard that keeps candidate generation linear-ish on real corpora
+    (one 'all rights reserved' shingle is otherwise O(df²) pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(d, n=5, threshold=0.35, max_df=64)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
     shingles AS (
       SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
         THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
@@ -618,23 +663,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.35
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-5-gram Jaccard near-dup pairs; candidates via
-    inverted-index self-join (only docs sharing a shingle ever meet)."""
-    d = _t(spark, sf_dir, "documents")
-    return dedup_ops.ngram_jaccard_pairs(d, n=5, threshold=0.35)
-
-
-@query("dedup_minhash_lsh")  # xxhash64-based — not oracle-expressible; rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (1-row bands, miss prob ≤ 0.65^64 ≈ 1e-12
+    per qualifying pair) + exact shingle-Jaccard rescore — produces the
+    exact near-dup answer the LSH way, so the oracle is the same plain
+    SQL as the inverted-index query. The S-curve banded variant
+    (minhash_lsh_pairs) remains the est-only scale path, pytest-covered."""
     d = _t(spark, sf_dir, "documents")
-    return dedup_ops.minhash_lsh_pairs(d, num_hashes=64, bands=16, n=5, verify_threshold=0.35)
+    return dedup_ops.minhash_lsh_exact_pairs(d, num_hashes=64, n=5, threshold=0.35)
 
 
-@query("dedup_simhash")  # xxhash64-based — rows-only check
+@query(
+    "dedup_simhash",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INT) AS hamming
+    FROM documents
+    WHERE doc_id % 3 = 0
+      AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) > 0
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return dedup_ops.simhash_pairs(d, max_hamming=6, blocks=8)
+    """SimHash + chunk blocking over a corpus with INJECTED exact dups
+    (every 3rd doc copied at doc_id+1e6, as in dedup_exact). Identical
+    text → identical 64-bit simhash → hamming 0, and blocks(8) >
+    max_hamming(6) makes the pigeonhole blocking guarantee structural —
+    so the query MUST recover exactly the injected pairs, which is a
+    plain-SQL-provable invariant the driver gate checks. Natural
+    near-dup pairs (the approximate part) stay pytest-covered.
+    Docs with zero tokens have no simhash row (explode drops them);
+    the oracle mirrors that with the token-count guard."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pairs = dedup_ops.simhash_pairs(d.unionByName(dup), max_hamming=6, blocks=8)
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).select(
+        "id_a", "id_b", "hamming"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -687,11 +752,32 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_near_dup_pairs_fast(e, dim=64, threshold=0.4)
 
 
-@query("ann_lsh_topk")  # approximate — checked by recall tests, not the oracle
+@query("ann_lsh_topk")  # IRREDUCIBLY approximate: the candidate set depends
+# on the seeded SRP hyperplanes, which no SQL twin can reproduce — recall
+# vs exact top-k is pytest-asserted (≥0.9); the rank-1 self-recovery
+# invariant is driver-checked by ann_lsh_self_recovery below.
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return sim_ops.lsh_bucket_topk(e, q, dim=64, k=10, n_planes=8, n_tables=4)
+
+
+@query(
+    "ann_lsh_self_recovery",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id, CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def ann_lsh_self_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable LSH invariant: a query vector drawn FROM the
+    corpus hashes into its own bucket in every table, so top-1 must be
+    itself at cos 1.0 (the corpus has no duplicate vectors — max
+    cross-pair cosine ≈ 0.51). Runs the full bucket → candidate →
+    score → top-k pipeline end-to-end with k=1."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim_ops.lsh_bucket_topk(e, q, dim=64, k=1, n_planes=8, n_tables=4)
 
 
 # ---------------------------------------------------------------------------
@@ -1058,10 +1144,39 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # North star: multimodal columns (binary payload + mapInPandas stages).
-# Payloads are sha256-seeded — not SQL-expressible → rows-only checks.
+# Payload header fields + body length use SQL-portable integer hashing
+# (multimodal._field), so the oracle rebuilds the expected headers in
+# plain arithmetic and the whole synth → binary → parse → agg roundtrip
+# is driver-checked. Body CONTENT stays opaque (sha256+numpy) — the
+# checksum column is pytest-covered instead.
 # ---------------------------------------------------------------------------
 
-@query("multimodal_features")
+# shared oracle fragment: the expected header fields per media row,
+# mirroring multimodal._field (Knuth multiplicative hash) and the
+# image/audio/video kind cycle of synth_media_table.
+_MEDIA_ORACLE_CTE = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             16 + ((doc_id * 2654435761 + 40503) % 4294967296) % 241 AS width,
+             16 + ((doc_id * 2654435761 + 81006) % 4294967296) % 241 AS height,
+             256 + ((doc_id * 2654435761 + 162012) % 4294967296) % 1792 AS body_len
+      FROM documents
+    )
+"""
+
+
+@query(
+    "multimodal_features",
+    oracle=_MEDIA_ORACLE_CTE + """
+    SELECT kind,
+           COUNT(*) AS n_media,
+           CAST(SUM(16 + body_len) AS BIGINT) AS total_bytes,
+           CAST(MAX(width) AS INT) AS max_width,
+           COUNT(DISTINCT width * 1000 + height) AS n_distinct_dims
+    FROM m GROUP BY kind
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quantum_rag_data_pipeline_spark.operators.multimodal import (
         extract_features,
@@ -1074,11 +1189,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
         F.max("width").alias("max_width"),
-        F.countDistinct("checksum").alias("n_distinct"),
+        F.countDistinct(F.col("width") * 1000 + F.col("height")).alias("n_distinct_dims"),
     )
 
 
-@query("multimodal_resize_and_frames")
+@query(
+    "multimodal_resize_and_frames",
+    oracle=_MEDIA_ORACLE_CTE + """
+    SELECT 'image_resized' AS stage, media_id,
+           CAST(GREATEST(
+             GREATEST(1, CAST(FLOOR(width  * LEAST(1.0, 64.0 / GREATEST(width, height))) AS BIGINT)),
+             GREATEST(1, CAST(FLOOR(height * LEAST(1.0, 64.0 / GREATEST(width, height))) AS BIGINT))
+           ) AS BIGINT) AS metric
+    FROM m WHERE kind = 'image'
+    UNION ALL
+    SELECT 'video_frames' AS stage, media_id,
+           CAST((((body_len + 63) // 64) + 7) // 8 AS BIGINT) AS metric
+    FROM m WHERE kind = 'video'
+    """,
+)
 def multimodal_resize_and_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quantum_rag_data_pipeline_spark.operators.multimodal import (
         resize_images,
@@ -1091,7 +1220,7 @@ def multimodal_resize_and_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_images(media, max_side=64).select(
         F.lit("image_resized").alias("stage"),
         F.col("media_id"),
-        F.greatest("width", "height").alias("metric"),
+        F.greatest("width", "height").cast("long").alias("metric"),
     )
     frames = sample_frames(media, every_k=8).groupBy("media_id").agg(
         F.count(F.lit(1)).alias("metric")
@@ -1254,15 +1383,17 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document: tf and df from one exploded
-    pass, df-side broadcast (vocabulary ≪ corpus), per-doc top-k window."""
+    pass, df-side broadcast (vocabulary ≪ corpus), per-doc top-k window.
+    n_docs rides along as a broadcast 1-row aggregate — the whole query
+    stays ONE lazy DAG (no eager driver-side count job)."""
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = d.select("doc_id", F.explode(text_ops.tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").select(
+    scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(n_docs)).select(
         "doc_id", "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6).alias("tfidf"),
     )
     top = win_ops.top_k_per_group(
         scored, ["doc_id"], [F.col("tfidf").desc(), F.col("term").asc()], 3
@@ -1398,3 +1529,66 @@ def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts",
         F.round(num / F.count("value").over(w), 6).alias("moving_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [absent] approximate distinct counting (SURVEY §2.3) — the sketch value
+# is engine-specific (Spark HLL++ vs DuckDB's sketch), so the driver-
+# checkable contract is the TOLERANCE INVARIANT: emit the exact count and
+# a boolean asserting the approx landed within 3×rsd of it.
+# ---------------------------------------------------------------------------
+
+@query(
+    "approx_count_distinct_orders",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS approx_within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_count_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=0.05) vs the exact
+    count, per order priority. The HLL sketch shuffles O(groups × 2^p)
+    bytes instead of every distinct key — the 100 TB answer to
+    COUNT(DISTINCT). Its value is engine-specific, so the oracled output
+    asserts |approx − exact| ≤ 3×rsd×exact alongside the exact count."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("_approx"),
+    )
+    tol = F.abs(F.col("_approx") - F.col("exact_distinct")) <= 0.15 * F.col("exact_distinct")
+    return agg.select("priority", "exact_distinct", tol.alias("approx_within_tol"))
+
+
+# ---------------------------------------------------------------------------
+# [absent] SQL-registered UDF (SURVEY §2.8): spark.udf.register exposes a
+# Python function to the SQL surface. String-typed on purpose — no float
+# rounding semantics to diverge between engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "sql_registered_udf",
+    oracle="""
+    SELECT lower(split_part(o_orderpriority, '-', 1)) AS pclass,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Python UDF registered into the SQL surface and invoked through
+    spark.sql text. Deliberately row-at-a-time and OFF the hot path —
+    it feeds a groupBy over 5 distinct values; the register/invoke API
+    is what this exercises (the engine's compute-heavy UDFs are all
+    Arrow-batched pandas_udfs instead)."""
+    from pyspark.sql.types import StringType
+
+    spark.udf.register(
+        "priority_class", lambda s: s.split("-")[0].lower() if s else None, StringType()
+    )
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_for_udf")
+    return spark.sql("""
+        SELECT priority_class(o_orderpriority) AS pclass, COUNT(*) AS n_orders
+        FROM _orders_for_udf GROUP BY 1
+    """)

@@ -153,8 +153,46 @@ def test_simhash_identical_docs_distance_zero(spark):
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww vv uu")],
         "doc_id long, text string",
     )
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=64).collect()}
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df).collect()}
     assert pairs[(1, 2)] == 0
+
+
+def test_simhash_blocking_guarantee_default_params(spark):
+    """Pigeonhole property: at the default (max_hamming=3, blocks=4),
+    blocking must find EVERY pair within 3 flipped bits. 200 random
+    64-bit codes, each paired with a copy that has 0-3 random bits
+    flipped — zero missed pairs allowed."""
+    import random
+
+    from quantum_rag_data_pipeline_spark.operators.dedup import simhash_pairs_from_codes
+
+    rng = random.Random(7)
+
+    def signed(u):  # two's-complement uint64 -> int64
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = []
+    expected = set()
+    for i in range(200):
+        base = rng.getrandbits(64)
+        nflips = rng.randrange(0, 4)
+        flipped = base
+        for _ in range(nflips):
+            flipped ^= 1 << rng.randrange(64)
+        rows.append((2 * i, signed(base)))
+        rows.append((2 * i + 1, signed(flipped)))
+        expected.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "doc_id long, sh long")
+    found = {(r["id_a"], r["id_b"]) for r in simhash_pairs_from_codes(df).collect()}
+    assert expected - found == set(), f"missed {len(expected - found)} pairs"
+
+
+def test_simhash_rejects_guarantee_breaking_params(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, max_hamming=8, blocks=4)
 
 
 def test_lang_id_heuristic(spark):
