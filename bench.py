@@ -65,6 +65,23 @@ HEADLINE = [
     "sql_grouping_sets",
     "multimodal_features",
     "streaming_sliding_window",
+    # round 2: full-corpus coverage (baseline anchors recorded in
+    # BASELINE.md "round-2 additions" when first benched)
+    "a1_empty_agg_zero",
+    "p5_p6_unit_conversion",
+    "text_fingerprint",
+    "ann_lsh_self_recovery",
+    "multimodal_resize_and_frames",
+    "text_repetition_filter",
+    "inverted_index",
+    "tfidf_top_terms",
+    "typed_json_extraction",
+    "ordered_array_agg",
+    "unpivot_melt",
+    "lateral_explode",
+    "moving_avg_frame",
+    "approx_count_distinct_orders",
+    "sql_registered_udf",
 ]
 
 

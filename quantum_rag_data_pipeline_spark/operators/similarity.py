@@ -265,12 +265,14 @@ def lsh_bucket_topk(
     cb = bucketed(corpus.select(F.col(corpus_id), F.col(vec_col)).repartition(n_part), corpus_id)
     qb = bucketed(queries.select(F.col(query_id), F.col(vec_col)), query_id) \
         .select(query_id, F.col(vec_col).alias("_qvec"), "tbl", "bucket")
-    cand = (
+    # Score BEFORE deduping (tbl, bucket) collisions: a pair seen in t
+    # tables costs t-1 redundant JVM-side dots, but the dedup exchange
+    # then shuffles only (query, id, cos) — never the vectors.
+    scored = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
-        .select(query_id, corpus_id, F.col(vec_col), F.col("_qvec"))
+        .select(query_id, corpus_id, cosine(F.col(vec_col), F.col("_qvec"), dim).alias("cos_sim"))
         .dropDuplicates([query_id, corpus_id])
     )
-    scored = cand.select(query_id, corpus_id, cosine(F.col(vec_col), F.col("_qvec"), dim).alias("cos_sim"))
     return top_k_per_group(
         scored, [query_id], [F.col("cos_sim").desc(), F.col(corpus_id).asc()], k
     ).select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"))
