@@ -82,6 +82,12 @@ HEADLINE = [
     "moving_avg_frame",
     "approx_count_distinct_orders",
     "sql_registered_udf",
+    # round 2: dedup clustering + corpus curation
+    "graph_connected_components",
+    "curation_train_split",
+    "curation_domain_cap",
+    "curation_token_packing",
+    "curation_pii_scrub",
 ]
 
 

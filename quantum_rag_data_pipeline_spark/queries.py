@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quantum_rag_data_pipeline_spark.operators import aggregates as agg_ops
+from quantum_rag_data_pipeline_spark.operators import curation as cur_ops
 from quantum_rag_data_pipeline_spark.operators import dedup as dedup_ops
+from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 from quantum_rag_data_pipeline_spark.operators import joins as join_ops
 from quantum_rag_data_pipeline_spark.operators import projection as proj_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
@@ -1601,3 +1603,195 @@ def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT priority_class(o_orderpriority) AS pclass, COUNT(*) AS n_orders
         FROM _orders_for_udf GROUP BY 1
     """)
+
+
+# ---------------------------------------------------------------------------
+# North star: dedup clustering + corpus curation. Pairs -> clusters is the
+# step the reference pipeline (and most dedup writeups) leave implicit; the
+# rest are the reproducible split/cap/pack/scrub stages a 100 TB training-
+# data pipeline runs after dedup. All decisions are deterministic hashes or
+# rank cuts so every query has an exact DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT l_suppkey AS u, l_partkey + 100000000 AS v
+      FROM lineitem WHERE l_quantity >= 49.5 AND l_discount >= 0.09
+    ), sym AS (
+      SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+    ), reach(node, r) AS (
+      SELECT u AS node, u AS r FROM sym
+      UNION
+      SELECT s.u AS node, reach.r FROM sym s JOIN reach ON s.v = reach.node
+    ), labels AS (
+      SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id,
+           COUNT(*) AS n_nodes,
+           CAST(SUM(CASE WHEN node < 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CASE WHEN node >= 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts
+    FROM labels GROUP BY cluster_id
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components (min-label propagation + pointer
+    jumping, O(log diameter) rounds — operators/graph.py) over the
+    bipartite supplier↔part graph of rare lineitems. The oracle computes
+    the same components via a recursive transitive-closure CTE — feasible
+    only at oracle scale, which is exactly why the Spark side exists."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 49.5) & (F.col("l_discount") >= 0.09)
+    )
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(100000000)).alias("dst"),
+    )
+    labels = graph_ops.connected_components(edges)
+    off = F.lit(100000000)
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.when(F.col("node") < off, 1).otherwise(0)).alias("n_suppliers"),
+        F.sum(F.when(F.col("node") >= off, 1).otherwise(0)).alias("n_parts"),
+    )
+
+
+@query(
+    "curation_train_split",
+    oracle="""
+    SELECT source, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT source, n_chars,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT source, n_chars,
+               ((doc_id * 2654435761) % 4294967296) % 100 AS b
+        FROM documents
+      )
+    ) GROUP BY source, split
+    """,
+)
+def curation_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: a Knuth multiplicative hash of
+    doc_id — zero shuffle to ASSIGN (the split is a projection), stable
+    under repartitioning, identical on any engine. 80/10/10."""
+    d = cur_ops.assign_split(_t(spark, sf_dir, "documents"))
+    return d.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "curation_domain_cap",
+    oracle="""
+    SELECT source,
+           CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) GROUP BY source
+    """,
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (web-corpus curation): keep the first 15
+    docs per source by doc_id rank. One shuffle on the domain key."""
+    d = cur_ops.cap_per_group(_t(spark, sf_dir, "documents"), "source", "doc_id", 15)
+    return d.groupBy("source").agg(
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )
+
+
+@query(
+    "curation_token_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS ntok
+      FROM documents
+    ), c AS (
+      SELECT source, ntok,
+             SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT source,
+           CAST(FLOOR((cum - ntok) / 512.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY source, bin
+    """,
+)
+def curation_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming context-window packing: per-source cumsum of token counts,
+    bin = floor(preceding_total / 512). One window shuffle; the packer
+    state is just the cumsum, so the plan is a single stage after it."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", text_ops.token_count("text").alias("ntok")
+    )
+    packed = cur_ops.pack_token_budget(d, "source", "doc_id", "ntok", 512)
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("bin_tokens"),
+    )
+
+
+@query(
+    "curation_pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT source,
+             text || CASE
+               WHEN h % 5 IN (0, 1) THEN ' contact user' || CAST(h % 997 AS VARCHAR) || '@example.com now'
+               WHEN h % 5 = 2 THEN ' call 555-867-5309 today'
+               ELSE ''
+             END AS t
+      FROM (
+        SELECT source, text,
+               ((doc_id * 2654435761 + 7 * 40503) % 4294967296) AS h
+        FROM documents
+      )
+    )
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(length(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')
+           )) AS BIGINT) AS clean_chars
+    FROM aug GROUP BY source
+    """,
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction at scan speed (regexp_replace, codegen'd — no Python).
+    The synthetic corpus contains no PII, so a deterministic hash of
+    doc_id injects emails/phones first — same arithmetic on both engines,
+    so match counts and post-scrub lengths have an exact oracle."""
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(cur_ops.KNUTH_A) + F.lit(7 * 40503)) % F.lit(4294967296)
+    aug = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                (h % 5).isin(0, 1),
+                F.concat(F.lit(" contact user"), (h % 997).cast("string"), F.lit("@example.com now")),
+            )
+            .when(h % 5 == 2, F.lit(" call 555-867-5309 today"))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return aug.groupBy("source").agg(
+        F.sum(cur_ops.pii_match_count("t", cur_ops.EMAIL_RE)).alias("n_emails"),
+        F.sum(cur_ops.pii_match_count("t", cur_ops.PHONE_RE)).alias("n_phones"),
+        F.sum(F.length(cur_ops.redact_pii("t"))).alias("clean_chars"),
+    )

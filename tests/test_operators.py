@@ -259,3 +259,50 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     salted = salted_join(orders, cust, "c_custkey", ["o_orderkey"], buckets=8) \
         .groupBy("c_mktsegment").count()
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 30-node path graph (worst-case diameter) plus two disjoint islands:
+    pointer jumping must resolve the chain in O(log n) rounds, labels must
+    be the component minima."""
+    from quantum_rag_data_pipeline_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(30)]            # 0..30 one component
+    islands = [(100, 101), (200, 201), (201, 202)]
+    edges = spark.createDataFrame(chain + islands, ["src", "dst"])
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert all(got[i] == 0 for i in range(31))
+    assert got[100] == got[101] == 100
+    assert got[200] == got[201] == got[202] == 200
+
+
+def test_curation_split_deterministic_and_complete(spark):
+    from quantum_rag_data_pipeline_spark.operators.curation import assign_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out1 = {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+    out2 = {r["doc_id"]: r["split"] for r in assign_split(df.repartition(7)).collect()}
+    assert out1 == out2  # stable under repartitioning
+    from collections import Counter
+    c = Counter(out1.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_pii_redaction_and_packing(spark):
+    from pyspark.sql import functions as F
+    from quantum_rag_data_pipeline_spark.operators.curation import (
+        pack_token_budget, pii_match_count, redact_pii, EMAIL_RE)
+
+    df = spark.createDataFrame(
+        [("mail me at a.b@x-corp.io or call 555-123-4567",), ("clean text",)], ["t"])
+    got = df.select(redact_pii("t").alias("r"),
+                    pii_match_count("t", EMAIL_RE).alias("ne")).collect()
+    assert got[0]["r"] == "mail me at <EMAIL> or call <PHONE>"
+    assert got[0]["ne"] == 1 and got[1]["ne"] == 0
+
+    docs = spark.createDataFrame(
+        [("s", i, 300) for i in range(10)], ["g", "i", "ntok"])
+    bins = pack_token_budget(docs, "g", "i", "ntok", 1000)
+    by_bin = {r["bin"] for r in bins.collect()}
+    assert by_bin == {0, 1, 2}  # 3000 tokens / 1000 budget, straddling allowed
