@@ -88,6 +88,12 @@ HEADLINE = [
     "curation_domain_cap",
     "curation_token_packing",
     "curation_pii_scrub",
+    # round 2: RAG chunking, decontamination, quality gate, sampling, IVF
+    "rag_chunk_documents",
+    "decontaminate_against_eval",
+    "curation_gopher_rules",
+    "curation_stratified_sample",
+    "ivf_centroid_assign",
 ]
 
 
@@ -99,6 +105,18 @@ def main() -> None:
 
     # warm-up: JVM + parquet footer reads, not billed to any query
     QUERIES["j2_join_agg"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    # warm the Python worker pool too (fork + numpy import happen once per
+    # reused worker): without this the first pandas-UDF query is billed
+    # ~2-3 s of worker spin-up that is session overhead, not query cost.
+    def _py_warm(it):
+        import numpy  # noqa: F401 — preload into the reused worker
+
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 32, 1, 32).mapInPandas(_py_warm, "id long") \
+        .write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

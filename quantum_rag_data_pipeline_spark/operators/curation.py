@@ -99,3 +99,144 @@ def redact_pii(col: Column | str) -> Column:
 def pii_match_count(col: Column | str, pattern: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 30,
+    max_tokens: int = 5000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 4.8,
+    max_top_token_ratio: float = 0.15,
+    stopword: str = "the",
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models", Appendix A ‑ public paper), adapted to threshold
+    columns: token-count bounds, mean-word-length band, single-token
+    dominance (repetition proxy), and a stopword-presence check.
+
+    All four rules are pure column expressions over one tokenization —
+    no shuffle (flags are a projection) except the dominance rule,
+    which needs a per-doc mode: computed here with ``aggregate`` over
+    the sorted token array, NOT a groupBy — so the operator stays
+    embarrassingly parallel at 100 TB.
+
+    Emits the input plus boolean ``pass_r1..pass_r4`` and ``pass_all``
+    columns; callers decide whether to filter or audit."""
+    from quantum_rag_data_pipeline_spark.operators.text import tokens
+
+    tk = tokens(text_col)
+    d = df.withColumn("_tk", tk).withColumn("_ntok", F.size("_tk"))
+    # mode frequency without a groupBy: sort tokens, then the longest run
+    # length == max frequency. aggregate keeps a (best, cur, prev) state.
+    sorted_tk = F.array_sort("_tk")
+    run = F.aggregate(
+        sorted_tk,
+        F.struct(F.lit(0).alias("best"), F.lit(0).alias("cur"), F.lit("").alias("prev")),
+        lambda acc, t: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(t == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            t.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    mean_wlen = F.aggregate(
+        F.col("_tk"), F.lit(0), lambda a, t: a + F.length(t)
+    ) / F.col("_ntok")
+    return (
+        d.withColumn("_maxfreq", run)
+        .withColumn(
+            "pass_r1",
+            (F.col("_ntok") >= min_tokens) & (F.col("_ntok") <= max_tokens),
+        )
+        .withColumn(
+            "pass_r2",
+            (mean_wlen >= F.lit(min_mean_wlen)) & (mean_wlen <= F.lit(max_mean_wlen)),
+        )
+        .withColumn(
+            "pass_r3",
+            (F.col("_maxfreq") / F.col("_ntok")) <= F.lit(max_top_token_ratio),
+        )
+        .withColumn("pass_r4", F.array_contains("_tk", stopword))
+        .withColumn(
+            "pass_all",
+            F.col("pass_r1") & F.col("pass_r2") & F.col("pass_r3") & F.col("pass_r4"),
+        )
+        .drop("_tk", "_maxfreq")
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    fraction: float,
+    salt: int = 0,
+) -> DataFrame:
+    """Exact-count stratified sampling: keep ceil(fraction · N_s) rows
+    from every stratum, chosen by ranking a deterministic hash of the
+    id — reproducible under repartitioning (no RNG state), and exact
+    per-stratum counts (``df.sampleBy`` is Bernoulli: right only in
+    expectation). One shuffle on the strata key for the rank window;
+    the hash makes the within-stratum order uniform-pseudorandom.
+
+    For 100 TB strata the window is the same shape as any per-group
+    top-k (AQE skew-splittable up to the ordering requirement); callers
+    with mega-strata can pre-filter with a loose Bernoulli hash cut
+    (keep hash%M < 2·fraction·M) before the exact rank."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_bucket(id_col, _M32, salt), F.col(id_col)
+    )
+    n = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_ns", F.count(F.lit(1)).over(n))
+        .withColumn("sampled", F.col("_rn") <= F.ceil(F.col("_ns") * F.lit(fraction)))
+        .drop("_rn", "_ns")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥
+    ``min_shared`` distinct word ``ngram``-grams with any eval/benchmark
+    document (the n-gram-overlap rule used by public LLM training
+    pipelines, e.g. GPT-3 appendix C / The Pile — 8-13 gram collision).
+
+    Shape for scale: the eval set is small by definition → its distinct
+    shingles BROADCAST; the 100 TB train side streams map-side through
+    the hash join, then one shuffle on (train_id, eval_id) for the
+    overlap count. Train shingles are deduped per doc BEFORE the join
+    (explode → distinct) so a repeated phrase can't inflate counts.
+
+    Returns (train_id, eval_id, n_shared) pairs; join back to drop."""
+    from quantum_rag_data_pipeline_spark.operators.text import tokens
+
+    def shingles(df: DataFrame, out_id: str) -> DataFrame:
+        tk = tokens(text_col)
+        d = df.select(F.col(id_col).alias(out_id), tk.alias("_tk"))
+        d = d.filter(F.size("_tk") >= ngram)
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - ngram + 1),
+            lambda i: F.array_join(F.slice("_tk", i, ngram), " "),
+        )
+        return d.select(out_id, F.explode(sh).alias("shingle")).distinct()
+
+    ev = shingles(eval_df, "eval_id")
+    tr = shingles(train, "train_id")
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -276,3 +276,45 @@ def lsh_bucket_topk(
     return top_k_per_group(
         scored, [query_id], [F.col("cos_sim").desc(), F.col(corpus_id).asc()], k
     ).select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine (the E-step of k-means /
+    the routing step of IVF indexing): broadcast the centroid table
+    (small by definition — k ≪ N), score every (vector, centroid) pair
+    map-side with the JVM dot product, argmax per vector with
+    ``max_by`` struct ordering — a partial-aggregable ONE-shuffle plan
+    on ``id_col`` only carrying (id, best_centroid, best_cos), never
+    the vectors. Deterministic tie-break: lowest centroid id wins.
+
+    This is also the building block for IVF ANN (cluster-route, then
+    search within cluster) — see ``lsh_bucket_topk`` for the SRP
+    alternative."""
+    c = centroids.select(
+        F.col(centroid_id), F.col(vec_col).alias("_cvec")
+    )
+    scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(c)).select(
+        id_col,
+        centroid_id,
+        cosine(F.col(vec_col), F.col("_cvec"), dim).alias("cos"),
+    )
+    # max_by on a struct: (cos, -centroid_id) orders ties toward the
+    # smallest centroid id without a window shuffle-sort.
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col(centroid_id), F.col("cos")),
+            F.struct(F.col("cos"), (-F.col(centroid_id)).alias("neg")),
+        ).alias("_b")
+    )
+    return best.select(
+        id_col,
+        F.col("_b")[centroid_id].alias(centroid_id),
+        F.round(F.col("_b")["cos"], 6).alias("cos_sim"),
+    )

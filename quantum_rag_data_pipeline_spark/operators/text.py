@@ -91,3 +91,42 @@ def fingerprint(col: Column | str) -> Column:
     xxhash64 is the faster production choice (see ``simhash`` in dedup)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """RAG-ingestion chunking: split each document into overlapping
+    token windows (``chunk_size`` tokens, stepping ``chunk_size -
+    overlap``), the unit the reference embeds and upserts per row
+    (src/services/sentence_builder.py builds one embeddable text per
+    day-window; a general RAG pipeline needs N chunks per document).
+
+    Pure column expressions: tokenize once, ``sequence`` generates the
+    window starts, ``posexplode`` fans out, ``slice`` carves each
+    window — zero Python, zero shuffle (chunking is a projection; the
+    explode multiplies rows map-side, which is exactly how a 100 TB
+    corpus wants it: no pre-chunk repartition, downstream ops shuffle
+    the already-smaller chunks). Empty documents yield zero chunks.
+    Tail windows shorter than ``overlap`` still emit (deterministic,
+    and the embed stage pads anyway)."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    tk = tokens(text_col)
+    d = df.withColumn("_tk", tk).withColumn("_n", F.size("_tk")).filter(F.col("_n") > 0)
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(step))
+    return d.select(
+        F.col(id_col),
+        F.col("_tk"),
+        F.posexplode(starts).alias("chunk_id", "_s"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.array_join(F.slice("_tk", F.col("_s") + 1, chunk_size), " ").alias("chunk"),
+        F.least(F.lit(chunk_size), F.size("_tk") - F.col("_s")).alias("chunk_ntok"),
+    )

@@ -1795,3 +1795,176 @@ def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cur_ops.pii_match_count("t", cur_ops.PHONE_RE)).alias("n_phones"),
         F.sum(F.length(cur_ops.redact_pii("t"))).alias("clean_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking + decontamination + quality rules + sampling + IVF routing
+# (round 2: the remaining training-data-pipeline staples)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rag_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), s AS (
+      SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS st
+      FROM toks WHERE len(tk) > 0
+    )
+    SELECT doc_id, CAST(st / 24 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(tk, st + 1, st + 32), ' ') AS chunk,
+           CAST(LEAST(32, len(tk) - st) AS INT) AS chunk_ntok
+    FROM s
+    """,
+)
+def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, 8-token
+    overlap) — the unit a RAG ingest embeds and upserts; the reference
+    embeds one built sentence per day-window
+    (src/services/sentence_builder.py), the generalization is N chunks
+    per doc. Chunking is a pure projection + map-side explode: zero
+    shuffle at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    ch = text_ops.chunk_by_tokens(d, chunk_size=32, overlap=8)
+    return ch.withColumn("chunk_id", F.col("chunk_id").cast("long"))
+
+
+@query(
+    "decontaminate_against_eval",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk,
+             ((doc_id * 2654435761 + 13 * 40503) % 4294967296) % 97 AS b
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, b, unnest(list_transform(range(1, len(tk) - 4 + 2),
+                i -> array_to_string(list_slice(tk, i, i + 3), ' '))) AS shingle
+      FROM tk WHERE len(tk) >= 4
+    )
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+    FROM sh t JOIN sh e USING (shingle)
+    WHERE e.b = 0 AND t.b <> 0
+    GROUP BY 1, 2
+    """,
+)
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any distinct word
+    4-gram with a held-out eval set (the GPT-3/Pile n-gram-collision
+    rule; 4 here because the synthetic vocabulary is tiny — real
+    corpora use 8-13). Eval set = deterministic 1/97 hash slice of the
+    corpus, so both engines derive it identically. Eval shingles
+    broadcast; the train side never shuffles its text."""
+    d = _t(spark, sf_dir, "documents")
+    b = cur_ops.hash_bucket("doc_id", 97, salt=13)
+    train = d.filter(b != 0)
+    ev = d.filter(b == 0)
+    return cur_ops.decontaminate(train, ev, ngram=4, min_shared=1)
+
+
+@query(
+    "curation_gopher_rules",
+    oracle="""
+    WITH toks AS (
+      SELECT source, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), m AS (
+      SELECT source, len(tk) AS ntok,
+             CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk) AS mwl,
+             CAST(list_max(list_transform(list_distinct(tk), u -> len(list_filter(tk, t -> t = u)))) AS DOUBLE) / len(tk) AS topr,
+             list_contains(tk, 'the') AS has_stop
+      FROM toks
+    ), f AS (
+      SELECT source,
+             (ntok >= 30 AND ntok <= 5000) AS r1,
+             (mwl >= 3.0 AND mwl <= 4.8) AS r2,
+             (topr <= 0.15) AS r3,
+             has_stop AS r4,
+             ntok
+      FROM m
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+           CAST(SUM(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wlen,
+           CAST(SUM(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+           CAST(SUM(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+           CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM f GROUP BY source
+    """,
+)
+def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (token-count band, mean-word-length
+    band, single-token dominance, stopword presence), thresholds tuned
+    to actually split this synthetic corpus. All four rules are one
+    tokenization + pure array expressions — the flags need NO shuffle;
+    the only exchange is the per-source audit rollup."""
+    d = cur_ops.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("pass_all"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(~F.col("pass_r1"), 1).otherwise(0)).alias("fail_len"),
+        F.sum(F.when(~F.col("pass_r2"), 1).otherwise(0)).alias("fail_wlen"),
+        F.sum(F.when(~F.col("pass_r3"), 1).otherwise(0)).alias("fail_rep"),
+        F.sum(F.when(~F.col("pass_r4"), 1).otherwise(0)).alias("fail_stop"),
+        F.sum(F.when(F.col("pass_all"), F.col("_ntok")).otherwise(0)).alias("kept_tokens"),
+    )
+
+
+@query(
+    "curation_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT source, lang, doc_id, n_chars,
+             ((doc_id * 2654435761 + 5 * 40503) % 4294967296) AS hv
+      FROM documents
+    ), r AS (
+      SELECT source, lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY hv, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source, lang) AS ns
+      FROM h
+    )
+    SELECT source, lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM r WHERE rn <= CEIL(ns * 0.2) GROUP BY 1, 2
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling: ceil(20% · N) docs per
+    (source, lang) stratum, chosen by rank of a deterministic id hash —
+    reproducible under repartitioning (sampleBy is Bernoulli and only
+    right in expectation). One shuffle on the strata key."""
+    d = cur_ops.stratified_sample_exact(
+        _t(spark, sf_dir, "documents"), ["source", "lang"], "doc_id", 0.2, salt=5
+    )
+    return d.filter("sampled").groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+
+
+@query(
+    "ivf_centroid_assign",
+    oracle="""
+    WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+    SELECT vec_id, centroid_id, ROUND(cos, 6) AS cos_sim FROM (
+      SELECT v.vec_id, c.centroid_id,
+             list_dot_product(v.vec, c.cvec)
+               / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY cos DESC, c.centroid_id) AS rn
+      FROM v CROSS JOIN c
+    ) WHERE rn = 1
+    """,
+)
+def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF routing / k-means E-step: nearest of 8 fixed centroids
+    (corpus vectors 0-7, so the oracle derives them identically) by
+    cosine. Centroids broadcast; argmax via partial-aggregable max_by —
+    the one shuffle carries (id, centroid, cos), never vectors. The 8
+    self-assignments at cos 1.0 are the built-in invariant."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return sim_ops.assign_to_centroids(e, cents, dim=64)

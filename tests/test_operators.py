@@ -306,3 +306,107 @@ def test_pii_redaction_and_packing(spark):
     bins = pack_token_budget(docs, "g", "i", "ntok", 1000)
     by_bin = {r["bin"] for r in bins.collect()}
     assert by_bin == {0, 1, 2}  # 3000 tokens / 1000 budget, straddling allowed
+
+
+def test_chunk_by_tokens_reconstructs(spark):
+    from quantum_rag_data_pipeline_spark.operators.text import chunk_by_tokens
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(70))), (2, "a b"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_by_tokens(docs, chunk_size=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # empty/whitespace docs -> zero chunks
+    assert 3 not in by_doc and 4 not in by_doc
+    # short doc -> one chunk, exact text
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk == "a b" and by_doc[2][0].chunk_ntok == 2
+    # 70 tokens, step 24 -> starts 0,24,48 -> 3 chunks; stitching the
+    # first (chunk_size-overlap) tokens of each chunk + the tail of the
+    # last reconstructs the doc
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [c.chunk_ntok for c in chunks] == [32, 32, 22]
+    toks = []
+    for c in chunks[:-1]:
+        toks.extend(c.chunk.split(" ")[:24])
+    toks.extend(chunks[-1].chunk.split(" "))
+    assert toks == [f"t{i}" for i in range(70)]
+
+
+def test_stratified_sample_exact_counts(spark):
+    import math
+
+    from quantum_rag_data_pipeline_spark.operators.curation import stratified_sample_exact
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(101)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    out = stratified_sample_exact(df, ["stratum"], "id", 0.3, salt=1)
+    got = {
+        r.stratum: r.n
+        for r in out.filter("sampled").groupBy("stratum").count().withColumnRenamed("count", "n").collect()
+    }
+    totals = {r.stratum: r.n for r in df.groupBy("stratum").count().withColumnRenamed("count", "n").collect()}
+    assert got == {s: math.ceil(n * 0.3) for s, n in totals.items()}
+    # determinism under repartition
+    out2 = stratified_sample_exact(df.repartition(7), ["stratum"], "id", 0.3, salt=1)
+    a = sorted(r.id for r in out.filter("sampled").collect())
+    b = sorted(r.id for r in out2.filter("sampled").collect())
+    assert a == b
+
+
+def test_decontaminate_flags_injected_overlap(spark):
+    from quantum_rag_data_pipeline_spark.operators.curation import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox jumps and more"),  # 5-token overlap
+            (2, "completely unrelated text with no shared phrases at all"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, ev, ngram=4, min_shared=1).collect()
+    assert {(r.train_id, r.eval_id) for r in out} == {(1, 100)}
+    # doc 1 shares exactly two distinct 4-grams of the eval doc
+    assert out[0].n_shared == 2
+
+
+def test_assign_to_centroids_self_and_ties(spark):
+    from quantum_rag_data_pipeline_spark.operators.similarity import assign_to_centroids
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0, 0.0]),   # -> centroid 0, cos 1
+            (11, [0.0, 3.0, 0.0, 0.0]),   # -> centroid 1, cos 1
+            (12, [1.0, 1.0, 0.0, 0.0]),   # exact tie -> lowest id wins
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: (r.centroid_id, r.cos_sim) for r in assign_to_centroids(vecs, cents, dim=4).collect()}
+    assert got[10] == (0, 1.0) and got[11] == (1, 1.0)
+    assert got[12][0] == 0
+
+
+def test_gopher_flags_rules(spark):
+    from quantum_rag_data_pipeline_spark.operators.curation import gopher_quality_flags
+
+    good = " ".join(["the"] + [f"word{i}" for i in range(40)])  # 41 tokens, has 'the', no dominance
+    repetitive = " ".join(["the"] * 10 + [f"word{i}" for i in range(30)])
+    short = "the tiny one"
+    docs = spark.createDataFrame(
+        [(1, good), (2, repetitive), (3, short)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert got[1].pass_r1 and got[1].pass_r3 and got[1].pass_r4
+    assert not got[2].pass_r3      # 10/40 'the' > 0.15 dominance
+    assert not got[3].pass_r1      # too short
