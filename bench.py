@@ -94,6 +94,8 @@ HEADLINE = [
     "curation_gopher_rules",
     "curation_stratified_sample",
     "ivf_centroid_assign",
+    "kmeans_one_step",
+    "incremental_ingest_dedup",
 ]
 
 

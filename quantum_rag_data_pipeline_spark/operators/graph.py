@@ -44,7 +44,13 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the symmetrized edge list ONCE: every round joins against
+    # it, and without this each iteration re-runs scan + distinct + union
+    # (measured 2x the whole query's wall at sf0.1). localCheckpoint also
+    # truncates lineage so round N's plan doesn't embed rounds 0..N-1.
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint(eager=True)

@@ -20,7 +20,7 @@ oracle comparison depends on).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -255,22 +255,39 @@ def lsh_bucket_topk(
     buckets = srp_buckets_udf(planes_by_table)
     n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
-        # ONE UDF pass computes every table's bucket; posexplode fans out
+    def bucketed(df: DataFrame, id_alias: str, norm_alias: str) -> DataFrame:
+        # ONE UDF pass computes every table's bucket; posexplode fans out.
+        # The norm rides along from BEFORE the fan-out: computed once per
+        # vector (not once per table), and keeping the scoring expression
+        # to a single unrolled dot — three inlined dots per cosine would
+        # blow the ~500-node codegen limit into interpreted eval (10×).
         return df.select(
-            F.col(id_alias), F.col(vec_col),
+            F.col(id_alias), F.col(vec_col), F.col(norm_alias),
             F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
         )
 
-    cb = bucketed(corpus.select(F.col(corpus_id), F.col(vec_col)).repartition(n_part), corpus_id)
-    qb = bucketed(queries.select(F.col(query_id), F.col(vec_col)), query_id) \
-        .select(query_id, F.col(vec_col).alias("_qvec"), "tbl", "bucket")
+    cb = bucketed(
+        corpus.select(
+            F.col(corpus_id), F.col(vec_col), norm(F.col(vec_col), dim).alias("_cn")
+        ).repartition(n_part),
+        corpus_id, "_cn",
+    )
+    qb = bucketed(
+        queries.select(
+            F.col(query_id), F.col(vec_col), norm(F.col(vec_col), dim).alias("_qn")
+        ),
+        query_id, "_qn",
+    ).select(query_id, F.col(vec_col).alias("_qvec"), "_qn", "tbl", "bucket")
     # Score BEFORE deduping (tbl, bucket) collisions: a pair seen in t
     # tables costs t-1 redundant JVM-side dots, but the dedup exchange
     # then shuffles only (query, id, cos) — never the vectors.
     scored = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
-        .select(query_id, corpus_id, cosine(F.col(vec_col), F.col("_qvec"), dim).alias("cos_sim"))
+        .select(
+            query_id, corpus_id,
+            (dot(F.col(vec_col), F.col("_qvec"), dim)
+             / (F.col("_cn") * F.col("_qn"))).alias("cos_sim"),
+        )
         .dropDuplicates([query_id, corpus_id])
     )
     return top_k_per_group(
@@ -297,13 +314,21 @@ def assign_to_centroids(
     This is also the building block for IVF ANN (cluster-route, then
     search within cluster) — see ``lsh_bucket_topk`` for the SRP
     alternative."""
+    # norms once per side, BEFORE the pair fan-out: one unrolled dot per
+    # scored pair keeps the projection inside whole-stage codegen (a
+    # fully-inlined cosine is ~3x the node count and trips the ~500-node
+    # codegen ceiling into interpreted eval).
     c = centroids.select(
-        F.col(centroid_id), F.col(vec_col).alias("_cvec")
+        F.col(centroid_id), F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col), dim).alias("_cn"),
     )
-    scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(c)).select(
+    scored = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col), dim).alias("_vn")
+    ).crossJoin(F.broadcast(c)).select(
         id_col,
         centroid_id,
-        cosine(F.col(vec_col), F.col("_cvec"), dim).alias("cos"),
+        (dot(F.col(vec_col), F.col("_cvec"), dim)
+         / (F.col("_vn") * F.col("_cn"))).alias("cos"),
     )
     # max_by on a struct: (cos, -centroid_id) orders ties toward the
     # smallest centroid id without a window shuffle-sort.
@@ -318,3 +343,70 @@ def assign_to_centroids(
         F.col("_b")[centroid_id].alias(centroid_id),
         F.round(F.col("_b")["cos"], 6).alias("cos_sim"),
     )
+
+
+def kmeans_update(
+    assigned: DataFrame,
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means M-step: new centroid = dimension-wise mean of the vectors
+    assigned to it. Shape for scale: posexplode the vector ONCE into
+    (centroid, dim, value) rows and run a plain partial-aggregable
+    groupBy mean — the shuffle carries k·dim doubles per partition
+    (map-side combine), never raw vectors; array_agg reassembles the
+    centroid sorted by dimension index."""
+    j = assigned.select(id_col, centroid_id).join(
+        vectors.select(id_col, vec_col), id_col
+    )
+    exploded = j.select(
+        centroid_id, F.posexplode(vec_col).alias("d", "x")
+    )
+    per_dim = exploded.groupBy(centroid_id, "d").agg(F.avg("x").alias("m"))
+    return (
+        per_dim.groupBy(centroid_id)
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("_dm"))
+        .select(
+            centroid_id,
+            F.transform("_dm", lambda s: s["m"]).alias(vec_col),
+        )
+    )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int,
+    dim: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full Lloyd iteration: seed centroids = the k lowest-id vectors
+    (deterministic; k-means|| is the production seeding, but seeded
+    determinism is what makes runs reproducible and testable), then
+    alternate assign (broadcast E-step) / update (exploded M-step)
+    ``n_iter`` times. Iterative-algorithm pattern: each round's centroid
+    frame is tiny (k rows) — collected nowhere, localCheckpointed to cut
+    lineage, broadcast into the next E-step.
+
+    Returns the final (centroid_id, embedding) frame."""
+    cents = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("_rn"),
+            F.col(vec_col),
+        )
+        .select((F.col("_rn") - 1).alias("centroid_id"), vec_col)
+    )
+    for _ in range(n_iter):
+        assigned = assign_to_centroids(
+            vectors, cents, dim, id_col=id_col, vec_col=vec_col
+        )
+        cents = kmeans_update(
+            assigned, vectors, dim, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+    return cents

@@ -1968,3 +1968,96 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return sim_ops.assign_to_centroids(e, cents, dim=64)
+
+
+@query(
+    "kmeans_one_step",
+    oracle="""
+    WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               list_dot_product(v.vec, c.cvec)
+                 / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY cos DESC, c.centroid_id) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ), exploded AS (
+      SELECT a.centroid_id, d.d, v.vec[d.d + 1] AS x
+      FROM assigned a JOIN v USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d
+    )
+    SELECT centroid_id, CAST(d AS INT) AS d,
+           ROUND(CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 6) AS m,
+           COUNT(*) AS n_assigned
+    FROM exploded GROUP BY centroid_id, d
+    """,
+)
+def kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full k-means round with an exact oracle: E-step through the
+    production assign operator (broadcast centroids, max_by argmax),
+    M-step as a dimension-exploded mean — per-dim rows, not arrays, so
+    the hash gate compares scalars. Means go through the DECIMAL grid
+    (inputs rounded to 1e-9 first) so the cross-row float sum is
+    order-independent — the production ``kmeans_update`` uses plain
+    float avg (same shuffle shape) and is pytest-verified against
+    numpy instead. Shuffle carries k·dim partial sums, never vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim_ops.assign_to_centroids(e, cents, dim=64)
+    exploded = assigned.select("vec_id", "centroid_id").join(
+        e.select("vec_id", "embedding"), "vec_id"
+    ).select("centroid_id", F.posexplode("embedding").alias("d", "x"))
+    return exploded.groupBy("centroid_id", "d").agg(
+        F.round(
+            F.sum(F.round("x", 9).cast("decimal(20,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_assigned"),
+    )
+
+
+@query(
+    "incremental_ingest_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             ((doc_id * 2654435761) % 4294967296) % 100 AS b
+      FROM documents
+    ), hist AS (SELECT DISTINCT fp FROM d WHERE b < 80),
+    batch AS (SELECT * FROM d WHERE b >= 80),
+    survivors AS (
+      SELECT batch.* FROM batch
+      LEFT JOIN hist ON batch.fp = hist.fp
+      WHERE hist.fp IS NULL
+    )
+    SELECT doc_id, source, fp FROM (
+      SELECT doc_id, source, fp,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM survivors
+    ) WHERE rn = 1
+    """,
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (hash slice b>=80 of the
+    corpus — same Knuth arithmetic as the oracle) is deduped against the
+    historical corpus (b<80) by content fingerprint WITHOUT re-shuffling
+    history's text: anti-join on the fingerprint only, then first-per-
+    fingerprint within the batch. At 100 TB the historical side is a
+    bucketed-by-fp layout (sinks/bucketed.py) so the anti-join is
+    co-located and the daily cost scales with the BATCH, not the corpus."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", text_ops.fingerprint("text").alias("fp"),
+        cur_ops.hash_bucket("doc_id", 100).alias("b"),
+    )
+    hist = d.filter(F.col("b") < 80).select("fp").distinct()
+    batch = d.filter(F.col("b") >= 80)
+    survivors = batch.join(hist, "fp", "left_anti")
+    first = agg_ops.first_per_group(survivors, ["fp"], [F.col("doc_id").asc()])
+    return first.select("doc_id", "source", "fp")

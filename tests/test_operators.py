@@ -410,3 +410,33 @@ def test_gopher_flags_rules(spark):
     assert got[1].pass_r1 and got[1].pass_r3 and got[1].pass_r4
     assert not got[2].pass_r3      # 10/40 'the' > 0.15 dominance
     assert not got[3].pass_r1      # too short
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    import numpy as np
+
+    from quantum_rag_data_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(7)
+    # three well-separated blobs in 8-d
+    blobs = np.concatenate([
+        rng.normal(0, 0.05, (20, 8)) + center
+        for center in (np.eye(8)[0] * 5, np.eye(8)[3] * 5, np.eye(8)[6] * 5)
+    ])
+    rows = [(i, [float(x) for x in blobs[i]]) for i in range(len(blobs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {r.centroid_id: np.array(r.embedding) for r in kmeans_lloyd(df, k=3, dim=8, n_iter=4).collect()}
+    assert len(got) == 3
+
+    # numpy reference: identical seeding (vectors 0..2), cosine E-step,
+    # mean M-step, 4 rounds
+    C = blobs[:3].copy()
+    for _ in range(4):
+        cs = (blobs @ C.T) / (
+            np.linalg.norm(blobs, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+        )
+        a = np.argmax(cs, axis=1)
+        C = np.stack([blobs[a == j].mean(axis=0) for j in range(3)])
+    for j in range(3):
+        assert np.allclose(got[j], C[j], atol=1e-9), f"centroid {j} diverged"
