@@ -96,6 +96,14 @@ HEADLINE = [
     "ivf_centroid_assign",
     "kmeans_one_step",
     "incremental_ingest_dedup",
+    # round 2 wave 2: end-to-end IVF search, canonical dedup pipeline,
+    # time-series gap fill, distribution windows, salted join, histogram
+    "ivf_topk_search",
+    "dedup_pipeline_canonical",
+    "timeseries_gap_fill",
+    "window_rank_distribution",
+    "skew_salted_join_agg",
+    "token_length_histogram",
 ]
 
 

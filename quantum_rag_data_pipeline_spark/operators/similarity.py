@@ -345,6 +345,69 @@ def assign_to_centroids(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    centroid_id: str = "centroid_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end IVF ANN search: route each query to its ``nprobe``
+    nearest centroids, then run EXACT cosine top-k over only the corpus
+    vectors whose inverted list (nearest-centroid assignment) is probed.
+
+    Scale shape: the centroid table is broadcast on BOTH sides (k ≪ N);
+    corpus assignment shuffles only (id, centroid) longs; the corpus
+    vectors move once — onto their centroid's list — which at 100 TB is a
+    write-time bucketing (``sinks/bucketed.py``) so steady-state searches
+    are shuffle-free on the corpus side. The probed-query side is tiny
+    and broadcast into the list join, so search cost is
+    |lists probed| · |list| exact dots, never N·|queries|.
+
+    Deterministic given fixed centroids (assignment and routing tie-break
+    toward the lowest centroid id; final top-k toward the lowest corpus
+    id), so an exact SQL twin can replay it — unlike SRP-LSH whose
+    buckets depend on seeded hyperplanes."""
+    assigned = assign_to_centroids(
+        corpus, centroids, dim, id_col=corpus_id,
+        centroid_id=centroid_id, vec_col=vec_col,
+    ).select(corpus_id, centroid_id)
+    lists = corpus.select(
+        F.col(corpus_id), F.col(vec_col), norm(F.col(vec_col), dim).alias("_cn")
+    ).join(assigned, corpus_id)
+
+    c = centroids.select(
+        F.col(centroid_id), F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col), dim).alias("_ccn"),
+    )
+    q_scored = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col), dim).alias("_qn"),
+    ).crossJoin(F.broadcast(c)).select(
+        query_id, "_qvec", "_qn", centroid_id,
+        (dot(F.col("_qvec"), F.col("_cvec"), dim)
+         / (F.col("_qn") * F.col("_ccn"))).alias("_qc_cos"),
+    )
+    routed = top_k_per_group(
+        q_scored, [query_id],
+        [F.col("_qc_cos").desc(), F.col(centroid_id).asc()], nprobe,
+    ).select(query_id, "_qvec", "_qn", centroid_id)
+
+    scored = lists.join(F.broadcast(routed), centroid_id).select(
+        query_id, corpus_id,
+        (dot(F.col(vec_col), F.col("_qvec"), dim)
+         / (F.col("_cn") * F.col("_qn"))).alias("cos_sim"),
+    )
+    return top_k_per_group(
+        scored, [query_id], [F.col("cos_sim").desc(), F.col(corpus_id).asc()], k
+    ).select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def kmeans_update(
     assigned: DataFrame,
     vectors: DataFrame,

@@ -24,6 +24,7 @@ from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 from quantum_rag_data_pipeline_spark.operators import joins as join_ops
 from quantum_rag_data_pipeline_spark.operators import projection as proj_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
+from quantum_rag_data_pipeline_spark.operators import skew as skew_ops
 from quantum_rag_data_pipeline_spark.operators import text as text_ops
 from quantum_rag_data_pipeline_spark.operators import windows as win_ops
 from quantum_rag_data_pipeline_spark.sources.registry import load_table
@@ -2061,3 +2062,278 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = batch.join(hist, "fp", "left_anti")
     first = agg_ops.first_per_group(survivors, ["fp"], [F.col("doc_id").asc()])
     return first.select("doc_id", "source", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 wave 2: end-to-end IVF search, full dedup pipeline, time-series
+# resample/LOCF, ranking-distribution windows, skew-salted join, histogram.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ivf_topk_search",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id < 32),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               list_dot_product(v.vec, c.cvec)
+                 / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY cos DESC, c.centroid_id) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    route AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               list_dot_product(q.vec, c.cvec)
+                 / (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY cos DESC, c.centroid_id) AS rn
+        FROM v q CROSS JOIN c WHERE q.vec_id < 5
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT r.query_id, a.vec_id,
+             list_dot_product(dv.vec, qv.vec)
+               / (sqrt(list_dot_product(dv.vec, dv.vec)) * sqrt(list_dot_product(qv.vec, qv.vec))) AS cos_sim
+      FROM route r
+      JOIN assign a USING (centroid_id)
+      JOIN v dv ON dv.vec_id = a.vec_id
+      JOIN v qv ON qv.vec_id = r.query_id
+    )
+    SELECT query_id, vec_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF ANN: 32 fixed centroids (corpus vectors 0-31, so the
+    oracle derives them identically), nprobe=4 routing, exact cosine top-10
+    within the probed inverted lists. Unlike SRP-LSH this is DETERMINISTIC
+    given the centroids, so a full SQL twin replays routing + search; at
+    scale the lists are a write-time bucketed layout and search cost is
+    nprobe·|list| dots instead of N."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.ivf_topk(e, q, cents, dim=64, k=10, nprobe=4)
+
+
+@query(
+    "dedup_pipeline_canonical",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    raw_shingles AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM toks
+    ),
+    shingles AS (
+      SELECT r.doc_id, r.shingle FROM raw_shingles r
+      JOIN (SELECT shingle FROM raw_shingles GROUP BY shingle HAVING COUNT(*) <= 64) k
+        USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.35
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(node, r) AS (
+      SELECT u AS node, u AS r FROM sym
+      UNION
+      SELECT s.u AS node, reach.r FROM sym s JOIN reach ON s.v = reach.node
+    ),
+    labels AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, cluster_id AS canonical_id
+    FROM labels WHERE node <> cluster_id
+    """,
+)
+def dedup_pipeline_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup pipeline in one DAG: exact n-gram-Jaccard
+    near-dup pairs (inverted-index candidates, max_df guard) -> connected
+    components (min-label + pointer jumping) -> every non-canonical doc
+    mapped to its cluster's keeper (min doc_id). This is the
+    delete-list a curation run feeds to an anti-join; the oracle replays
+    pairs + transitive closure with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(d, n=5, threshold=0.35, max_df=64)
+    labels = graph_ops.dedup_clusters(pairs)
+    return labels.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id"), F.col("cluster_id").alias("canonical_id")
+    )
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, o_totalprice
+      FROM orders WHERE o_totalprice > 450000
+    ),
+    daily AS (
+      SELECT day, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*), 6) AS p
+      FROM o GROUP BY day
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+      FROM daily
+    ),
+    j AS (SELECT s.day, daily.n, daily.p FROM spine s LEFT JOIN daily USING (day)),
+    g AS (
+      SELECT day, n, p,
+             SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) OVER (ORDER BY day) AS grp
+      FROM j
+    )
+    SELECT day, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders,
+           MAX(p) OVER (PARTITION BY grp) AS avg_price_locf,
+           CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM g
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: sparse daily aggregate -> dense day spine
+    (sequence+explode, no driver loop) -> gap days flagged, last
+    observation carried forward via last(ignorenulls) over an ordered
+    window. The global orderBy window is the series axis — at scale the
+    window partitions by series id (one series here), so state per task
+    is one running value. Oracle replays LOCF with the
+    count-non-null-group trick (no IGNORE NULLS dependence)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000).select(
+        F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    )
+    daily = o.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("p"),
+    )
+    spine = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    j = spine.join(daily, "day", "left")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.last("p", ignorenulls=True).over(w).alias("avg_price_locf"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )
+
+
+@query(
+    "window_rank_distribution",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS decile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal), 6) AS pr,
+           ROUND(CUME_DIST() OVER (ORDER BY c_acctbal), 6) AS cd
+    FROM customer
+    """,
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (§2.5 extension): ntile deciles
+    (total order, ties broken by key so the bucketing is well-defined),
+    percent_rank and cume_dist (tie-sharing is part of their semantics).
+    Single-series global windows; at scale these partition by segment."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w_decile = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w_val = Window.orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.ntile(10).over(w_decile).cast("int").alias("decile"),
+        F.round(F.percent_rank().over(w_val), 6).alias("pr"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cd"),
+    )
+
+
+@query(
+    "skew_salted_join_agg",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(ROUND(e.value, 9) AS DECIMAL(30,9))) AS DOUBLE), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join through the salting operator: fact
+    rows salted from their own primary key, dim replicated across the 8
+    salts, join on (key, salt) — a hot key spreads over 8 tasks while the
+    RESULT is provably identical to the plain join (the oracle IS the
+    plain join). Values go through the 1e-9 decimal grid so the sum is
+    partition-order independent."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = skew_ops.salted_join(
+        ev, cust, key="user_id", salt_src_cols=["event_id"], buckets=8
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.round("value", 9).cast("decimal(30,9)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+
+
+@query(
+    "token_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT LEAST(CAST(FLOOR(n_tokens / 32) AS INT), 15) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY bucket
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram (fixed-width buckets, top bucket open):
+    the length-distribution profile every corpus-curation run starts
+    with. Pure column arithmetic — bucketing is floor division, a
+    partial-aggregable groupBy; no UDF, no driver collection."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(text_ops.tokens("text"))
+    b = F.least(F.floor(n_tok / 32).cast("int"), F.lit(15))
+    return (
+        d.select(b.alias("bucket"), n_tok.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )
