@@ -104,6 +104,12 @@ HEADLINE = [
     "window_rank_distribution",
     "skew_salted_join_agg",
     "token_length_histogram",
+    # round 2 wave 3: product analytics + sparse retrieval + sketches
+    "funnel_conversion",
+    "cohort_retention",
+    "bm25_keyword_search",
+    "scd2_tier_history",
+    "hll_sketch_mergeability",
 ]
 
 

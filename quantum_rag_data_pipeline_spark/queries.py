@@ -2337,3 +2337,318 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("bigint").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 wave 3: product-analytics staples (funnel, cohort retention,
+# SCD2 history) + sparse retrieval (BM25) + sketch mergeability.
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM c
+    UNION ALL
+    SELECT '3_purchase' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click after view -> purchase after click):
+    each stage is a per-user MIN-timestamp aggregate joined to the prior
+    stage, so the whole funnel is three user_id-keyed shuffles that AQE
+    co-partitions — no window over the raw event stream, no driver logic.
+    At 100 TB the event scan happens once per stage with the event_type
+    filter pushed to parquet (row-group dictionary skip)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def _count(df: DataFrame, step: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(step).alias("step"), "n_users"
+        )
+
+    return _count(v, "1_view").unionAll(_count(c, "2_click")).unionAll(
+        _count(p, "3_purchase")
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id,
+             MIN(date_trunc('week', CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.wk) / 7 AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity a JOIN first f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle: cohort = ISO week of a user's first
+    event (week-of-MIN == MIN-of-week, so one aggregate); retention cell
+    = distinct active (user, week) joined back to the cohort. Both
+    shuffles hash on user_id and the final rollup is partial-aggregable.
+    The week spine is derived per-row (date_trunc), never enumerated on
+    the driver."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = ev.distinct()
+    return (
+        activity.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+_BM25_TERMS = ("spark", "vector", "stream")
+
+
+@query(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(tok) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, lower(t.term) AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks, unnest(tok) AS t(term)
+      WHERE lower(t.term) IN {tuple(_BM25_TERMS)}
+      GROUP BY doc_id, lower(t.term)
+    ),
+    idf AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n_docs - i.df + 0.5) / (i.df + 0.5))
+               * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+               / (tf.tf + CAST(1.2 AS DOUBLE)
+                  * (1 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)) AS term_score
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN idf i ON tf.term = i.term
+      CROSS JOIN stats s
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(term_score, 9) AS DECIMAL(20,9))) AS DOUBLE), 4)
+               AS bm25
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25 FROM (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+      FROM per_doc
+    ) WHERE rn <= 20
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (k1=1.2, b=0.75) for a fixed keyword query —
+    the lexical half of a hybrid RAG retriever. Everything is column
+    math: one explode for term frequencies (filtered to query terms
+    BEFORE the shuffle, so the exploded stream is |terms|-bounded), doc
+    lengths and corpus stats as broadcast one-row frames, idf as a
+    broadcast |terms|-row frame. Per-term scores are summed on the 1e-9
+    decimal grid so the 3-term sum is partition-order independent; final
+    ranking breaks float ties by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", text_ops.tokens("text").alias("tok"))
+    dl = toks.select("doc_id", F.size("tok").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tok").alias("term"))
+        .select("doc_id", F.lower("term").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (F.lit(1) - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.round("term_score", 9).cast("decimal(20,9)")).cast("double"), 4
+        ).alias("bm25")
+    )
+    return win_ops.top_k(per_doc, [F.col("bm25").desc(), F.col("doc_id").asc()], 20).select(
+        "doc_id", "bm25"
+    )
+
+
+@query(
+    "scd2_tier_history",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2)
+                        / COUNT(*) / 20) AS INT) AS tier
+      FROM events GROUP BY user_id, day
+    ),
+    flagged AS (
+      SELECT user_id, day, tier,
+             CASE WHEN LAG(tier) OVER w IS NULL
+                       OR LAG(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    islands AS (
+      SELECT user_id, day, tier,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(MIN(tier) AS INT) AS tier,
+           MIN(day) AS valid_from, MAX(day) AS valid_to,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def scd2_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: per-user daily value tier,
+    consecutive equal tiers collapsed into [valid_from, valid_to] ranges
+    via gaps-and-islands (lag -> change flag -> running island id). The
+    windows partition by user_id, so state per task is one row — the
+    pattern CDC pipelines use to historize attribute changes at any
+    scale. The daily tier goes through the decimal grid so the float avg
+    is partition-order independent."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.floor(
+                F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2)
+                / F.count(F.lit(1))
+                / 20
+            )
+            .cast("int")
+            .alias("tier")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = daily.select(
+        "user_id", "day", "tier",
+        F.when(
+            F.lag("tier").over(w).isNull() | (F.lag("tier").over(w) != F.col("tier")), 1
+        ).otherwise(0).alias("chg"),
+    )
+    islands = flagged.select(
+        "user_id", "day", "tier",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("tier").cast("int").alias("tier"),
+        F.min("day").alias("valid_from"),
+        F.max("day").alias("valid_to"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    ).select("user_id", "tier", "valid_from", "valid_to", "n_days")
+
+
+@query(
+    "hll_sketch_mergeability",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merge_consistent,
+           TRUE AS err_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches-HLL mergeability — THE property that makes
+    count-distinct a partial aggregate at 100 TB: per-day sketches
+    union-merged per event_type must give the identical estimate as one
+    direct sketch over all rows (HLL register merge is max-based, so
+    merge order is immaterial), and the estimate must land within 5% of
+    the exact count. The query PROVES both invariants Spark-side and
+    emits them as booleans the oracle pins to TRUE; exact_users is
+    replayed exactly by DuckDB."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.col("direct_est") == F.col("merged_est")).alias("merge_consistent"),
+        (
+            F.abs(F.col("direct_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("err_within_5pct"),
+    )

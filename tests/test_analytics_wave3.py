@@ -1,0 +1,159 @@
+"""Unit tests for the wave-2/3 analytics queries: funnel ordering
+semantics, cohort-retention arithmetic, SCD2 island collapse, BM25
+ranking, IVF routing, LOCF gap fill, and HLL mergeability — each on a
+small constructed frame where the expected answer is computable by hand
+(the sf-corpus correctness is covered by the DuckDB oracle gate)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from quantum_rag_data_pipeline_spark import queries as Q
+from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+
+
+def test_funnel_requires_temporal_order(spark, sf_dir, tmp_path):
+    """A purchase BEFORE the first click must not count as converted."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: view -> click -> purchase (full funnel)
+        (1, "view", at(0), 1.0), (1, "click", at(5), 1.0), (1, "purchase", at(9), 1.0),
+        # user 2: purchase happens BEFORE any click -> stops at click step
+        (2, "view", at(0), 1.0), (2, "purchase", at(1), 1.0), (2, "click", at(2), 1.0),
+        # user 3: click with NO prior view -> stops at view step... no view at all
+        (3, "click", at(0), 1.0), (3, "purchase", at(1), 1.0),
+    ]
+    ev = _events(spark, rows)
+    p = str(tmp_path / "funnel")
+    ev.write.parquet(p + "/events.parquet")
+    out = {
+        r["step"]: r["n_users"]
+        for r in Q.QUERIES["funnel_conversion"](spark, p).collect()
+    }
+    assert out == {"1_view": 2, "2_click": 2, "3_purchase": 1}
+
+
+def test_scd2_islands_collapse(spark, tmp_path):
+    """Consecutive same-tier days collapse; a tier revisit opens a NEW row
+    (type-2 history, not type-1 overwrite)."""
+    rows = []
+    # user 7: tier 0 (days 1-2), tier 2 (day 3), tier 0 again (day 4)
+    for day, v in [(1, 5.0), (2, 15.0), (3, 55.0), (4, 5.0)]:
+        rows.append((7, "view", dt.datetime(2024, 1, day, 12, 0, 0), v))
+    ev = _events(spark, rows)
+    p = str(tmp_path / "scd2")
+    ev.write.parquet(p + "/events.parquet")
+    out = sorted(
+        (r["tier"], str(r["valid_from"]), str(r["valid_to"]), r["n_days"])
+        for r in Q.QUERIES["scd2_tier_history"](spark, p).collect()
+    )
+    assert out == [
+        (0, "2024-01-01", "2024-01-02", 2),
+        (0, "2024-01-04", "2024-01-04", 1),
+        (2, "2024-01-03", "2024-01-03", 1),
+    ]
+
+
+def test_cohort_retention_offsets(spark, tmp_path):
+    """User active in cohort week and 2 weeks later -> offsets {0, 2}."""
+    rows = [
+        (1, "view", dt.datetime(2024, 1, 1, 9, 0, 0), 1.0),   # Mon wk0
+        (1, "view", dt.datetime(2024, 1, 17, 9, 0, 0), 1.0),  # Wed wk2
+        (2, "view", dt.datetime(2024, 1, 10, 9, 0, 0), 1.0),  # Wed wk1
+    ]
+    ev = _events(spark, rows)
+    p = str(tmp_path / "cohort")
+    ev.write.parquet(p + "/events.parquet")
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in Q.QUERIES["cohort_retention"](spark, p).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_bm25_ranks_term_stuffed_doc_first(spark, tmp_path):
+    """A doc that is mostly query terms outranks one with a single hit,
+    and docs with no query terms never appear."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark vector stream", "en", "s", 30),
+            (2, "the quick brown fox jumps over the lazy dog spark", "en", "s", 50),
+            (3, "no relevant terms here at all", "en", "s", 29),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "bm25")
+    docs.write.parquet(p + "/documents.parquet")
+    rows = Q.QUERIES["bm25_keyword_search"](spark, p).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1 and 3 not in ids
+    assert all(r["bm25"] > 0 for r in rows)
+
+
+def test_hll_mergeability_invariants(spark, sf_dir):
+    rows = Q.QUERIES["hll_sketch_mergeability"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["merge_consistent"] and r["err_within_5pct"] for r in rows)
+
+
+def test_timeseries_gap_fill_locf(spark, sf_dir):
+    out = Q.QUERIES["timeseries_gap_fill"](spark, sf_dir).orderBy("day").collect()
+    # dense spine: consecutive days, no holes
+    days = [r["day"] for r in out]
+    assert all((b - a).days == 1 for a, b in zip(days, days[1:]))
+    # every gap row carries the previous observed value (LOCF)
+    prev = None
+    for r in out:
+        if r["is_gap"] == 1:
+            assert r["n_orders"] == 0 and r["avg_price_locf"] == prev
+        else:
+            prev = r["avg_price_locf"]
+
+
+def test_ivf_topk_contains_self_and_respects_k(spark, sf_dir):
+    out = Q.QUERIES["ivf_topk_search"](spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) <= 10
+        # query vectors come FROM the corpus, so unless routing pruned its
+        # own list (it cannot: a vector's nearest centroid is always probed
+        # first), rank-1 is the vector itself at cos ~ 1.0
+        best = max(rows, key=lambda r: (r["cos_sim"], -r["vec_id"]))
+        assert best["vec_id"] == qid and abs(best["cos_sim"] - 1.0) < 1e-6
+
+
+def test_ivf_topk_matches_exact_within_probed_lists(spark, sf_dir):
+    """IVF with nprobe == n_centroids degenerates to EXACT brute-force
+    top-k — the correctness anchor for the routing machinery."""
+    e = Q._t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf_all = sim_ops.ivf_topk(e, q, cents, dim=64, k=5, nprobe=8)
+    exact = sim_ops.brute_force_topk(
+        e, q, dim=64, k=5, corpus_id="vec_id", query_id="query_id"
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in ivf_all.collect()}
+    want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert got == want
