@@ -110,6 +110,9 @@ HEADLINE = [
     "bm25_keyword_search",
     "scd2_tier_history",
     "hll_sketch_mergeability",
+    # round 2 wave 4
+    "line_dedup_boilerplate",
+    "hybrid_rrf_fusion",
 ]
 
 

@@ -2652,3 +2652,191 @@ def hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("err_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 wave 4: line-level boilerplate dedup, hybrid retrieval fusion.
+# ---------------------------------------------------------------------------
+
+@query(
+    "line_dedup_boilerplate",
+    oracle="""
+    WITH lines AS (
+      SELECT d.doc_id, g.i AS pos,
+             array_to_string(d.toks[g.i:g.i+7], ' ') AS line
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+            FROM documents) d,
+           LATERAL (SELECT unnest(range(1, GREATEST(len(d.toks) - 7, 0) + 2, 8)) AS i) g
+    ),
+    freq AS (SELECT line, COUNT(*) AS line_df FROM lines GROUP BY line)
+    SELECT l.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN f.line_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           COALESCE(array_to_string(
+             list(l.line ORDER BY l.pos) FILTER (WHERE f.line_df <= 1), ' '), '')
+             AS clean_text
+    FROM lines l JOIN freq f ON l.line = f.line
+    GROUP BY l.doc_id
+    """,
+)
+def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (the C4/RefinedWeb recipe: drop any
+    line occurring more than once corpus-wide, rebuild the document
+    from surviving lines in original order). The synthetic docs have no
+    newlines, so 'lines' are fixed 8-token segments — the operator shape
+    (segment -> corpus-frequency -> filter -> ordered reassembly) is
+    identical. Two shuffles: segment-frequency groupBy and the ordered
+    per-doc reassembly; text moves once each way, and the frequency
+    table is (segment, count) longs+strings only."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", text_ops.tokens("text").alias("toks"))
+    # fixed 8-token segments starting at 1, 9, 17, ... (1-based slice)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks") - 6, F.lit(1)), F.lit(8)
+    )
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice("toks", i, 8)))
+        ).alias("pos", "line"),
+    )
+    freq = segs.groupBy("line").agg(F.count(F.lit(1)).alias("line_df"))
+    joined = segs.join(freq, "line")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("line_df") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boilerplate"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("line_df") <= 1, F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec FROM v WHERE vec_id < 3),
+    dense AS (
+      SELECT query_id, vec_id AS doc_id, rnk FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(cos, 6) DESC, vec_id) AS rnk
+        FROM (
+          SELECT q.query_id, c.vec_id,
+                 list_dot_product(c.vec, q.vec)
+                   / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.vec, q.vec))) AS cos
+          FROM v c CROSS JOIN q
+        )
+      ) WHERE rnk <= 20
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(tok) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, lower(t.term) AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks, unnest(tok) AS t(term)
+      WHERE lower(t.term) IN {tuple(_BM25_TERMS)}
+      GROUP BY doc_id, lower(t.term)
+    ),
+    idf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    sparse AS (
+      SELECT doc_id, rnk AS s_rnk FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM (
+          SELECT tf.doc_id,
+                 ROUND(CAST(SUM(CAST(ROUND(
+                   ln(1 + (s.n_docs - i.df + 0.5) / (i.df + 0.5))
+                     * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+                     / (tf.tf + CAST(1.2 AS DOUBLE)
+                        * (1 - CAST(0.75 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)), 9) AS DECIMAL(20,9))) AS DOUBLE), 4) AS bm25
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN idf i ON tf.term = i.term
+          CROSS JOIN stats s
+          GROUP BY tf.doc_id
+        )
+      ) WHERE rnk <= 20
+    ),
+    sparse_q AS (
+      SELECT q.query_id, s.doc_id, s.s_rnk FROM q CROSS JOIN sparse s
+    ),
+    fused AS (
+      SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+             COALESCE(d.doc_id, s.doc_id) AS doc_id,
+             ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.rnk), 0)
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.s_rnk), 0), 9) AS rrf
+      FROM dense d FULL OUTER JOIN sparse_q s
+        ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+    )
+    SELECT query_id, doc_id, rrf FROM (
+      SELECT query_id, doc_id, rrf,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= 10
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (k=60) — the standard
+    way a RAG serving layer combines a dense (embedding cosine) ranking
+    with a sparse (BM25 keyword) ranking. Dense top-20 per query from the
+    broadcast brute-force scorer; sparse top-20 corpus-wide, fanned out
+    to every query (the keyword list is query-independent here, as in a
+    filter-then-fuse setup); RRF = sum of 1/(60+rank) over the lists a
+    doc appears in. Both rank tables are k-sized per query, so the
+    full-outer fusion join is broadcast-tiny and ALL heavy work stays in
+    the two independent retrievers — fusing never touches vectors or
+    text. doc_id == vec_id in the testdata, which is what lets the two
+    modalities fuse."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = sim_ops.brute_force_topk(e, q, k=20, dim=64).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .alias("rnk"),
+    )
+    sparse = QUERIES["bm25_keyword_search"](spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("s_rnk"),
+    )
+    sparse_q = q.select("query_id").crossJoin(F.broadcast(sparse))
+    fused = (
+        dense.join(sparse_q, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("rnk")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("s_rnk")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    return win_ops.top_k_per_group(
+        fused, ["query_id"], [F.col("rrf").desc(), F.col("doc_id").asc()], 10
+    ).select("query_id", "doc_id", "rrf")

@@ -157,3 +157,44 @@ def test_ivf_topk_matches_exact_within_probed_lists(spark, sf_dir):
     got = {(r["query_id"], r["vec_id"]) for r in ivf_all.collect()}
     want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     assert got == want
+
+
+def test_line_dedup_removes_injected_boilerplate(spark, tmp_path):
+    """A segment pasted into 3 docs is boilerplate (df>1) and must vanish
+    from every clean_text; unique segments survive verbatim."""
+    boiler = "all rights reserved contact us terms of"  # 8 tokens... 7+1
+    boiler = "all rights reserved contact us terms of service"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+            (2, boiler + " one two three four five six seven eight", "en", "s", 0),
+            (3, boiler + " red green blue cyan magenta yellow black white", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "ld")
+    docs.write.parquet(p + "/documents.parquet")
+    from quantum_rag_data_pipeline_spark import queries as Q
+
+    out = {r["doc_id"]: r for r in Q.QUERIES["line_dedup_boilerplate"](spark, p).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_lines"] == 2 and out[i]["n_boilerplate"] == 1
+        assert "rights" not in out[i]["clean_text"]
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_hybrid_rrf_scores_and_membership(spark, sf_dir):
+    """RRF scores must equal 1/(60+r_dense) + 1/(60+r_sparse) with ranks
+    reconstructable from the two underlying retrievers."""
+    from quantum_rag_data_pipeline_spark import queries as Q
+
+    rows = Q.QUERIES["hybrid_rrf_fusion"](spark, sf_dir).collect()
+    assert rows and all(r["rrf"] > 0 for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rrf"])
+    for qid, scores in by_q.items():
+        assert len(scores) <= 10
+        # every score is a sum of at most two reciprocal-rank terms
+        for s in scores:
+            assert s <= round(1 / 61 + 1 / 61, 9) + 1e-12
