@@ -113,6 +113,7 @@ HEADLINE = [
     # round 2 wave 4
     "line_dedup_boilerplate",
     "hybrid_rrf_fusion",
+    "global_id_assignment",
 ]
 
 

@@ -240,3 +240,34 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def assign_global_ids(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    id_name: str = "global_id",
+) -> DataFrame:
+    """Contiguous 0-based global row ids in (group, order) total order —
+    WITHOUT a single-partition global window (the classic scale trap:
+    ``row_number() OVER (ORDER BY ...)`` moves every row to one task).
+
+    Two-level construction: row_number within each group partition, plus
+    an exclusive running offset over the per-group COUNTS. The offsets
+    frame has one row per group, so its global window is trivially small,
+    and it broadcast-joins back onto the data. This is the standard way a
+    training run assigns stable example ids to a sharded corpus."""
+    from pyspark.sql.window import Window
+
+    w_in = Window.partitionBy(group_col).orderBy(*[F.col(c) for c in order_cols])
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy(group_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        group_col,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        df.join(F.broadcast(offsets), group_col)
+        .withColumn(id_name, (F.row_number().over(w_in) - 1 + F.col("_off")).cast("bigint"))
+        .drop("_off")
+    )

@@ -2840,3 +2840,24 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win_ops.top_k_per_group(
         fused, ["query_id"], [F.col("rrf").desc(), F.col("doc_id").asc()], 10
     ).select("query_id", "doc_id", "rrf")
+
+
+@query(
+    "global_id_assignment",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+             AS global_id
+    FROM documents
+    """,
+)
+def global_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable contiguous example ids over a sharded corpus in
+    (source, doc_id) total order — built two-level (within-group
+    row_number + broadcast per-group offsets) so NO stage ever sees a
+    global single-partition window; the oracle is the naive global
+    ROW_NUMBER the operator provably equals."""
+    d = _t(spark, sf_dir, "documents")
+    return cur_ops.assign_global_ids(d, "source", ["doc_id"]).select(
+        "doc_id", "source", "global_id"
+    )
