@@ -114,6 +114,9 @@ HEADLINE = [
     "line_dedup_boilerplate",
     "hybrid_rrf_fusion",
     "global_id_assignment",
+    # round 2 wave 6
+    "zorder_layout_key",
+    "rolling_zscore_anomaly",
 ]
 
 

@@ -2861,3 +2861,117 @@ def global_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur_ops.assign_global_ids(d, "source", ["doc_id"]).select(
         "doc_id", "source", "global_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 wave 6: data-layout (Z-order) + time-series anomaly detection.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_INTERLEAVE_SQL = " | ".join(
+    f"(((za >> {i}) & 1) << {2 * i}) | (((zb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+@query(
+    "zorder_layout_key",
+    oracle=f"""
+    WITH stats AS (
+      SELECT MIN(o_custkey) AS alo, MAX(o_custkey) AS ahi,
+             MIN(o_totalprice) AS blo, MAX(o_totalprice) AS bhi
+      FROM orders
+    ),
+    bucketed AS (
+      SELECT o_orderkey,
+             CASE WHEN ahi - alo <= 0 THEN 0
+                  ELSE LEAST(CAST(FLOOR((o_custkey - alo) * 256.0 / (ahi - alo + 1)) AS BIGINT), 255)
+             END AS za,
+             CASE WHEN bhi - blo <= 0 THEN 0
+                  ELSE LEAST(CAST(FLOOR((o_totalprice - blo) * 256.0 / (bhi - blo + 1)) AS BIGINT), 255)
+             END AS zb
+      FROM orders CROSS JOIN stats
+    )
+    SELECT o_orderkey, CAST({_Z_INTERLEAVE_SQL} AS BIGINT) AS z_key
+    FROM bucketed
+    """,
+)
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, price) — the
+    write-time layout that lets parquet min/max statistics prune row
+    groups for selective predicates on EITHER column (what Delta
+    OPTIMIZE ZORDER BY / Iceberg zorder sort orders do). Rank-space
+    bucketing to 8 bits per dimension + bit interleaving, all JVM
+    shift/mask expressions; the oracle recomputes the interleave
+    bit-by-bit. ``operators/layout.py:write_zordered`` uses this key
+    with repartitionByRange + sortWithinPartitions for the actual
+    file layout (exercised in tests)."""
+    from quantum_rag_data_pipeline_spark.operators import layout as layout_ops
+
+    o = _t(spark, sf_dir, "orders")
+    return layout_ops.zorder_key(o, "o_custkey", "o_totalprice", bits=_Z_BITS).select(
+        "o_orderkey", "z_key"
+    )
+
+
+@query(
+    "rolling_zscore_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2)
+                  AS DECIMAL(30,2)) AS total
+      FROM orders GROUP BY day
+    ),
+    rolled AS (
+      SELECT day, total,
+             CAST(SUM(total) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(total AS DECIMAL(38,4)) * total) OVER w AS DOUBLE) AS s2,
+             COUNT(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, CAST(total AS DOUBLE) AS total,
+           ROUND((CAST(total AS DOUBLE) - s1 / 7) /
+                 sqrt((s2 - s1 * s1 / 7) / 6), 6) AS z,
+           CASE WHEN ABS((CAST(total AS DOUBLE) - s1 / 7) /
+                         sqrt((s2 - s1 * s1 / 7) / 6)) > 2
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM rolled WHERE n = 7
+    """,
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection on the daily revenue series:
+    z-score of each day against the PRIOR 7 days (leakage-free frame
+    ``7 PRECEDING .. 1 PRECEDING``), |z| > 2 flagged. The rolling sums
+    run over exact DECIMALs — decimal addition is associative, so
+    sliding-frame optimizations (segment trees, subtract-on-evict) in
+    either engine cannot produce float drift; doubles appear only in
+    the final closed-form mean/std, identical expressions both sides.
+    At scale the window partitions by series id."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2)
+        .cast("decimal(30,2)")
+        .alias("total")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    rolled = daily.select(
+        "day",
+        "total",
+        F.sum("total").over(w).cast("double").alias("s1"),
+        F.sum(F.col("total").cast("decimal(38,4)") * F.col("total")).over(w)
+        .cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") == 7)
+    t = F.col("total").cast("double")
+    z = (t - F.col("s1") / 7) / F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / 7) / 6)
+    return rolled.select(
+        "day",
+        t.alias("total"),
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
+    )
