@@ -117,6 +117,7 @@ HEADLINE = [
     # round 2 wave 6
     "zorder_layout_key",
     "rolling_zscore_anomaly",
+    "curation_domain_mix_temperature",
 ]
 
 

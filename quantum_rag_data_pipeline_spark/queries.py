@@ -2975,3 +2975,87 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+@query(
+    "curation_domain_mix_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_s,
+             CAST(ROUND(sqrt(COUNT(*)), 9) AS DECIMAL(30,9)) AS w_raw
+      FROM documents GROUP BY source
+    ),
+    denom AS (SELECT SUM(w_raw) AS d FROM counts),
+    targets AS (
+      SELECT source, n_s,
+             CAST(FLOOR(200 * (CAST(w_raw AS DOUBLE) / CAST(d AS DOUBLE))) AS INT) AS t_s
+      FROM counts CROSS JOIN denom
+    ),
+    ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id * 2654435761) % 4294967296) % 1000000, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT t.source,
+           CAST(t.n_s AS BIGINT) AS n_available,
+           CAST(t.t_s AS INT) AS n_target,
+           CAST(SUM(CASE WHEN r.rn <= t.t_s THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN r.rn <= t.t_s THEN r.n_chars ELSE 0 END) AS BIGINT)
+             AS selected_chars
+    FROM ranked r JOIN targets t ON r.source = t.source
+    GROUP BY t.source, t.n_s, t.t_s
+    """,
+)
+def curation_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain-mix rebalancing (the mT5/multilingual
+    recipe): per-source sampling weight ∝ n_s^(1/T) with T=2
+    (i.e. sqrt), normalized, times a 200-doc budget; selection is the
+    first t_s docs per source in deterministic Knuth-hash order — a
+    seedable 'random' draw that is stable under repartitioning and
+    exactly replayable in SQL. The weight denominator sums 9-decimal
+    DECIMALs so the float sqrt never meets partition-order float
+    addition. All shuffles are source-keyed; the targets frame is
+    |sources| rows, broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.round(F.sqrt(F.count(F.lit(1))), 9).cast("decimal(30,9)").alias("w_raw"),
+    )
+    denom = counts.agg(F.sum("w_raw").alias("d"))
+    targets = counts.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_s",
+        F.floor(200 * (F.col("w_raw").cast("double") / F.col("d").cast("double")))
+        .cast("int")
+        .alias("t_s"),
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            cur_ops.hash_bucket("doc_id", 1_000_000), F.col("doc_id")
+        )
+    )
+    ranked = d.select("source", "n_chars", rn.alias("rn"))
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .groupBy("source", "n_s", "t_s")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("t_s"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum(F.when(F.col("rn") <= F.col("t_s"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("selected_chars"),
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_available"),
+            F.col("t_s").cast("int").alias("n_target"),
+            "n_selected",
+            "selected_chars",
+        )
+    )
