@@ -118,6 +118,7 @@ HEADLINE = [
     "zorder_layout_key",
     "rolling_zscore_anomaly",
     "curation_domain_mix_temperature",
+    "copurchase_pairs_apriori",
 ]
 
 

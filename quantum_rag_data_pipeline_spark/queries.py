@@ -3059,3 +3059,59 @@ def curation_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFra
             "selected_chars",
         )
     )
+
+
+@query(
+    "copurchase_pairs_apriori",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 3
+    """,
+)
+def copurchase_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (market-basket / FP-growth first
+    level) with the APRIORI prune applied BEFORE the pair self-join: a
+    pair can reach pair-support >= 3 only if both parts individually
+    reach item-support >= 8, so low-support parts are cut while the data
+    is still linear — the pruning that keeps basket mining feasible when
+    the basket table is 100 TB (the self-join fan-out is quadratic per
+    order in surviving items only). Shuffles: support groupBy on
+    partkey, pair join on orderkey, pair count groupBy — all
+    partial-aggregable."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 8)
+        .select("l_partkey")
+    )
+    items = (
+        li.join(sup, "l_partkey")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        # both self-join branches consume items; materialize once
+        # (lazy localCheckpoint, ContextCleaner-reclaimed — the same
+        # measured pattern as operators/dedup.py)
+        .localCheckpoint(eager=False)
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
