@@ -119,6 +119,8 @@ HEADLINE = [
     "rolling_zscore_anomaly",
     "curation_domain_mix_temperature",
     "copurchase_pairs_apriori",
+    "dedup_edit_distance",
+    "event_debounce",
 ]
 
 

@@ -1590,15 +1590,20 @@ def approx_count_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A Python UDF registered into the SQL surface and invoked through
-    spark.sql text. Deliberately row-at-a-time and OFF the hot path —
-    it feeds a groupBy over 5 distinct values; the register/invoke API
-    is what this exercises (the engine's compute-heavy UDFs are all
-    Arrow-batched pandas_udfs instead)."""
+    spark.sql text. Registered as an Arrow-batched pandas_udf — the
+    register/invoke API is what this exercises, and the vectorized form
+    keeps even the demo off the row-at-a-time path."""
+    import pandas as pd
     from pyspark.sql.types import StringType
 
-    spark.udf.register(
-        "priority_class", lambda s: s.split("-")[0].lower() if s else None, StringType()
-    )
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them and pandas_udf cannot resolve the local alias
+    def _pc(s):
+        return s.str.split("-").str[0].str.lower()
+
+    _priority_class = F.pandas_udf(_pc, StringType())
+
+    spark.udf.register("priority_class", _priority_class)
     _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_for_udf")
     return spark.sql("""
         SELECT priority_class(o_orderpriority) AS pclass, COUNT(*) AS n_orders
@@ -3114,4 +3119,100 @@ def copurchase_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .filter(F.col("n_orders") >= 3)
+    )
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tok
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, text,
+             list_distinct(CASE WHEN len(tok) >= 2
+               THEN [array_to_string(tok[i:i+1], ' ') FOR i IN range(1, len(tok))]
+               ELSE [array_to_string(tok, ' ')] END) AS sh
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sized AS (
+      SELECT c.id_a, c.id_b, sa.text AS text_a, sb.text AS text_b,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(sa.sh) AS na, len(sb.sh) AS nb
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(text_a, text_b) AS INT) AS edit_dist
+    FROM sized
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+      AND levenshtein(text_a, text_b) <= 64
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup with EDIT-DISTANCE verification: bigram-Jaccard
+    candidate pairs (inverted index, >= 0.5) rescored with true
+    Levenshtein and kept at <= 64 edits. The expensive O(len^2) DP runs
+    ONLY on candidate pairs that already share half their bigrams — the
+    funnel (linear index -> set overlap -> DP verify) that makes
+    character-exact fuzzy dedup feasible on a 100 TB corpus. Both
+    engines implement classic Levenshtein, so the distances replay
+    exactly."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(d, n=2, threshold=0.5)
+    texts = d.select("doc_id", "text")
+    return (
+        pairs.join(texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")), "id_a")
+        .join(texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("_ta", "_tb").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 64)
+    )
+
+
+@query(
+    "event_debounce",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM lagged
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+    GROUP BY user_id, event_type
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: drop an event when the SAME user emitted the
+    same event type within the last 5 minutes (double-click / retry
+    suppression). One lag window per (user, type) partition — state per
+    task is a single timestamp, the shape that holds at any event rate.
+    Emits kept-count per (user, type)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    kept = lagged.filter(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 300_000_000)
+    )
+    return kept.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
     )

@@ -21,7 +21,11 @@ sys.path.insert(0, "/root/repo")
 
 # queries where Python (Arrow) stages are by design
 UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_frames",
-                "embedding_near_dup"}
+                "embedding_near_dup",
+                # SRP bucketing pandas_udf feeds the self-recovery invariant
+                "ann_lsh_self_recovery",
+                # the spark.udf.register demo (registered as a pandas_udf)
+                "sql_registered_udf"}
 # streaming query starts a real stream; skip static explain
 SKIP = {"streaming_sliding_window"}
 
