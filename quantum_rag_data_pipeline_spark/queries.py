@@ -3132,8 +3132,8 @@ def copurchase_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
       SELECT doc_id, text,
-             list_distinct(CASE WHEN len(tok) >= 2
-               THEN [array_to_string(tok[i:i+1], ' ') FOR i IN range(1, len(tok))]
+             list_distinct(CASE WHEN len(tok) >= 4
+               THEN [array_to_string(tok[i:i+3], ' ') FOR i IN range(1, len(tok) - 2)]
                ELSE [array_to_string(tok, ' ')] END) AS sh
       FROM toks
     ),
@@ -3154,21 +3154,22 @@ def copurchase_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b,
            CAST(levenshtein(text_a, text_b) AS INT) AS edit_dist
     FROM sized
-    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.4
       AND levenshtein(text_a, text_b) <= 64
     """,
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy near-dup with EDIT-DISTANCE verification: bigram-Jaccard
-    candidate pairs (inverted index, >= 0.5) rescored with true
+    """Fuzzy near-dup with EDIT-DISTANCE verification: 4-gram-Jaccard
+    candidate pairs (PPJoin prefix index, >= 0.4 — rare enough shingles
+    that the candidate set stays linear at 10x data) rescored with true
     Levenshtein and kept at <= 64 edits. The expensive O(len^2) DP runs
-    ONLY on candidate pairs that already share half their bigrams — the
+    ONLY on candidate pairs that already share 40% of their 4-grams — the
     funnel (linear index -> set overlap -> DP verify) that makes
     character-exact fuzzy dedup feasible on a 100 TB corpus. Both
     engines implement classic Levenshtein, so the distances replay
     exactly."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup_ops.ngram_jaccard_pairs(d, n=2, threshold=0.5)
+    pairs = dedup_ops.ngram_jaccard_pairs(d, n=4, threshold=0.4)
     texts = d.select("doc_id", "text")
     return (
         pairs.join(texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")), "id_a")
