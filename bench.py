@@ -154,10 +154,13 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
-        # hygiene between queries: drop any cached plans so one query's
-        # state isn't billed to its successors (the driver runs the whole
-        # list in a single session).
+        # hygiene between queries: drop any cached plans, and nudge the
+        # JVM GC so ContextCleaner reclaims out-of-scope localCheckpoint
+        # blocks NOW instead of mid-way through a later query (measured:
+        # dedup queries read 5-8x slower mid-bench than standalone when
+        # prior queries' checkpoint blocks were still resident).
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
