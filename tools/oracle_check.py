@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -70,7 +71,23 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from quantum_rag_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(shuffle_partitions=8)
+    if os.environ.get("ORACLE_CHECK_PLAIN_SESSION") == "1":
+        # simulate the DRIVER's gate session: no engine configs, Spark 4
+        # defaults (ANSI on, no adaptive tweaks, default timezone) — catches
+        # ANSI overflow/cast errors and conf-dependent behavior our tuned
+        # session would mask. events nanos handling must still work because
+        # sources/registry.py sets that conf at runtime.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
