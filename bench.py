@@ -121,6 +121,9 @@ HEADLINE = [
     "copurchase_pairs_apriori",
     "dedup_edit_distance",
     "event_debounce",
+    # round 2 wave 8: contrastive data prep + clustering eval
+    "hard_negative_mining",
+    "cluster_purity_eval",
 ]
 
 

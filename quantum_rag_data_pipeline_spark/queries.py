@@ -3217,3 +3217,119 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 wave 8: contrastive-training data prep + clustering evaluation
+# over the labeled embeddings table.
+# ---------------------------------------------------------------------------
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    anchors AS (SELECT * FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.label AS cand_label,
+             list_dot_product(a.vec, c.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(c.vec, c.vec))) AS cos
+      FROM anchors a JOIN v c ON c.vec_id <> a.vec_id
+    )
+    SELECT anchor_id,
+           CAST(anchor_label AS INT) AS anchor_label,
+           ROUND(MAX(CASE WHEN cand_label = anchor_label THEN cos END), 6) AS best_positive,
+           ROUND(MAX(CASE WHEN cand_label <> anchor_label THEN cos END), 6) AS hardest_negative,
+           ROUND(MAX(CASE WHEN cand_label = anchor_label THEN cos END)
+                 - MAX(CASE WHEN cand_label <> anchor_label THEN cos END), 6) AS margin
+    FROM scored GROUP BY anchor_id, anchor_label
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each anchor, the best
+    same-label cosine (positive) and the hardest different-label cosine
+    (the 'hard negative' that makes triplet/InfoNCE batches
+    informative), plus the margin. Anchors broadcast against the corpus
+    — one scan, no corpus shuffle; the max-per-anchor agg is
+    partial-aggregable, so at 100 TB this is a map-side pass. Emitting
+    the VALUES (not arg-ids) keeps the output tie-free and exactly
+    SQL-replayable."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", "embedding",
+                 sim_ops.norm(F.col("embedding"), 64).alias("_n"))
+    anchors = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("_avec"),
+        F.col("_n").alias("_an"),
+    )
+    scored = v.crossJoin(F.broadcast(anchors)).filter(
+        F.col("vec_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id", "anchor_label", "label",
+        (sim_ops.dot(F.col("embedding"), F.col("_avec"), 64)
+         / (F.col("_n") * F.col("_an"))).alias("cos"),
+    )
+    pos = F.max(F.when(F.col("label") == F.col("anchor_label"), F.col("cos")))
+    neg = F.max(F.when(F.col("label") != F.col("anchor_label"), F.col("cos")))
+    return scored.groupBy("anchor_id", "anchor_label").agg(
+        F.round(pos, 6).alias("best_positive"),
+        F.round(neg, 6).alias("hardest_negative"),
+        F.round(pos - neg, 6).alias("margin"),
+    ).select(
+        "anchor_id", F.col("anchor_label").cast("int").alias("anchor_label"),
+        "best_positive", "hardest_negative", "margin",
+    )
+
+
+@query(
+    "cluster_purity_eval",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    c AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id < 32),
+    assign AS (
+      SELECT vec_id, label, centroid_id FROM (
+        SELECT v.vec_id, v.label, c.centroid_id,
+               list_dot_product(v.vec, c.cvec)
+                 / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY cos DESC, c.centroid_id) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    cls AS (
+      SELECT centroid_id, label, COUNT(*) AS n
+      FROM assign GROUP BY centroid_id, label
+    )
+    SELECT centroid_id,
+           CAST(SUM(n) AS BIGINT) AS n_members,
+           CAST(MAX(n) AS BIGINT) AS n_majority,
+           ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS purity
+    FROM cls GROUP BY centroid_id
+    """,
+)
+def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: assign every labeled vector to its
+    nearest fixed centroid (same deterministic routing as the IVF
+    queries), then per-cluster PURITY = majority-label fraction — the
+    standard external cluster metric a labeling/curation pipeline
+    reports. Two partial-aggregable groupBys after a broadcast E-step;
+    nothing but (id, label, centroid) longs ever shuffles."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = sim_ops.assign_to_centroids(
+        e, cents, dim=64, id_col="vec_id", centroid_id="centroid_id",
+        vec_col="embedding",
+    ).select("vec_id", "centroid_id")
+    labeled = assigned.join(e.select("vec_id", "label"), "vec_id")
+    cls = labeled.groupBy("centroid_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    return cls.groupBy("centroid_id").agg(
+        F.sum("n").cast("bigint").alias("n_members"),
+        F.max("n").cast("bigint").alias("n_majority"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("purity"),
+    )
