@@ -198,3 +198,27 @@ def test_hybrid_rrf_scores_and_membership(spark, sf_dir):
         # every score is a sum of at most two reciprocal-rank terms
         for s in scores:
             assert s <= round(1 / 61 + 1 / 61, 9) + 1e-12
+
+
+def test_hard_negative_margin_semantics(spark, sf_dir):
+    """Margins must equal best_positive - hardest_negative, and both
+    cosines must be valid (<= 1 + eps)."""
+    rows = Q.QUERIES["hard_negative_mining"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["best_positive"] <= 1.000001
+        assert r["hardest_negative"] <= 1.000001
+        assert abs(r["margin"] - round(r["best_positive"] - r["hardest_negative"], 6)) <= 2e-6
+
+
+def test_cluster_purity_bounds(spark, sf_dir):
+    """Purity in (0, 1]; majority count <= member count; every corpus
+    vector lands in exactly one cluster."""
+    rows = Q.QUERIES["cluster_purity_eval"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_members"] for r in rows)
+    n_vecs = Q._t(spark, sf_dir, "embeddings").count()
+    assert total == n_vecs
+    for r in rows:
+        assert 0 < r["purity"] <= 1.0
+        assert r["n_majority"] <= r["n_members"]
