@@ -124,6 +124,8 @@ HEADLINE = [
     # round 2 wave 8: contrastive data prep + clustering eval
     "hard_negative_mining",
     "cluster_purity_eval",
+    "triangle_count",
+    "multi_touch_attribution",
 ]
 
 

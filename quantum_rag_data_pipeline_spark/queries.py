@@ -3333,3 +3333,155 @@ def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_majority"),
         F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("purity"),
     )
+
+
+@query(
+    "triangle_count",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges
+      ) GROUP BY n
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM oriented e1
+    JOIN oriented e2 ON e2.s = e1.t
+    JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the co-purchase graph with the
+    DEGREE-ORIENTATION optimization: direct every edge from its
+    lower-(degree, id) endpoint to the higher one, making the graph a
+    DAG where each triangle is counted exactly once AND the wedge join
+    fans out from low-degree vertices only — the standard trick that
+    bounds the quadratic wedge step by arboricity instead of max degree
+    (a hub with 10^6 neighbors contributes no wedges from its high side).
+    Three self-joins on oriented (s, t) longs; nothing else shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 8)
+        .select("l_partkey")
+    )
+    items = (
+        li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
+    e2 = oriented.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
+    e3 = oriented.select(F.col("s").alias("s3"), F.col("t").alias("t3"))
+    return (
+        e1.join(e2, F.col("s2") == F.col("t1"))
+        .join(e3, (F.col("s3") == F.col("s1")) & (F.col("t3") == F.col("t2")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+@query(
+    "multi_touch_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+      SELECT p.event_id, p.user_id, p.value, COUNT(*) AS n_touches
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.click_ts <= p.ts
+       AND c.click_ts > p.ts - INTERVAL 30 MINUTE
+      GROUP BY p.event_id, p.user_id, p.value
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed_purchases,
+           ROUND(CAST(SUM(CAST(ROUND(value / n_touches, 9) AS DECIMAL(30,9))
+                          * n_touches) AS DOUBLE), 4) AS attributed_value
+    FROM touches GROUP BY user_id
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the user's clicks in the 30 minutes before it; here
+    rolled up per user (share x n_touches restores the purchase's
+    attributable total, run through the 1e-9 decimal grid so the sum is
+    partition-order free). The touch join is the same bounded-interval
+    shape as the range join — equi on user, interval predicate post-match,
+    coarse time-bucket keys at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    touches = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("ts"))
+            & (F.unix_micros("click_ts") > F.unix_micros("ts") - 30 * 60 * 1_000_000),
+        )
+        .groupBy("event_id", "user_id", "value")
+        .agg(F.count(F.lit(1)).alias("n_touches"))
+    )
+    return touches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_attributed_purchases"),
+        F.round(
+            F.sum(
+                F.round(F.col("value") / F.col("n_touches"), 9).cast("decimal(30,9)")
+                * F.col("n_touches")
+            ).cast("double"),
+            4,
+        ).alias("attributed_value"),
+    )
