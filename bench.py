@@ -126,6 +126,7 @@ HEADLINE = [
     "cluster_purity_eval",
     "triangle_count",
     "multi_touch_attribution",
+    "quantile_sketch_bounds",
 ]
 
 

@@ -3485,3 +3485,72 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("attributed_value"),
     )
+
+
+@query(
+    "quantile_sketch_bounds",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           MAX(CASE WHEN rn = CAST(CEIL(n / 2.0) AS BIGINT) THEN c_acctbal END)
+             AS exact_median,
+           TRUE AS sketch_within_rank_bound
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def quantile_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch error-bound invariant (the percentile sibling of
+    the HLL mergeability query): per segment, Spark's mergeable
+    Greenwald-Khanna sketch (``percentile_approx``, accuracy=100 →
+    rank error ≤ n/100) must land within the guaranteed rank band of
+    the true median — PROVEN Spark-side by ranking the sketch's answer
+    against the data, emitted as a boolean the oracle pins TRUE. The
+    exact median (low element of the middle rank, deterministic
+    tie-break) replays in SQL. This is the partial-aggregable shape
+    percentile computation takes at 100 TB: per-partition sketches,
+    one merge, bounded error."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        "c_mktsegment", "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    stats = ranked.groupBy("c_mktsegment").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") / 2.0), F.col("c_acctbal"))
+        ).alias("exact_median"),
+    )
+    approx = c.groupBy("c_mktsegment").agg(
+        F.percentile_approx("c_acctbal", 0.5, 100).alias("_approx")
+    )
+    # rank of the sketch's answer within the segment, checked against the
+    # GK guarantee |rank(approx) - n/2| <= n/100 (+1 slack for the
+    # discrete middle)
+    rank_of = (
+        c.join(F.broadcast(approx), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("c_acctbal") <= F.col("_approx"), 1).otherwise(0))
+            .alias("_rank_approx")
+        )
+    )
+    return (
+        stats.join(rank_of, "c_mktsegment")
+        .select(
+            "c_mktsegment", "n_rows", "exact_median",
+            (
+                F.abs(F.col("_rank_approx") - F.col("n_rows") / 2.0)
+                <= F.col("n_rows") / 100.0 + 1
+            ).alias("sketch_within_rank_bound"),
+        )
+    )
