@@ -127,6 +127,10 @@ HEADLINE = [
     "triangle_count",
     "multi_touch_attribution",
     "quantile_sketch_bounds",
+    # round 2 wave 10
+    "phrase_search_positional",
+    "curation_weighted_sample",
+    "ks_drift_detection",
 ]
 
 

@@ -3554,3 +3554,159 @@ def quantile_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_within_rank_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 wave 10: positional phrase search, deterministic weighted
+# sampling, KS-statistic drift detection.
+# ---------------------------------------------------------------------------
+
+@query(
+    "phrase_search_positional",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, g.i AS pos, t[g.i] AS term
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) g
+      WHERE t[g.i] IN ('table', 'hash')
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM pos a JOIN pos b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'hash'
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table hash") via a POSITIONAL inverted
+    index: only postings of the phrase's terms are extracted (the filter
+    rides the explode, so the index stream is |phrase vocab|-bounded),
+    then adjacency is an equi-join on (doc, pos+1) — how a search engine
+    verifies phrases without re-scanning text. Returns per-doc hit count
+    and first occurrence."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(text_ops.tokens(F.lower(F.col("text")))).alias("pos0", "term"),
+    ).filter(F.col("term").isin("table", "hash")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "term"
+    )
+    a = toks.filter(F.col("term") == "table").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("term") == "hash").select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, (F.col("doc_b") == F.col("doc_id")) & (F.col("pb") == F.col("pa") + 1))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.min("pa").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+@query(
+    "curation_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             POWER(
+               (CAST(((doc_id * 2654435761) % 4294967296) % 1000000 AS DOUBLE) + 0.5)
+                 / 1000000.0,
+               1.0 / (CAST(n_chars AS DOUBLE) / 100.0)
+             ) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= 50
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis): each
+    doc gets key u^(1/w) with w = n_chars/100 (longer docs more likely)
+    and a DETERMINISTIC uniform u from the Knuth hash of its id — the
+    top-50 keys are a faithful weighted draw that is stable under
+    repartitioning, needs no RNG state, and replays exactly in SQL.
+    Selection is one global top-k (TakeOrderedAndProject moves k rows
+    per partition), the standard distributed shape."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (cur_ops.hash_bucket("doc_id", 1_000_000).cast("double") + 0.5) / 1_000_000.0
+    k = F.pow(u, 1.0 / (F.col("n_chars").cast("double") / 100.0))
+    keyed = d.select("doc_id", "source", "n_chars", k.alias("k"))
+    return win_ops.top_k(keyed, [F.col("k").desc(), F.col("doc_id").asc()], 50).select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+@query(
+    "ks_drift_detection",
+    oracle="""
+    WITH a AS (SELECT n_chars AS x FROM documents WHERE source IN ('src0','src1','src2','src3','src4')),
+    b AS (SELECT n_chars AS x FROM documents WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+    na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS na FROM a),
+    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM b),
+    grid AS (SELECT DISTINCT x FROM (SELECT x FROM a UNION ALL SELECT x FROM b)),
+    cdfs AS (
+      SELECT g.x,
+             (SELECT COUNT(*) FROM a WHERE a.x <= g.x) / (SELECT na FROM na) AS fa,
+             (SELECT COUNT(*) FROM b WHERE b.x <= g.x) / (SELECT nb FROM nb) AS fb
+      FROM grid g
+    )
+    SELECT ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat,
+           CAST(MAX(ABS(fa - fb)) > 1.358 * sqrt((SELECT na FROM na) + (SELECT nb FROM nb))
+                  / sqrt((SELECT na FROM na) * (SELECT nb FROM nb)) AS BOOLEAN) AS drifted
+    FROM cdfs
+    """,
+)
+def ks_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift check between two source
+    cohorts' length distributions — the monitoring op a production
+    pipeline runs to catch a changed upstream. ECDFs via rank windows
+    over the union grid (one sort shuffle), KS statistic = max gap,
+    compared against the alpha=0.05 critical value. Counting ranks with
+    conditional sums keeps both ECDFs in ONE pass over the union —
+    no per-point subqueries at scale (the oracle spells them out for
+    clarity; the result is identical)."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    cohort_a = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    pts = d.select(
+        F.col("n_chars").alias("x"),
+        F.when(cohort_a, 1).otherwise(0).alias("ia"),
+        F.when(~cohort_a, 1).otherwise(0).alias("ib"),
+    )
+    counts = pts.groupBy("x").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    tot = pts.agg(
+        F.sum("ia").cast("double").alias("na"), F.sum("ib").cast("double").alias("nb")
+    )
+    cdfs = counts.select(
+        "x",
+        F.sum("ca").over(w).alias("ra"),
+        F.sum("cb").over(w).alias("rb"),
+    ).crossJoin(F.broadcast(tot)).select(
+        (F.col("ra") / F.col("na")).alias("fa"),
+        (F.col("rb") / F.col("nb")).alias("fb"),
+        "na", "nb",
+    )
+    return cdfs.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat"),
+        (
+            F.max(F.abs(F.col("fa") - F.col("fb")))
+            > 1.358 * F.sqrt(F.max("na") + F.max("nb"))
+            / F.sqrt(F.max("na") * F.max("nb"))
+        ).alias("drifted"),
+    )
