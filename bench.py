@@ -131,6 +131,9 @@ HEADLINE = [
     "phrase_search_positional",
     "curation_weighted_sample",
     "ks_drift_detection",
+    "semdedup_prune",
+    "cms_heavy_hitters",
+    "bpe_merge_candidates",
 ]
 
 

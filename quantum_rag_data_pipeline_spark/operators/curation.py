@@ -271,3 +271,17 @@ def assign_global_ids(
         .withColumn(id_name, (F.row_number().over(w_in) - 1 + F.col("_off")).cast("bigint"))
         .drop("_off")
     )
+
+
+def md5_bucket(col: Column | str, span: int, salt: str = "") -> Column:
+    """Portable salted string→bucket hash: the first 8 hex chars of
+    ``md5(salt | s)`` parsed as an integer, mod ``span``. md5 exists in
+    every engine (the DuckDB oracle replays it bit-for-bit), which is
+    what makes sketch queries exactly verifiable; ``xxhash64`` is the
+    faster production choice when cross-engine replay isn't needed.
+    Complements ``hash_bucket`` (Knuth multiplicative, integers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}|"), c)), 1, 8), 16, 10)
+        .cast("bigint") % span
+    )

@@ -473,3 +473,43 @@ def kmeans_lloyd(
             assigned, vectors, dim, id_col=id_col, vec_col=vec_col
         ).localCheckpoint(eager=True)
     return cents
+
+
+def semdedup_prune(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup = cluster the
+    embedding space, then prune near-duplicates WITHIN each cluster —
+    the pairwise O(n²) is bounded to the largest cluster instead of the
+    corpus, which is what makes cosine dedup feasible at 100 TB (k
+    clusters of n/k rows → n²/k pair work, and each cluster's join is
+    an independent shuffle-partition-local task).
+
+    E-step reuses ``assign_to_centroids`` (broadcast centroids, one
+    shuffle carrying (id, cluster) only); the intra-cluster pair scan
+    reuses ``embedding_near_dup_pairs(block_col='centroid_id')``. A row
+    is REMOVED when a lower-id member of the same cluster sits within
+    ``threshold`` cosine — keep-lowest-id is SemDeDup's deterministic
+    representative rule.
+
+    Returns (id, centroid_id, removed) — the per-document verdict frame
+    a curation pipeline anti-joins against the corpus."""
+    assigned = assign_to_centroids(
+        vectors, centroids, dim, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "centroid_id")
+    members = assigned.join(vectors.select(id_col, vec_col), id_col)
+    pairs = embedding_near_dup_pairs(
+        members, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, block_col="centroid_id", dim=dim,
+    )
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "_rm", F.lit(True)
+    )
+    return assigned.join(removed, id_col, "left").select(
+        id_col, "centroid_id", F.coalesce(F.col("_rm"), F.lit(False)).alias("removed")
+    )

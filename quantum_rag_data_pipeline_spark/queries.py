@@ -3710,3 +3710,164 @@ def ks_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.max("na") * F.max("nb"))
         ).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 wave 11: SemDeDup semantic dedup, count-min sketch heavy
+# hitters, BPE merge-candidate scan (tokenizer training step).
+# ---------------------------------------------------------------------------
+
+@query(
+    "semdedup_prune",
+    oracle="""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    a AS (
+      SELECT vec_id, cid, vec FROM (
+        SELECT v.vec_id, c.cid, v.vec,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.vec, c.cv)
+                   / (sqrt(list_dot_product(v.vec, v.vec))
+                      * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+        FROM v CROSS JOIN c) t WHERE rn = 1),
+    rm AS (
+      SELECT DISTINCT y.vec_id FROM a x JOIN a y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE list_dot_product(x.vec, y.vec)
+              / (sqrt(list_dot_product(x.vec, x.vec))
+                 * sqrt(list_dot_product(y.vec, y.vec))) >= 0.4),
+    m AS (SELECT cid, COUNT(*) AS n_members FROM a GROUP BY cid),
+    r AS (SELECT cid, COUNT(*) AS n_removed FROM a JOIN rm USING (vec_id) GROUP BY cid)
+    SELECT m.cid AS centroid_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(n_members - COALESCE(n_removed, 0) AS BIGINT) AS n_kept
+    FROM m LEFT JOIN r ON r.cid = m.cid
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune semantic dedup): route every vector
+    to its nearest of 8 fixed centroids (corpus vectors 0-7, so the
+    oracle derives them identically), then near-dup scan WITHIN each
+    cluster at cos ≥ 0.4, keep-lowest-id. The pairwise work is bounded
+    per cluster (n²/k, each cluster an independent task) — the property
+    that makes semantic dedup run at corpus scale. Emits the per-cluster
+    curation summary (members / removed / kept)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    verdicts = sim_ops.semdedup_prune(e, cents, dim=64, threshold=0.4)
+    return verdicts.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.col("removed").cast("int")).cast("bigint").alias("n_removed"),
+        F.sum((~F.col("removed")).cast("int")).cast("bigint").alias("n_kept"),
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents),
+    tc AS (SELECT term, COUNT(*) AS true_cnt FROM tok GROUP BY term),
+    rows_ AS (SELECT term, true_cnt, g.j,
+                     CAST(concat('0x', substr(md5(CAST(g.j AS VARCHAR) || '|' || term), 1, 8)) AS BIGINT) % 512 AS b
+              FROM tc, LATERAL (SELECT unnest(range(0, 4)) AS j) g),
+    sketch AS (SELECT j, b, SUM(true_cnt) AS counter FROM rows_ GROUP BY j, b),
+    top AS (SELECT term, true_cnt FROM (
+              SELECT term, true_cnt,
+                     ROW_NUMBER() OVER (ORDER BY true_cnt DESC, term) AS rn
+              FROM tc) WHERE rn <= 20)
+    SELECT t.term, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(MIN(s.counter) AS BIGINT) AS cms_est,
+           CAST(MIN(s.counter) >= t.true_cnt AS BOOLEAN) AS no_undercount
+    FROM top t,
+         LATERAL (SELECT unnest(range(0, 4)) AS j) g
+    JOIN sketch s
+      ON s.j = g.j
+     AND s.b = CAST(concat('0x', substr(md5(CAST(g.j AS VARCHAR) || '|' || t.term), 1, 8)) AS BIGINT) % 512
+    GROUP BY t.term, t.true_cnt
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, verified exactly: build a
+    depth-4 × width-512 CMS over the token stream (each counter row is a
+    partial-aggregable SUM — the sketch is mergeable across partitions
+    and across days, the point of sketching at 100 TB), then answer the
+    top-20 heavy hitters from the SKETCH and pin the CMS guarantee
+    (estimate never undercounts) alongside the exact counts. The salted
+    bucket hash is md5-based (``curation.md5_bucket``) so the oracle
+    replays the sketch bit-for-bit. The 2 048-cell sketch broadcasts to
+    the probe join; the token stream is touched once."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
+    depth, width = 4, 512
+    js = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    rows = tc.select("term", "true_cnt", js).withColumn(
+        "b",
+        cur_ops.md5_bucket(
+            F.concat(F.col("j").cast("string"), F.lit("|"), F.col("term")), width
+        ),
+    )
+    sketch = rows.groupBy("j", "b").agg(F.sum("true_cnt").alias("counter"))
+    top = win_ops.top_k(tc, [F.col("true_cnt").desc(), F.col("term").asc()], 20)
+    probes = top.select("term", "true_cnt", js).withColumn(
+        "b",
+        cur_ops.md5_bucket(
+            F.concat(F.col("j").cast("string"), F.lit("|"), F.col("term")), width
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("term")
+        .agg(
+            F.first("true_cnt").cast("bigint").alias("true_cnt"),
+            F.min("counter").cast("bigint").alias("cms_est"),
+            (F.min("counter") >= F.first("true_cnt")).alias("no_undercount"),
+        )
+    )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS w
+      FROM documents),
+    wc AS (SELECT w, COUNT(*) AS wcnt FROM w WHERE length(w) >= 2 GROUP BY w),
+    p AS (SELECT substr(w, g.i, 2) AS pair, wcnt
+          FROM wc, LATERAL (SELECT unnest(range(1, length(w))) AS i) g)
+    SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS pair_count
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 10
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge scan: count adjacent symbol pairs across
+    the corpus VOCABULARY (distinct words weighted by frequency — the
+    standard trick that makes BPE training corpus-size-independent:
+    the pair scan runs over |vocab| rows, not |corpus| tokens), emit
+    the top-10 merge candidates. Adjacent pairs come from a sequence-
+    posexplode over character offsets — pure column expressions, the
+    explode fans out map-side, and the pair count is a partial-agg
+    groupBy on a 2-char key."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("w"))
+    wc = (
+        words.groupBy("w").agg(F.count(F.lit(1)).alias("wcnt"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wc.select(
+        "wcnt",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w",
+    ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "wcnt")
+    pc = pairs.groupBy("pair").agg(F.sum("wcnt").cast("bigint").alias("pair_count"))
+    return win_ops.top_k(pc, [F.col("pair_count").desc(), F.col("pair").asc()], 10)

@@ -222,3 +222,86 @@ def test_cluster_purity_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r["purity"] <= 1.0
         assert r["n_majority"] <= r["n_members"]
+
+
+def test_semdedup_removes_injected_duplicate(spark):
+    """An exact duplicate of a cluster member (same vector, higher id)
+    must be pruned; singletons and well-separated members survive."""
+    from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid 1
+        (10, [0.9, 0.1, 0.0, 0.0]),  # cluster 0 member
+        (11, [0.9, 0.1, 0.0, 0.0]),  # exact dup of 10 → removed
+        (12, [0.0, 0.8, 0.6, 0.0]),  # cluster 1, far from 1 → kept
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    cents = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = {
+        r["vec_id"]: r["removed"]
+        for r in sim_ops.semdedup_prune(df, cents, dim=4, threshold=0.999).collect()
+    }
+    assert out[11] is True          # dup of lower-id 10
+    assert out[10] is False         # representative kept
+    assert out[12] is False         # below threshold vs everything in cluster
+    assert out[0] is False and out[1] is False  # lowest-id representatives
+
+
+def test_cms_never_undercounts_and_small_sketch_is_exact(spark):
+    """CMS guarantee: min-of-rows estimate ≥ true count always; with far
+    fewer keys than cells the estimate is exactly the true count."""
+    from quantum_rag_data_pipeline_spark.operators import curation as cur_ops
+
+    data = [("alpha",)] * 7 + [("beta",)] * 3 + [("gamma",)] * 1
+    tc = (
+        spark.createDataFrame(data, ["term"])
+        .groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    depth, width = 4, 512
+    js = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    bucket = lambda: cur_ops.md5_bucket(
+        F.concat(F.col("j").cast("string"), F.lit("|"), F.col("term")), width
+    )
+    sketch = (
+        tc.select("term", "true_cnt", js).withColumn("b", bucket())
+        .groupBy("j", "b").agg(F.sum("true_cnt").alias("counter"))
+    )
+    est = (
+        tc.select("term", "true_cnt", js).withColumn("b", bucket())
+        .join(sketch, ["j", "b"])
+        .groupBy("term")
+        .agg(F.first("true_cnt").alias("t"), F.min("counter").alias("e"))
+        .collect()
+    )
+    assert len(est) == 3
+    for r in est:
+        assert r["e"] >= r["t"]
+        assert r["e"] == r["t"]  # 3 keys, 512 cells, 4 rows: no collisions
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    """'abab' ×2 + 'ab' ×1 → pairs: ab=(3·2)… verified by hand:
+    abab yields ab,ba,ab per occurrence; word-frequency weighting."""
+    docs = spark.createDataFrame(
+        [(1, "abab ab abab"), (2, "ab")], ["doc_id", "text"]
+    )
+    from quantum_rag_data_pipeline_spark.operators import text as text_ops
+
+    words = docs.select(F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("wcnt")).filter(F.length("w") >= 2)
+    pairs = wc.select(
+        "wcnt",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w",
+    ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "wcnt")
+    got = {
+        r["pair"]: r["pair_count"]
+        for r in pairs.groupBy("pair")
+        .agg(F.sum("wcnt").alias("pair_count"))
+        .collect()
+    }
+    # vocab: abab (freq 2) → ab,ba,ab ; ab (freq 2) → ab
+    assert got == {"ab": 2 * 2 + 2 * 1, "ba": 2 * 1}
