@@ -134,6 +134,9 @@ HEADLINE = [
     "semdedup_prune",
     "cms_heavy_hitters",
     "bpe_merge_candidates",
+    "pagerank_copurchase",
+    "dsir_importance_weights",
+    "corr_matrix_lineitem",
 ]
 
 

@@ -87,3 +87,60 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
     the transitive-closure cluster. Feed any of the pair generators
     (exact/ngram/minhash/simhash/embedding) straight in."""
     return connected_components(pairs, src=id_a, dst=id_b)
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 2,
+    alpha: float = 0.85,
+    src: str = "u",
+    dst: str = "v",
+    grid: int = 12,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED edge list (each edge contributes mass
+    both ways), fixed ``n_iter`` power iterations — the standard
+    iterative-graph shape on Spark: per round one shuffle groupBy on the
+    destination node; the rank frame is localCheckpointed each round so
+    lineage stays flat (the classic iterative-DataFrame pitfall is an
+    exponentially deep plan).
+
+    Determinism contract: neighbor contributions are rounded to a
+    ``grid``-decimal DECIMAL before the sum, so cross-partition float
+    accumulation order can't change the answer — same device as the
+    k-means M-step — and a SQL oracle replays the iteration exactly.
+    No dangling-node term: an undirected edge list gives every node
+    out-degree ≥ 1 by construction.
+
+    Returns (node, pr) with pr on the decimal grid as DOUBLE."""
+    both = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).unionAll(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+    ).localCheckpoint(eager=False)
+    deg = both.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    nodes = deg.select(F.col("s").alias("node"), "d")
+    n_nodes = nodes.count()  # one scalar job; the loop itself stays lazy
+    pr = nodes.select(
+        "node", "d", F.round(F.lit(1.0 / n_nodes), grid).alias("pr")
+    )
+    dec = f"decimal(28,{grid})"
+    for _ in range(n_iter):
+        contrib = both.join(
+            pr.select(F.col("node").alias("s"), "d", "pr"), "s"
+        ).select(
+            F.col("t").alias("node"),
+            F.round(F.col("pr") / F.col("d"), grid).cast(dec).alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("mass"))
+        pr = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                "d",
+                F.round(
+                    (1.0 - alpha) / n_nodes
+                    + alpha * F.coalesce(F.col("mass").cast("double"), F.lit(0.0)),
+                    grid,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("node", "pr")

@@ -3871,3 +3871,234 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "wcnt")
     pc = pairs.groupBy("pair").agg(F.sum("wcnt").cast("bigint").alias("pair_count"))
     return win_ops.top_k(pc, [F.col("pair_count").desc(), F.col("pair").asc()], 10)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 wave 12: PageRank power iteration, DSIR-style importance
+# weighting, Pearson correlation matrix.
+# ---------------------------------------------------------------------------
+
+@query(
+    "pagerank_copurchase",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    both_ AS (SELECT u AS s, v AS t FROM edges
+              UNION ALL SELECT v AS s, u AS t FROM edges),
+    deg AS (SELECT s, COUNT(*) AS d FROM both_ GROUP BY s),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    pr0 AS (SELECT s AS node, d,
+                   ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 12) AS pr
+            FROM deg),
+    c1 AS (SELECT b.t AS node,
+                  CAST(ROUND(p.pr / p.d, 12) AS DECIMAL(28,12)) AS c
+           FROM both_ b JOIN pr0 p ON p.node = b.s),
+    m1 AS (SELECT node, SUM(c) AS mass FROM c1 GROUP BY node),
+    pr1 AS (SELECT p.node, p.d,
+                   ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                           / (SELECT n FROM nn)
+                         + CAST(0.85 AS DOUBLE)
+                           * COALESCE(CAST(m.mass AS DOUBLE), 0.0), 12) AS pr
+            FROM pr0 p LEFT JOIN m1 m ON m.node = p.node),
+    c2 AS (SELECT b.t AS node,
+                  CAST(ROUND(p.pr / p.d, 12) AS DECIMAL(28,12)) AS c
+           FROM both_ b JOIN pr1 p ON p.node = b.s),
+    m2 AS (SELECT node, SUM(c) AS mass FROM c2 GROUP BY node),
+    pr2 AS (SELECT p.node, p.d,
+                   ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                           / (SELECT n FROM nn)
+                         + CAST(0.85 AS DOUBLE)
+                           * COALESCE(CAST(m.mass AS DOUBLE), 0.0), 12) AS pr
+            FROM pr1 p LEFT JOIN m2 m ON m.node = p.node)
+    SELECT node, ROUND(pr, 6) AS pr FROM (
+      SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rn
+      FROM pr2) WHERE rn <= 20
+    """,
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 power iterations, alpha=0.85) over the co-purchase
+    part graph — the iterative-graph workload on DataFrames: one
+    destination-keyed shuffle per round, rank frame localCheckpointed
+    so lineage stays flat. Contributions ride a 12-decimal DECIMAL grid
+    (accumulation-order-independent), which is what lets a SQL oracle
+    replay a FLOAT iteration bit-for-bit. Emits the top-20 hubs."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 8)
+        .select("l_partkey")
+    )
+    items = (
+        li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+    pr = graph_ops.pagerank(edges, n_iter=2, alpha=0.85)
+    return win_ops.top_k(pr, [F.col("pr").desc(), F.col("node").asc()], 20).select(
+        "node", F.round("pr", 6).alias("pr")
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE) AS tgt_tot,
+             CAST(COUNT(*) AS DOUBLE) AS raw_tot
+      FROM tok),
+    vocab AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS raw_cnt,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt
+      FROM tok GROUP BY term),
+    w AS (
+      SELECT term,
+             CAST(ROUND(LN(((tgt_cnt + 0.5) / (SELECT tgt_tot FROM tot))
+                           / ((raw_cnt + 0.5) / (SELECT raw_tot FROM tot))), 6)
+                  AS DECIMAL(24,6)) AS lam
+      FROM vocab),
+    scored AS (
+      SELECT t.doc_id, SUM(w.lam) AS score_dec
+      FROM tok t JOIN w USING (term)
+      GROUP BY t.doc_id)
+    SELECT doc_id, CAST(score_dec AS DOUBLE) AS dsir_score FROM (
+      SELECT doc_id, score_dec,
+             ROW_NUMBER() OVER (ORDER BY score_dec DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 30
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023): score every
+    document by its unigram log-likelihood ratio between a target
+    domain (source='src0') and the raw corpus, +0.5 smoothing; the
+    top-scored docs are the ones importance resampling would draw to
+    shift the mix toward the target. One token pass builds BOTH
+    distributions (conditional aggregates); per-term weights round to
+    a 6-decimal DECIMAL so the per-doc sum is accumulation-order-free;
+    the doc join is term-keyed against a vocab-sized weight table.
+    Emits the top-30 most target-like documents."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source",
+        F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    is_tgt = (F.col("source") == "src0").cast("int")
+    tot = tok.agg(
+        F.sum(is_tgt).cast("double").alias("tgt_tot"),
+        F.count(F.lit(1)).cast("double").alias("raw_tot"),
+    )
+    vocab = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(is_tgt).alias("tgt_cnt"),
+    )
+    lam = F.round(
+        F.log(
+            ((F.col("tgt_cnt") + 0.5) / F.col("tgt_tot"))
+            / ((F.col("raw_cnt") + 0.5) / F.col("raw_tot"))
+        ),
+        6,
+    ).cast("decimal(24,6)")
+    w = vocab.crossJoin(F.broadcast(tot)).select("term", lam.alias("lam"))
+    scored = (
+        tok.select("doc_id", "term")
+        .join(w, "term")
+        .groupBy("doc_id")
+        .agg(F.sum("lam").alias("score_dec"))
+    )
+    return win_ops.top_k(
+        scored, [F.col("score_dec").desc(), F.col("doc_id").asc()], 30
+    ).select("doc_id", F.col("score_dec").cast("double").alias("dsir_score"))
+
+
+@query(
+    "corr_matrix_lineitem",
+    oracle="""
+    WITH base AS (SELECT l_quantity AS q, l_extendedprice AS p,
+                         l_discount AS dc, l_tax AS tx FROM lineitem),
+    pairs AS (
+      SELECT 'qty_price' AS pair, q AS x, p AS y FROM base
+      UNION ALL SELECT 'qty_discount', q, dc FROM base
+      UNION ALL SELECT 'qty_tax', q, tx FROM base
+      UNION ALL SELECT 'price_discount', p, dc FROM base
+      UNION ALL SELECT 'price_tax', p, tx FROM base
+      UNION ALL SELECT 'discount_tax', dc, tx FROM base),
+    sums AS (
+      SELECT pair,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(ROUND(x, 4) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 4) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM pairs GROUP BY pair)
+    SELECT pair,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+    FROM sums
+    """,
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over 4 fact-table measures in
+    ONE pass: each row fans out map-side to 6 (pair, x, y) structs via
+    explode (no extra scan per pair, no shuffle before the partial agg),
+    then the five sufficient statistics per pair accumulate on the
+    DECIMAL grid — the closed-form corr from exact sums is engine-
+    independent, which plain float Σxy never is. The feature-covariance
+    shape every training-data audit needs."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {"q": "l_quantity", "p": "l_extendedprice", "dc": "l_discount", "tx": "l_tax"}
+    pair_defs = [
+        ("qty_price", "q", "p"), ("qty_discount", "q", "dc"),
+        ("qty_tax", "q", "tx"), ("price_discount", "p", "dc"),
+        ("price_tax", "p", "tx"), ("discount_tax", "dc", "tx"),
+    ]
+    structs = F.array(*[
+        F.struct(
+            F.lit(nm).alias("pair"),
+            F.col(cols[a]).alias("x"),
+            F.col(cols[b]).alias("y"),
+        )
+        for nm, a, b in pair_defs
+    ])
+    rows = li.select(F.explode(structs).alias("s")).select("s.pair", "s.x", "s.y")
+    dec = "decimal(38,6)"
+    sums = rows.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.round("x", 4).cast(dec)).cast("double").alias("sx"),
+        F.sum(F.round("y", 4).cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast(dec)).cast("double").alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dec)).cast("double").alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 6).cast(dec)).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select("pair", F.round(corr, 6).alias("corr"))

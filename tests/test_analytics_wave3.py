@@ -305,3 +305,76 @@ def test_bpe_pair_counts_hand_checked(spark):
     }
     # vocab: abab (freq 2) → ab,ba,ab ; ab (freq 2) → ab
     assert got == {"ab": 2 * 2 + 2 * 1, "ba": 2 * 1}
+
+
+def test_pagerank_sums_to_one_and_ranks_hub(spark):
+    """Rank mass is conserved (Σpr = 1 within grid tolerance) and the
+    star-center of a 4-star outranks its leaves."""
+    from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
+
+    star = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    edges = spark.createDataFrame(star, ["u", "v"])
+    pr = {r["node"]: r["pr"] for r in graph_ops.pagerank(edges, n_iter=3).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr[0] > pr[1] == pr[2] == pr[3] == pr[4]
+
+
+def test_dsir_prefers_target_vocabulary(spark):
+    """Docs made of target-domain-only terms score above docs of
+    off-domain terms under the likelihood-ratio weights."""
+    from quantum_rag_data_pipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta", "src0"), (2, "alpha beta", "src0"),
+         (3, "gamma delta", "srcX"), (4, "alpha beta", "srcX")],
+        ["doc_id", "text", "source"],
+    )
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    is_tgt = (F.col("source") == "src0").cast("int")
+    tot = tok.agg(
+        F.sum(is_tgt).cast("double").alias("tgt_tot"),
+        F.count(F.lit(1)).cast("double").alias("raw_tot"),
+    )
+    vocab = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("raw_cnt"), F.sum(is_tgt).alias("tgt_cnt")
+    )
+    lam = F.round(
+        F.log(((F.col("tgt_cnt") + 0.5) / F.col("tgt_tot"))
+              / ((F.col("raw_cnt") + 0.5) / F.col("raw_tot"))), 6
+    ).cast("decimal(24,6)")
+    w = vocab.crossJoin(F.broadcast(tot)).select("term", lam.alias("lam"))
+    scores = {
+        r["doc_id"]: float(r["s"])
+        for r in tok.join(w, "term").groupBy("doc_id")
+        .agg(F.sum("lam").alias("s")).collect()
+    }
+    # doc 4 shares doc 2's tokens exactly → identical score; off-domain
+    # doc 3 (gamma/delta never in target) must rank strictly last.
+    assert scores[3] < min(scores[1], scores[2], scores[4])
+    assert scores[2] == scores[4]
+
+
+def test_corr_matrix_exact_on_known_data(spark):
+    """corr(x, 2x) = 1, corr(x, -x) = -1, corr(x, const) undefined→NaN."""
+    import math
+    data = [(float(i), 2.0 * i, -1.0 * i, 5.0) for i in range(1, 9)]
+    df = spark.createDataFrame(data, ["x", "y2", "yneg", "yc"])
+    dec = "decimal(38,6)"
+    def corr_of(ycol):
+        s = df.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.round("x", 4).cast(dec)).cast("double").alias("sx"),
+            F.sum(F.round(ycol, 4).cast(dec)).cast("double").alias("sy"),
+            F.sum(F.round(F.col("x") * F.col(ycol), 6).cast(dec)).cast("double").alias("sxy"),
+            F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dec)).cast("double").alias("sxx"),
+            F.sum(F.round(F.col(ycol) * F.col(ycol), 6).cast(dec)).cast("double").alias("syy"),
+        ).collect()[0]
+        num = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+        den = math.sqrt(s["n"] * s["sxx"] - s["sx"] ** 2) * math.sqrt(s["n"] * s["syy"] - s["sy"] ** 2) if (s["n"] * s["sxx"] - s["sx"] ** 2) > 0 and (s["n"] * s["syy"] - s["sy"] ** 2) > 0 else float("nan")
+        return num / den if den == den and den != 0 else float("nan")
+    assert abs(corr_of("y2") - 1.0) < 1e-9
+    assert abs(corr_of("yneg") + 1.0) < 1e-9
+    assert math.isnan(corr_of("yc"))
