@@ -139,6 +139,7 @@ HEADLINE = [
     "corr_matrix_lineitem",
     "unigram_logprob_quality",
     "retrieval_eval_ndcg",
+    "dedup_shingle_containment",
 ]
 
 

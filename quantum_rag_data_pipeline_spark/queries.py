@@ -4267,3 +4267,68 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rr", 6).alias("rr"),
         F.round(F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6).alias("ndcg10"),
     )
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    raw_shingles AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM toks
+    ),
+    shingles AS (
+      SELECT r.doc_id, r.shingle FROM raw_shingles r
+      JOIN (SELECT shingle FROM raw_shingles GROUP BY shingle HAVING COUNT(*) <= 64) k
+        USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / LEAST(sa.sz, sb.sz), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.8
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: |A∩B| / min(|A|,|B|) over word-5-gram shingle
+    sets — the asymmetric cousin of Jaccard that CATCHES SUBSET
+    duplication (a short doc quoted whole inside a long one scores
+    containment 1.0 but Jaccard near 0), the relation benchmark
+    decontamination actually needs. Same linear machinery as the
+    Jaccard path: inverted-index candidate join (only docs sharing a
+    shingle ever meet) with the max_df=64 boilerplate cut bounding the
+    candidate fan-out at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    # 3 consumers (sizes, both join sides) would re-evaluate the shingle
+    # explode 3x — same exchange-reuse miss fixed for the other dedup
+    # queries; one lazy localCheckpoint materializes it once.
+    idx = dedup_ops.shingle_index(d, n=5, max_df=64).localCheckpoint(eager=False)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = idx.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = idx.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter").cast("double") / F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .filter(cont >= 0.8)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )

@@ -417,3 +417,30 @@ def test_ndcg_perfect_retrieval_is_one(spark, sf_dir):
         assert 0.0 <= r["rr"] <= 1.0
         assert 0.0 <= r["ndcg10"] <= 1.0 + 1e-9
         assert 0 <= r["n_rel"] <= 10
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment 1.0 even
+    though Jaccard is small — the pair the symmetric metric misses."""
+    from quantum_rag_data_pipeline_spark.operators import dedup as dedup_ops
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote)], ["doc_id", "text"]
+    )
+    idx = dedup_ops.shingle_index(docs, n=5, max_df=64)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = idx.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = idx.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    ).collect()
+    szs = {r["doc_id"]: r["sz"] for r in sizes.collect()}
+    assert len(inter) == 1
+    r = inter[0]
+    containment = r["inter"] / min(szs[1], szs[2])
+    jaccard = r["inter"] / (szs[1] + szs[2] - r["inter"])
+    assert containment == 1.0
+    assert jaccard < 0.3
