@@ -168,14 +168,27 @@ def main() -> None:
         .write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
+        # A failing query must never abort the bench (round 3: one
+        # AnalysisException killed the whole run and the round recorded no
+        # timings at all). Record the error, keep timing everything else.
+        fn = QUERIES.get(name)
+        if fn is None:
+            errors[name] = "not registered"
+            continue
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001 — bench must survive anything
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                runs = []
+                break
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+        if runs:
+            timings[name] = round(min(runs), 3)
         # hygiene between queries: drop any cached plans, and nudge the
         # JVM GC so ContextCleaner reclaims out-of-scope localCheckpoint
         # blocks NOW instead of mid-way through a later query (measured:
@@ -190,6 +203,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": float(sf),
     }
     # Full per-query detail goes to a file (and an early stdout line for
@@ -210,6 +224,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "queries_full": "BENCH_FULL.json",
         "sf": float(sf),
     }

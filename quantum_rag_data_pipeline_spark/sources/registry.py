@@ -40,6 +40,26 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (with session TZ).
+
+    The testdata has been regenerated with different parquet timestamp
+    encodings across rounds (TIMESTAMP(NANOS) → µs TIMESTAMP_NTZ); the
+    engine pins the session TZ to UTC (session.py), so NTZ→TIMESTAMP is
+    value-preserving, and it is required: Spark 4 rejects TIMESTAMP_NTZ
+    in ``unix_micros`` and ``withWatermark`` at analysis time. The DuckDB
+    oracle compares naive timestamps either way (tzinfo stripped), cf.
+    reference create_weather_table.py:53 TIMESTAMP WITHOUT TIME ZONE.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or default_sf_dir()
     if name not in TABLES:
@@ -58,7 +78,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -47,6 +47,14 @@ def sliding_window_stream(
     )
     if ts_from_nanos_col is not None:
         stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_from_nanos_col} div 1000")))
+    else:
+        # a TIMESTAMP_NTZ event-time column is rejected by withWatermark at
+        # analysis time (Spark 4, EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the
+        # session TZ is pinned UTC so the cast is value-preserving.
+        from pyspark.sql.types import TimestampNTZType
+
+        if isinstance(stream.schema[ts_col].dataType, TimestampNTZType):
+            stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     w = F.window(F.col(ts_col), window_duration, slide_duration)
     return (
         stream.withWatermark(ts_col, watermark)

@@ -36,14 +36,26 @@ def clicks_before_purchases_stream(
     Both inputs must be streaming DataFrames with event-time ``ts_col``.
     Output: user_id, click_ts, purchase_ts, gap_seconds.
     """
+    from pyspark.sql.types import TimestampNTZType
+
+    def _event_time(df: DataFrame, src: str) -> "F.Column":
+        # withWatermark rejects TIMESTAMP_NTZ at analysis (Spark 4); cast is
+        # value-preserving under the engine's pinned-UTC session.
+        col = F.col(src)
+        if isinstance(df.schema[src].dataType, TimestampNTZType):
+            col = col.cast("timestamp")
+        return col
+
     c = (
         clicks.select(
-            F.col(user_col).alias("user_id"), F.col(ts_col).alias("click_ts")
+            F.col(user_col).alias("user_id"),
+            _event_time(clicks, ts_col).alias("click_ts"),
         ).withWatermark("click_ts", watermark)
     )
     p = (
         purchases.select(
-            F.col(user_col).alias("p_user_id"), F.col(ts_col).alias("purchase_ts")
+            F.col(user_col).alias("p_user_id"),
+            _event_time(purchases, ts_col).alias("purchase_ts"),
         ).withWatermark("purchase_ts", watermark)
     )
     return c.join(

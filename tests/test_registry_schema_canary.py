@@ -1,0 +1,44 @@
+"""Schema canary: the registry must hand every consumer event-time columns
+of type TIMESTAMP (never TIMESTAMP_NTZ, never raw nanos longs).
+
+The driver has regenerated /root/testdata across rounds with different
+parquet timestamp encodings (TIMESTAMP(NANOS) in rounds 1-2, then µs
+TIMESTAMP_NTZ in round 3), and under Spark 4 an NTZ event-time column
+hard-fails ``unix_micros`` and ``withWatermark`` at analysis time. Round 3
+lost 4 corpus queries and a streaming test to a silent regen; this test
+exists so the NEXT regen fails one named test instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+from quantum_rag_data_pipeline_spark.sources.registry import (
+    TABLES,
+    load_table,
+    normalize_ntz,
+)
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    df = load_table(spark, "events", sf_dir)
+    assert isinstance(df.schema["ts"].dataType, TimestampType), (
+        f"events.ts must load as TIMESTAMP (got {df.schema['ts'].dataType}); "
+        "unix_micros/withWatermark reject anything else — see registry.normalize_ntz"
+    )
+
+
+def test_no_table_exposes_ntz(spark, sf_dir):
+    for name in TABLES:
+        df = load_table(spark, name, sf_dir)
+        ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+        assert not ntz, f"{name} exposes TIMESTAMP_NTZ columns {ntz} through the registry"
+
+
+def test_normalize_ntz_is_value_preserving(spark):
+    # session TZ is pinned UTC, so NTZ->TIMESTAMP must not move the instant
+    df = spark.sql("SELECT TIMESTAMP_NTZ '2025-05-08 12:34:56.789' AS t")
+    out = normalize_ntz(df)
+    assert isinstance(out.schema["t"].dataType, TimestampType)
+    row = out.selectExpr("date_format(t, 'yyyy-MM-dd HH:mm:ss.SSS') AS s").first()
+    assert row["s"] == "2025-05-08 12:34:56.789"
