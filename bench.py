@@ -143,6 +143,11 @@ HEADLINE = [
     "unigram_logprob_quality",
     "retrieval_eval_ndcg",
     "dedup_shingle_containment",
+    # round 4: table maintenance, bloom sketch, PQ ANN
+    "compaction_bin_packing",
+    "zone_map_pruning",
+    "bloom_filter_membership",
+    "pq_ann_topk",
 ]
 
 

@@ -64,6 +64,93 @@ def zorder_key(
     )
 
 
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    part_col: str = "part_key",
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planner (the Delta ``OPTIMIZE`` / Iceberg
+    ``rewrite_data_files`` bin-packing step, planned declaratively).
+
+    Why it matters at 100 TB: streaming ingest and per-partition writes
+    leave thousands of KB-scale files per partition; every one costs a
+    NameNode/SBI listing round-trip and a task-scheduling slot. The
+    standard fix groups small files into ~target-size rewrite bins.
+
+    This is SEQUENTIAL FILL packing — files in deterministic (partition,
+    file_id) order, running-total cumsum, bin = floor(exclusive-cumsum /
+    target) — rather than first-fit-decreasing: the plan is a pure
+    window expression (one shuffle on the partition key), deterministic
+    under any input partitioning, and exactly SQL-replayable, at the
+    cost of at most 2x optimal bin count (each bin except the last is
+    at least half full whenever files are smaller than target).
+    Oversized files naturally land in their own bin.
+
+    Returns (part_key, file_id, size_bytes, bin_id, bin_bytes, bin_files).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(part_col).orderBy(file_col)
+    cum_excl = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    binned = files.withColumn(
+        "bin_id", F.floor(cum_excl / F.lit(target_bytes)).cast("bigint")
+    )
+    wb = Window.partitionBy(part_col, "bin_id")
+    return binned.select(
+        part_col,
+        file_col,
+        size_col,
+        "bin_id",
+        F.sum(size_col).over(wb).cast("bigint").alias("bin_bytes"),
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("bin_files"),
+    )
+
+
+def zone_map_stats(
+    df: DataFrame,
+    part_col: Column | str,
+    stat_cols: list[str],
+) -> DataFrame:
+    """Zone maps: per-partition min/max per column — the file/row-group
+    statistics a parquet footer carries, computed as a table so pruning
+    can be REASONED about (which partitions would a predicate skip?
+    what selectivity does the layout buy?). One partial-aggregable
+    groupBy; shuffle volume is n_partitions x 2 values per column.
+
+    Returns (zone, <c>_min, <c>_max ... for each stat col, n_rows).
+    """
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    zone = part_col if isinstance(part_col, Column) else F.col(part_col)
+    return df.groupBy(zone.alias("zone")).agg(*aggs)
+
+
+def zone_pruning_report(
+    zones: DataFrame, col: str, lo, hi
+) -> DataFrame:
+    """Given zone maps, report which zones a ``col BETWEEN lo AND hi``
+    scan must read: a zone survives iff [min,max] overlaps [lo,hi] —
+    exactly the skip test a reader applies per row group. Emits per-zone
+    ``scanned`` plus rows_scanned/rows_skipped so layout quality is a
+    number, not a feeling."""
+    overlaps = (F.col(f"{col}_max") >= F.lit(lo)) & (F.col(f"{col}_min") <= F.lit(hi))
+    return zones.select(
+        "zone",
+        f"{col}_min",
+        f"{col}_max",
+        "n_rows",
+        overlaps.alias("scanned"),
+    )
+
+
 def write_zordered(
     df: DataFrame, path: str, col_a: str, col_b: str,
     bits: int = 8, n_files: int = 8,

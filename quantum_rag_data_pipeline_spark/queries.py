@@ -3813,7 +3813,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     tc AS (SELECT term, COUNT(*) AS true_cnt FROM tok GROUP BY term),
     rows_ AS (SELECT term, true_cnt, g.j,
-                     CAST(concat('0x', substr(md5(CAST(g.j AS VARCHAR) || '|' || term), 1, 8)) AS BIGINT) % 512 AS b
+                     CAST(concat('0x', substr(md5('|' || CAST(g.j AS VARCHAR) || '|' || term), 1, 8)) AS BIGINT) % 512 AS b
               FROM tc, LATERAL (SELECT unnest(range(0, 4)) AS j) g),
     sketch AS (SELECT j, b, SUM(true_cnt) AS counter FROM rows_ GROUP BY j, b),
     top AS (SELECT term, true_cnt FROM (
@@ -3827,7 +3827,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
          LATERAL (SELECT unnest(range(0, 4)) AS j) g
     JOIN sketch s
       ON s.j = g.j
-     AND s.b = CAST(concat('0x', substr(md5(CAST(g.j AS VARCHAR) || '|' || t.term), 1, 8)) AS BIGINT) % 512
+     AND s.b = CAST(concat('0x', substr(md5('|' || CAST(g.j AS VARCHAR) || '|' || t.term), 1, 8)) AS BIGINT) % 512
     GROUP BY t.term, t.true_cnt
     """,
 )
@@ -4369,6 +4369,300 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .filter(cont >= 0.8)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave: table-maintenance planning (compaction, zone-map pruning),
+# Bloom membership sketch, and product-quantization ANN — the operational
+# layer a 100 TB lakehouse pipeline runs continuously.
+# ---------------------------------------------------------------------------
+
+@query(
+    "compaction_bin_packing",
+    oracle="""
+    WITH files AS (
+      SELECT source, doc_id % 8 AS file_id,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS size_bytes
+      FROM documents GROUP BY source, doc_id % 8
+    ),
+    binned AS (
+      SELECT source, file_id, size_bytes,
+             CAST(FLOOR(COALESCE(SUM(size_bytes) OVER (
+                    PARTITION BY source ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 2500.0) AS BIGINT) AS bin_id
+      FROM files
+    )
+    SELECT source, CAST(file_id AS BIGINT) AS file_id, size_bytes, bin_id,
+           CAST(SUM(size_bytes) OVER (PARTITION BY source, bin_id) AS BIGINT) AS bin_bytes,
+           CAST(COUNT(*) OVER (PARTITION BY source, bin_id) AS BIGINT) AS bin_files
+    FROM binned
+    """,
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (Delta OPTIMIZE / Iceberg
+    rewrite_data_files bin-packing, planned declaratively): a synthetic
+    file inventory — one "file" per (source, doc_id%8) with its byte
+    size — is packed into ~2.5 KB rewrite bins by sequential-fill cumsum
+    (operators/layout.py:compaction_plan). The plan is ONE window over
+    the partition key: deterministic under any input partitioning and at
+    most 2x optimal bins, which is why real table services use exactly
+    this shape at fleet scale instead of first-fit-decreasing (whose
+    global sort by size breaks streamability)."""
+    from quantum_rag_data_pipeline_spark.operators import layout as layout_ops
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.groupBy(
+        "source", (F.col("doc_id") % 8).cast("bigint").alias("file_id")
+    ).agg(F.sum(F.length("text")).cast("bigint").alias("size_bytes"))
+    return layout_ops.compaction_plan(
+        files, 2500, part_col="source", file_col="file_id", size_col="size_bytes"
+    )
+
+
+@query(
+    "zone_map_pruning",
+    oracle="""
+    WITH zones AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS zone,
+             MIN(l_orderkey) AS okey_min, MAX(l_orderkey) AS okey_max,
+             MIN(l_shipdate) AS ship_min, MAX(l_shipdate) AS ship_max,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY zone
+    )
+    SELECT zone, CAST(okey_min AS BIGINT) AS okey_min,
+           CAST(okey_max AS BIGINT) AS okey_max, n_rows,
+           (ship_max >= DATE '1996-01-01' AND ship_min <= DATE '1996-06-30')
+             AS scanned_by_date,
+           (okey_max >= 3000 AND okey_min <= 6000) AS scanned_by_orderkey
+    FROM zones
+    """,
+)
+def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone maps + pruning report: per-month min/max statistics (the
+    parquet footer stats, surfaced as a table) and, for two range
+    predicates, whether each zone survives the reader's skip test.
+    The date predicate prunes ~90% of zones (data IS clustered by
+    month); the orderkey predicate prunes nothing (orderkeys spread
+    uniformly across months) — the report turns "is this layout good
+    for this workload" into a number. groupBy is partial-aggregable:
+    shuffle volume is n_zones x 4 values regardless of table size."""
+    from quantum_rag_data_pipeline_spark.operators import layout as layout_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    zones = layout_ops.zone_map_stats(
+        li, F.date_format("l_shipdate", "yyyy-MM"), ["l_orderkey", "l_shipdate"]
+    )
+    return zones.select(
+        "zone",
+        F.col("l_orderkey_min").cast("bigint").alias("okey_min"),
+        F.col("l_orderkey_max").cast("bigint").alias("okey_max"),
+        "n_rows",
+        (
+            (F.col("l_shipdate_max") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate_min") <= F.lit("1996-06-30").cast("date"))
+        ).alias("scanned_by_date"),
+        (
+            (F.col("l_orderkey_max") >= 3000) & (F.col("l_orderkey_min") <= 6000)
+        ).alias("scanned_by_orderkey"),
+    )
+
+
+@query(
+    "bloom_filter_membership",
+    oracle="""
+    WITH build AS (
+      SELECT DISTINCT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                      x -> x <> '')) AS term
+      FROM documents WHERE CAST(substr(source, 4) AS INT) < 10),
+    probe AS (
+      SELECT DISTINCT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                      x -> x <> '')) AS term
+      FROM documents WHERE CAST(substr(source, 4) AS INT) >= 10),
+    bits AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5('|' || CAST(g.j AS VARCHAR) || '|' || b.term), 1, 8)) AS BIGINT) % 2048 AS pos
+      FROM build b, LATERAL (SELECT unnest(range(0, 3)) AS j) g),
+    probe_hits AS (
+      SELECT p.term,
+             SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS k_hits,
+             MAX(CASE WHEN bu.term IS NOT NULL THEN 1 ELSE 0 END) AS is_member
+      FROM probe p
+      CROSS JOIN LATERAL (SELECT unnest(range(0, 3)) AS j) g
+      LEFT JOIN bits
+        ON bits.pos = CAST(concat('0x', substr(md5('|' || CAST(g.j AS VARCHAR) || '|' || p.term), 1, 8)) AS BIGINT) % 2048
+      LEFT JOIN build bu ON bu.term = p.term
+      GROUP BY p.term)
+    SELECT CAST(2048 AS BIGINT) AS m, CAST(3 AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_set_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN k_hits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(MIN(CASE WHEN is_member = 1 THEN (k_hits = 3) END) AS BOOLEAN)
+             AS no_false_negatives
+    FROM probe_hits
+    """,
+)
+def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch, driver-verified end-to-end: build
+    an m=2048, k=3 filter over the distinct vocabulary of sources
+    src0-9, probe with the vocabulary of src10-19, and report set bits,
+    maybe-count, true-member count and the structural no-false-negative
+    guarantee. The filter is its SET-BIT-POSITION set (a mergeable
+    representation: OR of partial filters == union of position sets —
+    same partial-aggregable shape the CMS/HLL queries use), salted with
+    md5 buckets so DuckDB replays every bit. At 100 TB this is the
+    pre-join existence check that skips shuffling rows whose keys
+    cannot match (Spark's own runtime row-group bloom pushdown, done as
+    an explicit relational program)."""
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    vocab = lambda pred: (
+        d.filter(pred)
+        .select(F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("term"))
+        .distinct()
+    )
+    build, probe = vocab(src_num < 10), vocab(src_num >= 10)
+    js = F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j")
+    pos_of = lambda term_col: cur_ops.md5_bucket(
+        F.concat(F.col("j").cast("string"), F.lit("|"), term_col), 2048
+    )
+    bits = build.select("term", js).select(pos_of(F.col("term")).alias("pos")).distinct()
+    probed = (
+        probe.select("term", js)
+        .withColumn("pos", pos_of(F.col("term")))
+        .join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left_outer")
+        .groupBy("term")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("k_hits"))
+        .join(build.withColumn("_member", F.lit(1)), "term", "left_outer")
+        .select("term", "k_hits", F.coalesce("_member", F.lit(0)).alias("is_member"))
+    )
+    n_keys = build.agg(F.count(F.lit(1)).alias("c"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("c"))
+    return (
+        probed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum((F.col("k_hits") == 3).cast("int")).cast("bigint").alias("n_maybe"),
+            F.sum("is_member").cast("bigint").alias("n_members"),
+            F.min(
+                F.when(F.col("is_member") == 1, F.col("k_hits") == 3)
+            ).alias("no_false_negatives"),
+        )
+        .crossJoin(F.broadcast(n_keys.select(F.col("c").cast("bigint").alias("n_keys"))))
+        .crossJoin(F.broadcast(n_bits.select(F.col("c").cast("bigint").alias("n_set_bits"))))
+        .select(
+            F.lit(2048).cast("bigint").alias("m"),
+            F.lit(3).cast("bigint").alias("k"),
+            "n_keys",
+            "n_set_bits",
+            "n_probes",
+            "n_maybe",
+            "n_members",
+            "no_false_negatives",
+        )
+    )
+
+
+# PQ geometry: M subspaces of dsub dims over the 64-dim embeddings; the
+# codebook is the first K corpus vectors (deterministic seeds, like the
+# IVF query's centroids). The oracle replays every distance as the same
+# left-to-right 8-term sum Spark's aggregate() fold computes.
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 16, 8
+_PQ_D2 = " + ".join(
+    f"((av[m*{_PQ_DSUB}+{i}] - cv[m*{_PQ_DSUB}+{i}]) * (av[m*{_PQ_DSUB}+{i}] - cv[m*{_PQ_DSUB}+{i}]))"
+    for i in range(1, _PQ_DSUB + 1)
+)
+
+@query(
+    "pq_ann_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    cent AS (SELECT vec_id AS k, vec AS cv FROM v WHERE vec_id < {_PQ_K}),
+    m_ AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    assign AS (
+      SELECT d.vec_id, m_.m, cent.k,
+             {_PQ_D2.replace('av[', 'd.vec[').replace('cv[', 'cent.cv[')} AS d2
+      FROM v d CROSS JOIN m_ CROSS JOIN cent),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+        FROM assign) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5),
+    lut AS (
+      SELECT q.query_id, m_.m, cent.k,
+             {_PQ_D2.replace('av[', 'q.qv[').replace('cv[', 'cent.cv[')} AS d2q
+      FROM q CROSS JOIN m_ CROSS JOIN cent),
+    adc AS (
+      SELECT l.query_id, c.vec_id,
+             SUM(CAST(l.d2q AS DECIMAL(30,12))) AS dist
+      FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code
+      GROUP BY l.query_id, c.vec_id)
+    SELECT query_id, vec_id,
+           ROUND(CAST(dist AS DOUBLE), 6) AS adc_dist
+    FROM (
+      SELECT query_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+      FROM adc) WHERE rn <= 10
+    """,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS IndexPQ shape, relationally):
+    corpus vectors are coded as M=8 subspace centroids (codebook =
+    first K=16 corpus vectors, deterministic like the IVF query's
+    seeds), and queries scan CODES with an asymmetric-distance lookup
+    table instead of raw vectors. Completes the ANN family alongside
+    brute-force (exact), SRP-LSH (bucketed) and IVF (partitioned).
+
+    Scale shape: the M*K codebook broadcasts everywhere; code
+    assignment is a broadcast nested-loop (M*K distance evals per doc,
+    the PQ invariant) + one partial-aggregable argmin; the query-time
+    lookup table is n_queries*M*K floats (tiny, broadcast); the scan
+    touches only codes — 8 small ints per doc instead of 64 floats,
+    the 8-32x memory compression that makes billion-vector serving
+    fit in RAM. Decimal-cast ADC sums keep the ranking replayable."""
+    e = _t(spark, sf_dir, "embeddings")
+    sub = lambda c: F.array(
+        *[F.slice(c, m * _PQ_DSUB + 1, _PQ_DSUB) for m in range(_PQ_M)]
+    )
+    d2 = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cent = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("k"), F.posexplode(sub(F.col("embedding"))).alias("m", "cv"))
+    )
+    corpus = e.select("vec_id", F.posexplode(sub(F.col("embedding"))).alias("m", "av"))
+    codes = (
+        corpus.join(F.broadcast(cent), "m")
+        .withColumn("d2", d2(F.col("av"), F.col("cv")))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "k")).alias("_best"))
+        .select("vec_id", "m", F.col("_best.k").alias("code"))
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(sub(F.col("embedding"))).alias("m", "qv"),
+    )
+    lut = queries.join(F.broadcast(cent), "m").select(
+        "query_id", "m", "k", d2(F.col("qv"), F.col("cv")).alias("d2q")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), (codes["m"] == lut["m"]) & (codes["code"] == lut["k"]))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("d2q").cast("decimal(30,12)")).alias("dist"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", F.round(F.col("dist").cast("double"), 6).alias("adc_dist"))
     )
 
 
