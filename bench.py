@@ -148,6 +148,10 @@ HEADLINE = [
     "zone_map_pruning",
     "bloom_filter_membership",
     "pq_ann_topk",
+    "join_key_skew_report",
+    "snapshot_diff_cdc",
+    "equidepth_histogram_stats",
+    "sq_int8_recall",
 ]
 
 

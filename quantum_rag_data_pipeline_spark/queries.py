@@ -4667,6 +4667,304 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 wave 2: operational statistics & storage efficiency — join-key
+# skew diagnostics, snapshot diffing (CDC), optimizer-style column
+# histograms, int8 scalar quantization with recall evaluation.
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             ROUND(AVG(cnt), 4) AS mean_cnt,
+             ROUND(MAX(cnt) / AVG(cnt), 4) AS skew_factor
+      FROM counts
+    ),
+    top AS (
+      SELECT user_id, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk
+      FROM counts
+    )
+    SELECT t.user_id, t.cnt, t.rnk, s.n_keys, s.max_cnt, s.mean_cnt, s.skew_factor
+    FROM top t CROSS JOIN stats s WHERE t.rnk <= 5
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the report you run BEFORE deciding a
+    join needs salting (operators/skew.py) or AQE skew splitting: per-key
+    row counts, the global key count / max / mean, and max/mean as the
+    skew factor, with the top-5 hottest keys. Two partial-aggregable
+    aggregations; the single-row stats side broadcasts onto the top-k.
+    At 100 TB this is the cheap scan that tells you whether the
+    expensive shuffle will stall on one reducer. The top-5 cut is
+    TakeOrderedAndProject (per-partition k-heaps), NOT a global rank
+    window — the counts frame has one row per key and would otherwise
+    single-partition-sort millions of keys; ranks are re-derived on the
+    5 surviving rows."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("mean_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+    )
+    top = win_ops.top_k(counts, [F.col("cnt").desc(), F.col("user_id")], 5).withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("user_id")))
+        .cast("bigint"),
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "user_id", "cnt", "rnk", "n_keys", "max_cnt", "mean_cnt", "skew_factor"
+    )
+
+
+@query(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(ROUND(o_totalprice * 1.1, 2) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderdate < DATE '1997-07-01' AND o_orderkey % 13 <> 3
+    ),
+    classified AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS okey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS change_class
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_class, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(okey) AS BIGINT) AS min_key, CAST(MAX(okey) AS BIGINT) AS max_key
+    FROM classified GROUP BY change_class
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the CDC / table-format time-travel comparison):
+    two simulated snapshots of orders — snapshot B extends the date
+    range, bumps every 7th order's price, and purges every 13th key —
+    classified added / removed / changed / unchanged by one full-outer
+    join on the key plus value compare, so all four classes occur. This is how incremental pipelines reconcile a table against
+    its previous version without a transaction log. The join shuffles
+    only (key, compare-value); class rollup is partial-aggregable."""
+    o = _t(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    snap_b = o.filter(
+        (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+        & (F.col("o_orderkey") % 13 != 3)
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    cls = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("okey"),
+            cls.alias("change_class"),
+        )
+        .groupBy("change_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("okey").cast("bigint").alias("min_key"),
+            F.max("okey").cast("bigint").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "equidepth_histogram_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS rk,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT CAST(FLOOR(rk * 16.0 / n) + 1 AS BIGINT) AS bucket,
+           MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM ranked GROUP BY 1
+    """,
+)
+def equidepth_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) column histogram — the statistic ANALYZE
+    TABLE ... COMPUTE STATISTICS FOR COLUMNS feeds the cost-based
+    optimizer for selectivity estimation: 16 buckets of (+-1) equal row
+    count with their value bounds, bucket = floor(rank * 16 / N).
+
+    The exact global rank is built WITHOUT a single-partition window
+    (the WindowExec scale trap): rows pre-group on a coarse value range
+    whose sort order prefixes the total order, and
+    ``curation.assign_global_ids`` composes within-group row_numbers
+    with broadcast per-group offsets — the same two-level construction
+    as global_id_assignment. The oracle is the naive global ROW_NUMBER
+    the construction provably equals. The GK sketch
+    (quantile_sketch_bounds) is the one-pass approximate sibling."""
+    li = _t(spark, sf_dir, "lineitem")
+    graded = li.select(
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") / 5000).cast("bigint").alias("_grp"),
+    )
+    ranked = cur_ops.assign_global_ids(
+        graded, "_grp", ["l_extendedprice", "l_orderkey", "l_linenumber"], id_name="rk"
+    )
+    n = graded.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "l_extendedprice",
+            (F.floor(F.col("rk") * 16.0 / F.col("_n")) + 1).cast("bigint").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "sq_int8_recall",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    longf AS (
+      SELECT vec_id, g.dim, vec[g.dim] AS val
+      FROM v, LATERAL (SELECT unnest(range(1, 65)) AS dim) g),
+    dimstats AS (
+      SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM longf GROUP BY dim),
+    codes AS (
+      SELECT l.vec_id, l.dim,
+             CASE WHEN s.hi - s.lo <= 0 THEN 0
+                  ELSE LEAST(CAST(FLOOR((l.val - s.lo) * 255.0 / (s.hi - s.lo) + 0.5) AS BIGINT), 255)
+             END AS code
+      FROM longf l JOIN dimstats s USING (dim)),
+    dq AS (
+      SELECT c.vec_id, c.dim, s.lo + c.code * (s.hi - s.lo) / 255.0 AS dval
+      FROM codes c JOIN dimstats s USING (dim)),
+    q AS (SELECT vec_id AS query_id, dim, val FROM longf WHERE vec_id < 5),
+    exact_dot AS (
+      SELECT q.query_id, l.vec_id,
+             SUM(CAST(q.val * l.val AS DECIMAL(38,18))) AS dot
+      FROM q JOIN longf l USING (dim) GROUP BY q.query_id, l.vec_id),
+    sq_dot AS (
+      SELECT q.query_id, d.vec_id,
+             SUM(CAST(q.val * d.dval AS DECIMAL(38,18))) AS dot
+      FROM q JOIN dq d USING (dim) GROUP BY q.query_id, d.vec_id),
+    exact_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rn
+        FROM exact_dot) WHERE rn <= 10),
+    sq_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rn
+        FROM sq_dot) WHERE rn <= 10)
+    SELECT e.query_id, CAST(10 AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+    FROM exact_top e LEFT JOIN sq_top s
+      ON s.query_id = e.query_id AND s.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization with recall evaluation — the 4x memory
+    compression every production vector store offers (per-dimension
+    min/max linear quantization to 0..255), scored honestly: top-10 by
+    dot product over DEQUANTIZED vectors vs exact top-10, overlap
+    reported per query. Per-dimension stats are one partial-aggregable
+    pass (64 x 2 values — broadcast everywhere); dot products run on the
+    decimal grid in long form, so summation order cannot perturb the
+    ranking and DuckDB replays the whole evaluation including the
+    floor(x+0.5) rounding."""
+    e = _t(spark, sf_dir, "embeddings")
+    longf = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    dimstats = longf.groupBy("dim").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    span = F.col("hi") - F.col("lo")
+    codes = (
+        longf.join(F.broadcast(dimstats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.when(span <= 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("val") - F.col("lo")) * 255.0 / span + 0.5).cast("bigint"),
+                    F.lit(255).cast("bigint"),
+                )
+            )
+            .alias("code"),
+        )
+    )
+    dq = codes.join(F.broadcast(dimstats), "dim").select(
+        "vec_id", "dim", (F.col("lo") + F.col("code") * span / 255.0).alias("dval")
+    )
+    q = longf.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("val").alias("qval")
+    )
+    from pyspark.sql.window import Window
+
+    def topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+        return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+    exact_dot = (
+        longf.join(F.broadcast(q), "dim")
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum((F.col("qval") * F.col("val")).cast("decimal(38,18)")).alias("dot"))
+    )
+    sq_dot = (
+        dq.join(F.broadcast(q), "dim")
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum((F.col("qval") * F.col("dval")).cast("decimal(38,18)")).alias("dot"))
+    )
+    exact_top = topk(exact_dot).select("query_id", "vec_id")
+    sq_top = topk(sq_dot).select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    return (
+        exact_top.join(sq_top, ["query_id", "vec_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.lit(10).cast("bigint").alias("k"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_overlap"),
+        )
+        .select("query_id", "k", "n_overlap")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
