@@ -152,6 +152,9 @@ HEADLINE = [
     "snapshot_diff_cdc",
     "equidepth_histogram_stats",
     "sq_int8_recall",
+    "zorder_pruning_effectiveness",
+    "mrl_truncation_recall",
+    "table_fingerprint_merkle",
 ]
 
 

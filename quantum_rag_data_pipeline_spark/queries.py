@@ -4965,6 +4965,262 @@ def sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 wave 3: layout effectiveness measurement, adaptive-retrieval
+# evaluation, and table fingerprinting.
+# ---------------------------------------------------------------------------
+
+@query(
+    "zorder_pruning_effectiveness",
+    oracle=f"""
+    WITH stats AS (
+      SELECT MIN(o_custkey) AS alo, MAX(o_custkey) AS ahi,
+             MIN(o_totalprice) AS blo, MAX(o_totalprice) AS bhi
+      FROM orders
+    ),
+    pred AS (
+      SELECT alo + 0.45 * (ahi - alo) AS clo, alo + 0.55 * (ahi - alo) AS chi,
+             blo + 0.45 * (bhi - blo) AS plo, blo + 0.55 * (bhi - blo) AS phi
+      FROM stats
+    ),
+    bucketed AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN ahi - alo <= 0 THEN 0
+                  ELSE LEAST(CAST(FLOOR((o_custkey - alo) * 256.0 / (ahi - alo + 1)) AS BIGINT), 255)
+             END AS za,
+             CASE WHEN bhi - blo <= 0 THEN 0
+                  ELSE LEAST(CAST(FLOOR((o_totalprice - blo) * 256.0 / (bhi - blo + 1)) AS BIGINT), 255)
+             END AS zb
+      FROM orders CROSS JOIN stats
+    ),
+    zoned AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(FLOOR(o_orderkey / 1000.0) AS BIGINT) AS zone_linear,
+             CAST(FLOOR(CAST({_Z_INTERLEAVE_SQL} AS BIGINT) / 4096.0) AS BIGINT) AS zone_z
+      FROM bucketed
+    ),
+    melted AS (
+      SELECT 'linear' AS layout, zone_linear AS zone, o_custkey, o_totalprice FROM zoned
+      UNION ALL
+      SELECT 'zorder' AS layout, zone_z AS zone, o_custkey, o_totalprice FROM zoned
+    ),
+    zonemaps AS (
+      SELECT layout, zone,
+             MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+             MIN(o_totalprice) AS pmin, MAX(o_totalprice) AS pmax,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM melted GROUP BY layout, zone
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(CASE WHEN cmax >= clo AND cmin <= chi
+                          AND pmax >= plo AND pmin <= phi THEN 1 ELSE 0 END) AS BIGINT)
+             AS zones_scanned,
+           CAST(SUM(CASE WHEN cmax >= clo AND cmin <= chi
+                          AND pmax >= plo AND pmin <= phi THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned
+    FROM zonemaps CROSS JOIN pred
+    GROUP BY layout
+    """,
+)
+def zorder_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measures what Z-ordering actually buys: the same 2-D range
+    predicate (center 10% of custkey x center 10% of price, bounds
+    derived from data stats so the query is SF-independent) evaluated
+    against zone maps of two layouts of orders — insertion order
+    (zones = orderkey ranges) vs Z-order (zones = Morton-curve
+    segments via operators/layout.py:zorder_key). Emits zones/rows
+    scanned per layout; on uniform data the linear layout scans ~every
+    zone (custkey and price are uncorrelated with insertion order)
+    while the Z-order layout scans the few curve segments intersecting
+    the query rectangle — the row-group-skipping argument for OPTIMIZE
+    ZORDER BY stated as a measurement, not a slogan."""
+    from quantum_rag_data_pipeline_spark.operators import layout as layout_ops
+
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_custkey").alias("alo"), F.max("o_custkey").alias("ahi"),
+        F.min("o_totalprice").alias("blo"), F.max("o_totalprice").alias("bhi"),
+    )
+    zoned = layout_ops.zorder_key(o, "o_custkey", "o_totalprice", bits=_Z_BITS).select(
+        "o_custkey",
+        "o_totalprice",
+        F.floor(F.col("o_orderkey") / 1000.0).cast("bigint").alias("zone_linear"),
+        F.floor(F.col("z_key") / 4096.0).cast("bigint").alias("zone_z"),
+    )
+    melted = zoned.select(
+        F.lit("linear").alias("layout"), F.col("zone_linear").alias("zone"),
+        "o_custkey", "o_totalprice",
+    ).unionByName(
+        zoned.select(
+            F.lit("zorder").alias("layout"), F.col("zone_z").alias("zone"),
+            "o_custkey", "o_totalprice",
+        )
+    )
+    zonemaps = melted.groupBy("layout", "zone").agg(
+        F.min("o_custkey").alias("cmin"), F.max("o_custkey").alias("cmax"),
+        F.min("o_totalprice").alias("pmin"), F.max("o_totalprice").alias("pmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    pred = stats.select(
+        (F.col("alo") + 0.45 * (F.col("ahi") - F.col("alo"))).alias("clo"),
+        (F.col("alo") + 0.55 * (F.col("ahi") - F.col("alo"))).alias("chi"),
+        (F.col("blo") + 0.45 * (F.col("bhi") - F.col("blo"))).alias("plo"),
+        (F.col("blo") + 0.55 * (F.col("bhi") - F.col("blo"))).alias("phi"),
+    )
+    hit = (
+        (F.col("cmax") >= F.col("clo")) & (F.col("cmin") <= F.col("chi"))
+        & (F.col("pmax") >= F.col("plo")) & (F.col("pmin") <= F.col("phi"))
+    )
+    return (
+        zonemaps.crossJoin(F.broadcast(pred))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_zones"),
+            F.sum(hit.cast("int")).cast("bigint").alias("zones_scanned"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("bigint").alias("rows_scanned"),
+        )
+    )
+
+
+@query(
+    "mrl_truncation_recall",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    longf AS (
+      SELECT vec_id, g.dim, vec[g.dim] AS val
+      FROM v, LATERAL (SELECT unnest(range(1, 65)) AS dim) g),
+    q AS (SELECT vec_id AS query_id, dim, val FROM longf WHERE vec_id < 5),
+    dots AS (
+      SELECT q.query_id, l.vec_id,
+             SUM(CAST(q.val * l.val AS DECIMAL(38,18))) AS dot_full,
+             SUM(CASE WHEN l.dim <= 16 THEN CAST(q.val * l.val AS DECIMAL(38,18))
+                      ELSE CAST(0 AS DECIMAL(38,18)) END) AS dot_16,
+             SUM(CASE WHEN l.dim <= 32 THEN CAST(q.val * l.val AS DECIMAL(38,18))
+                      ELSE CAST(0 AS DECIMAL(38,18)) END) AS dot_32
+      FROM q JOIN longf l USING (dim) GROUP BY q.query_id, l.vec_id),
+    t_full AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY dot_full DESC, vec_id) AS rn FROM dots)
+      WHERE rn <= 10),
+    t_16 AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY dot_16 DESC, vec_id) AS rn FROM dots)
+      WHERE rn <= 10),
+    t_32 AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY dot_32 DESC, vec_id) AS rn FROM dots)
+      WHERE rn <= 10)
+    SELECT f.query_id, CAST(10 AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_16,
+           CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_32
+    FROM t_full f
+    LEFT JOIN t_16 a ON a.query_id = f.query_id AND a.vec_id = f.vec_id
+    LEFT JOIN t_32 b ON b.query_id = f.query_id AND b.vec_id = f.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-embedding evaluation: recall@10 of
+    prefix-dimension retrieval (16 and 32 of 64 dims) against full-dim
+    exact top-k — the measurement behind adaptive retrieval (coarse
+    search on a prefix, rerank on the full vector, 2-4x less memory
+    bandwidth). One long-form pass computes all three rankings from the
+    same join (the truncations are conditional sums, not re-scans);
+    decimal-grid dots keep every ranking replayable."""
+    e = _t(spark, sf_dir, "embeddings")
+    longf = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    q = longf.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("val").alias("qval")
+    )
+    prod = (F.col("qval") * F.col("val")).cast("decimal(38,18)")
+    zero = F.lit(0).cast("decimal(38,18)")
+    dots = (
+        longf.join(F.broadcast(q), "dim")
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(prod).alias("dot_full"),
+            F.sum(F.when(F.col("dim") <= 16, prod).otherwise(zero)).alias("dot_16"),
+            F.sum(F.when(F.col("dim") <= 32, prod).otherwise(zero)).alias("dot_32"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    def topk(col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.col(col).desc(), F.col("vec_id"))
+        return (
+            dots.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("query_id", "vec_id")
+        )
+
+    t_full = topk("dot_full")
+    t16 = topk("dot_16").withColumn("_h16", F.lit(1))
+    t32 = topk("dot_32").withColumn("_h32", F.lit(1))
+    return (
+        t_full.join(t16, ["query_id", "vec_id"], "left_outer")
+        .join(t32, ["query_id", "vec_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.lit(10).cast("bigint").alias("k"),
+            F.sum(F.coalesce("_h16", F.lit(0))).cast("bigint").alias("n_overlap_16"),
+            F.sum(F.coalesce("_h32", F.lit(0))).cast("bigint").alias("n_overlap_32"),
+        )
+        .select("query_id", "k", "n_overlap_16", "n_overlap_32")
+    )
+
+
+@query(
+    "table_fingerprint_merkle",
+    oracle="""
+    WITH hashed AS (
+      SELECT CAST(FLOOR(o_orderkey / 1000.0) AS BIGINT) AS zone,
+             CAST(concat('0x', substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d')), 1, 15)) AS BIGINT) AS row_hash
+      FROM orders
+    )
+    SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(row_hash AS DECIMAL(38,0))) AS VARCHAR) AS content_hash
+    FROM hashed GROUP BY zone
+    """,
+)
+def table_fingerprint_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level content fingerprinting (the Merkle/anti-entropy
+    primitive behind table sync and replica repair): an
+    order-independent content hash per orderkey-range zone — rows are
+    md5-hashed over a canonical `|`-joined encoding (numerics cast to
+    integers so float formatting can never diverge between engines),
+    then SUMMED per zone on the decimal grid. Sum-of-hashes is
+    commutative and mergeable: two replicas compare n_zones hashes
+    instead of n_rows rows, and recursion over zone groups gives the
+    full Merkle tree. Cheap one-pass scan, partial-aggregable."""
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (
+        o.select(
+            F.floor(F.col("o_orderkey") / 1000.0).cast("bigint").alias("zone"),
+            row_hash.alias("row_hash"),
+        )
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("row_hash").cast("decimal(38,0)")).cast("string").alias("content_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
