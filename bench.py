@@ -155,6 +155,10 @@ HEADLINE = [
     "zorder_pruning_effectiveness",
     "mrl_truncation_recall",
     "table_fingerprint_merkle",
+    "streaming_sessionization",
+    "timeseries_interpolate_linear",
+    "python_udtf_word_chunks",
+    "pandas_udaf_geomean",
 ]
 
 

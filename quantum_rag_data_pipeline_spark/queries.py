@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves string annotations in module globals
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -5218,6 +5220,262 @@ def table_fingerprint_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("row_hash").cast("decimal(38,0)")).cast("string").alias("content_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 4: streaming session windows, linear interpolation, and
+# the remaining Python-execution API surface (UDTF, grouped-agg UDAF).
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS session_value
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows in Structured Streaming: the same 30-min
+    inactivity-gap sessionization as the batch query, but computed by a
+    watermarked ``session_window`` streaming aggregation over the file
+    source and drained with availableNow — and checked against the SAME
+    gaps-and-islands oracle, so stream == batch is driver-verified.
+    Session-window state is merged incrementally as events arrive (the
+    watermark bounds how long an open session lingers); at production
+    rates this runs forever with per-key state ~ one open session."""
+    import os
+
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import drain_available_now
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    landing = f"/tmp/spark_graft_landing/{os.path.basename(os.path.normpath(sf_dir))}/events"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2).alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "session_value"
+        )
+    )
+    return drain_available_now(agg, "stream_sessions")
+
+
+@query(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total
+      FROM orders WHERE (CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 3 = 0
+      GROUP BY day
+    ),
+    cal AS (
+      SELECT unnest(generate_series(
+        (SELECT MIN(day) FROM daily), (SELECT MAX(day) FROM daily), INTERVAL 1 DAY))::DATE AS day
+    ),
+    joined AS (
+      SELECT c.day, d.total FROM cal c LEFT JOIN daily d USING (day)
+    ),
+    anchored AS (
+      SELECT day, total,
+             MAX(CASE WHEN total IS NOT NULL THEN day END) OVER
+               (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prev_day,
+             MIN(CASE WHEN total IS NOT NULL THEN day END) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day,
+             LAST_VALUE(total IGNORE NULLS) OVER
+               (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prev_v,
+             FIRST_VALUE(total IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+      FROM joined
+    )
+    SELECT day,
+           ROUND(CASE
+             WHEN total IS NOT NULL THEN total
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (day - prev_day) / (next_day - prev_day)
+           END, 4) AS value_interp,
+           (total IS NULL) AS was_gap
+    FROM anchored
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over calendar gaps — the analytical sibling
+    of timeseries_gap_fill's LOCF: a daily revenue series sampled every
+    3rd day is densified to the full calendar (sequence + explode, no
+    driver loop) and missing days take the straight line between their
+    neighboring anchors (edges fall back to nearest-anchor). Both
+    anchor scans are running min/max windows over (day, value) structs
+    — one pass each direction, no self-join per gap. The 1-day grid is
+    TIME-partitionable at scale (anchors only cross partition bounds,
+    the classic re-anchor trick)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) % 3 == 0
+        )
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2
+            ).alias("total")
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    joined = cal.join(daily, "day", "left_outer")
+    anchor = F.when(F.col("total").isNotNull(), F.struct("day", "total"))
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    anchored = joined.select(
+        "day",
+        "total",
+        F.max(anchor).over(w_prev).alias("prev_row"),
+        F.min(anchor).over(w_next).alias("next_row"),
+    )
+    prev_d, prev_v = F.col("prev_row.day"), F.col("prev_row.total")
+    next_d, next_v = F.col("next_row.day"), F.col("next_row.total")
+    interp = (
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .when(F.col("prev_row").isNull(), next_v)
+        .when(F.col("next_row").isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * F.datediff(F.col("day"), prev_d)
+            / F.datediff(next_d, prev_d)
+        )
+    )
+    return anchored.select(
+        "day",
+        F.round(interp, 4).alias("value_interp"),
+        F.col("total").isNull().alias("was_gap"),
+    )
+
+
+@query(
+    "python_udtf_word_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tok
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, CAST((i - 1) / 4 AS BIGINT) AS pos,
+           array_to_string(tok[i:i+7], ' ') AS chunk,
+           CAST(LEAST(8, len(tok) - i + 1) AS BIGINT) AS n_tokens
+    FROM toks, LATERAL (SELECT unnest(range(1, len(tok) + 1, 4)) AS i) g
+    WHERE len(tok) > 0
+    """,
+)
+def python_udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) — the last
+    piece of the UDF/UDAF/UDTF API surface: a lateral-joined generator
+    emitting overlapping 8-token/stride-4 word windows per document.
+    Registered via ``spark.udtf.register`` and invoked with SQL
+    ``LATERAL``. UDTFs are row-at-a-time Python — the declarative twin
+    (rag_chunk_documents, pure column expressions) is the 100 TB path;
+    this query pins the API's semantics on a bounded 100-doc slice and
+    proves the two formulations agree via the SQL oracle."""
+    from pyspark.sql.functions import udtf
+
+    # Arrow-optimized UDTF execution (Spark 4) — batches rows over Arrow
+    # instead of pickling one at a time; the honest production setting
+    # for any UDTF that must run at scale.
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="pos bigint, chunk string, n_tokens bigint")
+    class WordChunks:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split() if t]
+            for j, i in enumerate(range(0, len(toks), 4)):
+                window = toks[i : i + 8]
+                yield j, " ".join(window), len(window)
+
+    spark.udtf.register("word_chunks", WordChunks)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, c.pos, c.chunk, c.n_tokens "
+        "FROM _udtf_docs, LATERAL word_chunks(text) c"
+    )
+
+
+@query(
+    "pandas_udaf_geomean",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized user-defined AGGREGATE function (grouped-agg
+    pandas_udf, Arrow-batched — the [absent] UDAF row of SURVEY §2.8):
+    geometric mean of order value per priority class, the right average
+    for multiplicative quantities. The UDF sorts the log vector before
+    reducing so the result is independent of row arrival order — the
+    same determinism discipline the decimal-grid SUMs follow — and the
+    4-decimal round absorbs the one remaining ulp of float noise vs the
+    oracle's sequential AVG(LN(x))."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        logs = np.sort(np.log(v.to_numpy(dtype="float64")))
+        return float(np.exp(logs.mean()))
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — two partial-aggregable groupBys on
+    # the same key, joined broadcast (5 priority classes).
+    gm = o.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geomean_price")
+    )
+    cnt = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    return gm.join(F.broadcast(cnt), "o_orderpriority")
 
 
 # ---------------------------------------------------------------------------

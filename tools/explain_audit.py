@@ -25,9 +25,11 @@ UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_fr
                 # SRP bucketing pandas_udf feeds the self-recovery invariant
                 "ann_lsh_self_recovery",
                 # the spark.udf.register demo (registered as a pandas_udf)
-                "sql_registered_udf"}
-# streaming query starts a real stream; skip static explain
-SKIP = {"streaming_sliding_window"}
+                "sql_registered_udf",
+                # round 4: UDTF / grouped-agg pandas UDF API-surface queries
+                "python_udtf_word_chunks", "pandas_udaf_geomean"}
+# streaming queries start a real stream; skip static explain
+SKIP = {"streaming_sliding_window", "streaming_sessionization"}
 
 
 def main() -> int:
@@ -49,9 +51,12 @@ def main() -> int:
         issues = []
         if "CartesianProduct" in plan:
             issues.append("CartesianProduct")
-        if re.search(r"BatchEvalPython", plan):
+        if re.search(r"BatchEvalPython(?!UDTF)", plan):
             issues.append("row-at-a-time Python UDF")
-        if re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan) and name not in UDF_EXPECTED:
+        if re.search(
+            r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|EvalPythonUDTF|AggregateInPandas",
+            plan,
+        ) and name not in UDF_EXPECTED:
             issues.append("unexpected Python stage")
         for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
             n_cols = len([c for c in m.group(1).split(",") if c])
