@@ -159,6 +159,9 @@ HEADLINE = [
     "timeseries_interpolate_linear",
     "python_udtf_word_chunks",
     "pandas_udaf_geomean",
+    "recursive_cte_ancestors",
+    "correlated_subquery_decorrelated",
+    "sliding_distinct_users",
 ]
 
 
