@@ -162,6 +162,8 @@ HEADLINE = [
     "recursive_cte_ancestors",
     "correlated_subquery_decorrelated",
     "sliding_distinct_users",
+    "variant_json_shredding",
+    "streaming_static_enrich",
 ]
 
 

@@ -5593,6 +5593,91 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 wave 6: Spark-4 VARIANT semi-structured shredding + the
+# stream-static enrichment join (the one streaming join shape not yet
+# covered).
+# ---------------------------------------------------------------------------
+
+@query(
+    "variant_json_shredding",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS max_k,
+           CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS INT) AS DECIMAL(30,0))) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through the VARIANT type (new in
+    Spark 4): ``parse_json`` turns the JSON payload column into a
+    binary variant ONCE, and ``variant_get`` extracts typed paths
+    without re-parsing per access — the open-format answer to JSON
+    columns at scale (shredded variant subcolumns are what the parquet
+    variant spec stores). Aggregates the extracted field per event
+    type; the oracle extracts the same paths with DuckDB's JSON
+    functions."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum(F.col("k").cast("decimal(30,0)")).cast("bigint").alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining streaming join
+    shape (stream-stream and streaming dedup are covered elsewhere): a
+    stream of events joins the static customer dimension per
+    micro-batch (no watermark needed on the static side; Spark
+    re-plans the broadcast each batch, which is how slowly-changing
+    dimensions stay fresh in production), then a complete-mode
+    aggregation per market segment. Drained availableNow and checked
+    against the equivalent batch join by the oracle — stream == batch
+    again."""
+    import os
+
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import drain_available_now
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    landing = f"/tmp/spark_graft_landing/{os.path.basename(os.path.normpath(sf_dir))}/events"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"], "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+    )
+    return drain_available_now(agg, "stream_enrich")
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -29,7 +29,8 @@ UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_fr
                 # round 4: UDTF / grouped-agg pandas UDF API-surface queries
                 "python_udtf_word_chunks", "pandas_udaf_geomean"}
 # streaming queries start a real stream; skip static explain
-SKIP = {"streaming_sliding_window", "streaming_sessionization"}
+SKIP = {"streaming_sliding_window", "streaming_sessionization",
+        "streaming_static_enrich"}
 
 
 def main() -> int:
