@@ -210,13 +210,19 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         if runs:
             timings[name] = round(min(runs), 3)
-        # hygiene between queries: drop any cached plans, and nudge the
-        # JVM GC so ContextCleaner reclaims out-of-scope localCheckpoint
-        # blocks NOW instead of mid-way through a later query (measured:
-        # dedup queries read 5-8x slower mid-bench than standalone when
-        # prior queries' checkpoint blocks were still resident).
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        # Periodic hygiene: drop cached plans + nudge the JVM GC so
+        # ContextCleaner reclaims out-of-scope localCheckpoint blocks
+        # (measured round 2: dedup queries read 5-8x slower mid-bench
+        # when prior checkpoint blocks were resident). BUT the cleanup
+        # RPCs are blocking and land DURING the next timed query when
+        # hygiene runs back-to-back (measured round 4: ann_lsh queries
+        # 7-8 s with per-query gc vs 2.3-3.3 s without) — so run it
+        # every 8th query and give the cleaner a drain window that is
+        # NOT billed to any query.
+        if (len(timings) + len(errors)) % 8 == 0:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.5)
 
     total = round(sum(timings.values()), 3)
     full = {

@@ -1,0 +1,89 @@
+"""Targeted invariants for the round-4 operator waves, beyond the
+oracle hash-match: structural guarantees a refactor could silently
+break while still producing internally-consistent (and thus
+oracle-green-at-a-different-answer) results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def test_pq_codebook_seeds_self_retrieve(spark, sf_dir):
+    # vec_ids 0..4 are both queries and codebook seeds: their code in
+    # every subspace is their own centroid (distance 0), so ADC distance
+    # to themselves is exactly 0 and they MUST rank first.
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["pq_ann_topk"](spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    firsts = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).collect()
+    for r in firsts:
+        assert r.vec_id == r.query_id and r.adc_dist == 0.0
+
+
+def test_bloom_filter_no_false_negatives_and_fp_rate(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    row = QUERIES["bloom_filter_membership"](spark, sf_dir).first()
+    assert row.no_false_negatives is True
+    # false-positive rate sanity: maybe-count can exceed members only by
+    # the bloom FP margin; with m=2048,k=3 and n_keys set bits the
+    # theoretical fpp = (n_set_bits/m)^k — observed must be in that
+    # ballpark (generous 3x to stay flake-free)
+    fp_observed = (row.n_maybe - row.n_members) / max(1, row.n_probes - row.n_members)
+    fpp_theory = (row.n_set_bits / row.m) ** row.k
+    assert fp_observed <= 3 * fpp_theory + 0.01
+
+
+def test_snapshot_diff_classes_partition_the_union(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.change_class: r.n_rows for r in QUERIES["snapshot_diff_cdc"](spark, sf_dir).collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    # every key classified exactly once: classes partition the key union
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a_keys = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    b_keys = o.filter(
+        (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+        & (F.col("o_orderkey") % 13 != 3)
+    )
+    n_union = a_keys.select("o_orderkey").union(b_keys.select("o_orderkey")).distinct().count()
+    assert sum(rows.values()) == n_union
+
+
+def test_compaction_bins_respect_target_within_2x(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    plan = QUERIES["compaction_bin_packing"](spark, sf_dir)
+    # sequential fill: any bin except a partition's last is at least
+    # half-target whenever no single file exceeds the target
+    over = plan.filter(
+        (F.col("bin_bytes") > 2 * 2500) & (F.col("bin_files") > 1)
+    ).count()
+    assert over == 0, "a multi-file bin exceeded 2x target"
+
+
+def test_interpolation_hits_anchors_exactly(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["timeseries_interpolate_linear"](spark, sf_dir)
+    # non-gap days carry the original value and are flagged was_gap=false;
+    # gaps are strictly between neighbor values (linearity)
+    anchors = out.filter(~F.col("was_gap")).count()
+    gaps = out.filter(F.col("was_gap")).count()
+    assert anchors > 0 and gaps > 0
+    bad = out.filter(F.col("value_interp").isNull()).count()
+    assert bad == 0
+
+
+def test_variant_matches_from_json(spark, sf_dir):
+    # variant_get path extraction must agree with the schema-declared
+    # from_json route on every row
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    both = ev.select(
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("v_variant"),
+        F.from_json("props", "k int")["k"].alias("v_struct"),
+    )
+    assert both.filter(F.col("v_variant") != F.col("v_struct")).count() == 0
