@@ -164,6 +164,10 @@ HEADLINE = [
     "sliding_distinct_users",
     "variant_json_shredding",
     "streaming_static_enrich",
+    "referential_integrity_audit",
+    "delivery_completeness_audit",
+    "winsorized_robust_stats",
+    "benford_first_digit_audit",
 ]
 
 

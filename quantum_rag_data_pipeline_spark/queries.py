@@ -5678,6 +5678,208 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 wave 7: data-quality audit suite — referential integrity,
+# delivery completeness, robust (winsorized) statistics, first-digit
+# (Benford) distribution audit. The checks a 100 TB pipeline runs on
+# every ingest batch before anything downstream trusts the data.
+# ---------------------------------------------------------------------------
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's three foreign
+    keys: orphan counts via LEFT ANTI joins (the only join shape that
+    never moves matching rows — each check shuffles keys, not rows, and
+    the dimension sides broadcast). A lakehouse has no FK enforcement;
+    this query IS the constraint, run per ingest batch. All three
+    checks here return 0 orphans — the audit proves integrity rather
+    than assuming it."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def check(name: str, child: DataFrame, parent: DataFrame, ck: str, pk: str) -> DataFrame:
+        orphans = child.join(
+            F.broadcast(parent), child[ck] == parent[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        return (
+            orphans.crossJoin(total)
+            .select(F.lit(name).alias("relationship"), "n_orphans", "n_rows")
+        )
+
+    return (
+        check("lineitem->orders", li, o.select("o_orderkey"), "l_orderkey", "o_orderkey")
+        .unionByName(check("orders->customer", o, c.select("c_custkey"), "o_custkey", "c_custkey"))
+        .unionByName(check("customer->nation", c, n, "c_nationkey", "n_nationkey"))
+    )
+
+
+@query(
+    "delivery_completeness_audit",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+    ),
+    cal AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY day
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cal) AS BIGINT) AS n_days_expected,
+           CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days_present,
+           CAST((SELECT COUNT(*) FROM cal c LEFT JOIN daily d USING (day)
+                 WHERE d.day IS NULL) AS BIGINT) AS n_days_missing,
+           CAST((SELECT MIN(n) FROM daily) AS BIGINT) AS min_daily_rows,
+           CAST((SELECT MAX(n) FROM daily) AS BIGINT) AS max_daily_rows
+    """,
+)
+def delivery_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-completeness audit: does every calendar day between the
+    table's first and last event actually have data, and how lumpy is
+    the volume? Calendar = sequence+explode from one min/max aggregate
+    (no driver loop); gaps = anti-join of calendar vs present days.
+    This is the freshness/completeness SLA check schedulers alert on —
+    a silent one-day ingest gap is invisible to every other query here
+    until it skews a window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    missing = cal.join(daily, "day", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_missing")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_present"),
+        F.min("n").cast("bigint").alias("min_daily_rows"),
+        F.max("n").cast("bigint").alias("max_daily_rows"),
+    )
+    expected = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_days_expected"))
+    return (
+        expected.crossJoin(stats)
+        .crossJoin(missing)
+        .select(
+            "n_days_expected", "n_days_present", "n_days_missing",
+            "min_daily_rows", "max_daily_rows",
+        )
+    )
+
+
+@query(
+    "winsorized_robust_stats",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.01) AS p01,
+             quantile_cont(o_totalprice, 0.99) AS p99
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, q.p01), q.p99)
+                 AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 2) AS winsorized_mean,
+           CAST(SUM(CASE WHEN o.o_totalprice < q.p01 OR o.o_totalprice > q.p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders o JOIN q ON q.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p1/p99-clipped) robust mean per priority class — the
+    outlier-resistant statistic monitoring uses where a single fat-
+    finger order would swing a plain mean. Two passes: exact
+    interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, same linear-interpolation definition)
+    broadcast back onto the data, then a decimal-grid clipped sum.
+    At 100 TB the exact percentile swaps for the GK sketch bounds
+    (quantile_sketch_bounds) with the same downstream shape."""
+    o = _t(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(clipped.cast("decimal(30,4)")).cast("double") / F.count(F.lit(1)), 2
+            ).alias("winsorized_mean"),
+            F.sum(
+                ((F.col("o_totalprice") < F.col("p01")) | (F.col("o_totalprice") > F.col("p99"))).cast("int")
+            ).cast("bigint").alias("n_clipped"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT d, CAST(n AS BIGINT) AS n_observed,
+           ROUND(CAST(n AS DOUBLE) / t, 6) AS p_observed,
+           ROUND(LOG10(1.0 + 1.0 / d), 6) AS p_benford
+    FROM obs CROSS JOIN tot
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) distribution audit — the classic
+    fabricated-data sniff test: leading-digit frequencies of order
+    values against log10(1 + 1/d). One partial-aggregable groupBy over
+    a digit extracted with integer/string ops (no regex); the 9-row
+    result broadcasts anywhere. TPC-H's uniform synthetic prices will
+    NOT follow Benford — the audit reports the divergence rather than
+    asserting conformance, which is exactly its job on real ledgers."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # explicit FLOOR: DuckDB's double->BIGINT cast rounds half-even while
+    # Spark's truncates — floor first so both engines see the same integer
+    digits = o.select(
+        F.substring(F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.col("n").cast("bigint").alias("n_observed"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p_observed"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("p_benford"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
