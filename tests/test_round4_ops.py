@@ -87,3 +87,46 @@ def test_variant_matches_from_json(spark, sf_dir):
         F.from_json("props", "k int")["k"].alias("v_struct"),
     )
     assert both.filter(F.col("v_variant") != F.col("v_struct")).count() == 0
+
+
+def test_recursive_cte_depth_bounded(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["recursive_cte_ancestors"](spark, sf_dir)
+    # decimal trie: depth never exceeds digits(max custkey), every chain
+    # terminates at ancestor 0
+    stats = out.agg(
+        F.max("depth").alias("max_depth"),
+        F.count_distinct("c_custkey").alias("n_keys"),
+    ).first()
+    assert stats.max_depth <= 7
+    roots = out.groupBy("c_custkey").agg(F.min("ancestor").alias("mn"))
+    assert roots.filter(F.col("mn") != 0).count() == 0
+
+
+def test_referential_integrity_clean_on_testdata(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["referential_integrity_audit"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_orphans == 0, f"{r.relationship} has orphans"
+
+
+def test_winsorize_clips_about_two_percent(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    for r in QUERIES["winsorized_robust_stats"](spark, sf_dir).collect():
+        frac = r.n_clipped / r.n_rows
+        # p1/p99 clipping on a continuous column clips ~2% per group
+        assert 0.005 <= frac <= 0.05, (r.o_orderpriority, frac)
+
+
+def test_sliding_distinct_users_bounds(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["sliding_distinct_users"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total_users = ev.select("user_id").distinct().count()
+    mx = out.agg(F.max("distinct_users_7d").alias("m")).first().m
+    assert 0 < mx <= total_users
