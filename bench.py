@@ -168,6 +168,8 @@ HEADLINE = [
     "delivery_completeness_audit",
     "winsorized_robust_stats",
     "benford_first_digit_audit",
+    "markov_transition_matrix",
+    "group_trend_ols",
 ]
 
 

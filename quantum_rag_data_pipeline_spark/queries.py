@@ -5880,6 +5880,132 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 wave 8: behavioral sequence analytics + grouped-map Python
+# (the applyInPandas surface, closed-form-verified).
+# ---------------------------------------------------------------------------
+
+@query(
+    "markov_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS t FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n_transitions,
+           ROUND(CAST(p.n AS DOUBLE) / t.t, 6) AS p_transition
+    FROM pairs p JOIN tot t ON t.prev_type = p.prev_type
+    """,
+)
+def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model behind next-action prediction and
+    anomalous-flow detection: P(next event type | previous) from one
+    lag window per user partition plus two partial-aggregable
+    groupBys. The |types|² matrix is tiny and broadcasts anywhere;
+    the sequence pass shuffles each event once on user_id."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p_transition"),
+    )
+
+
+@query(
+    "group_trend_ols",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+             o_totalprice AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM pts GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 2)
+             AS intercept,
+           CAST(n AS BIGINT) AS n_points
+    FROM s
+    """,
+)
+def group_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line via GROUPED-MAP applyInPandas — the one
+    Pandas-on-Spark execution shape the corpus didn't yet exercise
+    (scalar pandas_udf, grouped-agg UDAF, mapInPandas,
+    applyInPandasWithState, and UDTF are covered elsewhere). Each
+    priority class's (day-index, price) points arrive as one pandas
+    frame; the UDF computes the closed-form least-squares slope /
+    intercept from decimal-grid-equivalent float64 sufficient sums.
+    The oracle recomputes the identical closed form from SQL decimal
+    sums — proving the Python stage agrees with the relational one to
+    the rounded precision. At 100 TB the SQL formulation wins (pure
+    partial aggregation); the grouped-map form is for models with no
+    closed form — this query pins the API with one that has one."""
+    import numpy as np
+
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = pdf["y"].to_numpy(dtype="float64")
+        # sort for deterministic summation regardless of partition order
+        idx = np.lexsort((y, x))
+        x, y = x[idx], y[idx]
+        n = float(len(x))
+        sx, sy = float(x.sum()), float(y.sum())
+        sxx, sxy = float((x * x).sum()), float((x * y).sum())
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "slope": [round(slope, 4)],
+                "intercept": [round(intercept, 2)],
+                "n_points": [int(n)],
+            }
+        )
+
+    return pts.groupBy("o_orderpriority").applyInPandas(
+        fit, "o_orderpriority string, slope double, intercept double, n_points bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

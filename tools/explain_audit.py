@@ -26,8 +26,9 @@ UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_fr
                 "ann_lsh_self_recovery",
                 # the spark.udf.register demo (registered as a pandas_udf)
                 "sql_registered_udf",
-                # round 4: UDTF / grouped-agg pandas UDF API-surface queries
-                "python_udtf_word_chunks", "pandas_udaf_geomean"}
+                # round 4: UDTF / grouped-agg / grouped-map pandas API queries
+                "python_udtf_word_chunks", "pandas_udaf_geomean",
+                "group_trend_ols"}
 # streaming queries start a real stream; skip static explain
 SKIP = {"streaming_sliding_window", "streaming_sessionization",
         "streaming_static_enrich"}
