@@ -94,17 +94,22 @@ def store_kv_items(
     parquet_upsert(spark, flat, path, ["dataId"], version_col=None)
 
 
-def dynamo_writer(table_name: str, region: str = "us-east-1", batch_size: int = 25):
+def dynamo_writer(table_name: str, region: str = "us-east-1", batch_size: int = 25,
+                  endpoint_url: str | None = None):
     """foreachPartition boto3 writer (real-DynamoDB path; import-gated).
     batch_size=25 mirrors the API limit the reference chunks by
-    (dynamodb.py:192-196)."""
+    (dynamodb.py:192-196). ``endpoint_url`` targets dynamodb-local in
+    the integration smoke — passed explicitly because executor workers
+    do not reliably inherit driver-set env vars."""
 
     def write_partition(rows) -> None:
         try:
             import boto3
         except ImportError as e:  # pragma: no cover
             raise RuntimeError("dynamo_writer requires boto3 on executors") from e
-        table = boto3.resource("dynamodb", region_name=region).Table(table_name)
+        table = boto3.resource(
+            "dynamodb", region_name=region, endpoint_url=endpoint_url
+        ).Table(table_name)
         with table.batch_writer() as writer:
             for r in rows:
                 writer.put_item(Item=r.asDict())
