@@ -170,6 +170,8 @@ HEADLINE = [
     "benford_first_digit_audit",
     "markov_transition_matrix",
     "group_trend_ols",
+    "equiwidth_histogram_stats",
+    "dedup_rate_by_source",
 ]
 
 

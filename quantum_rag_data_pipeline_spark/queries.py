@@ -6006,6 +6006,87 @@ def group_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 wave 9: the equi-width histogram sibling and per-source
+# duplication-rate monitoring.
+# ---------------------------------------------------------------------------
+
+@query(
+    "equiwidth_histogram_stats",
+    oracle="""
+    WITH stats AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
+    )
+    SELECT CAST(LEAST(CAST(FLOOR((l_extendedprice - lo) * 16.0 / (hi - lo + 1e-9)) AS BIGINT), 15)
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS lo_seen,
+           ROUND(MAX(l_extendedprice), 2) AS hi_seen
+    FROM lineitem CROSS JOIN stats
+    GROUP BY 1
+    """,
+)
+def equiwidth_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-WIDTH histogram — the fully partial-aggregable sibling of
+    equidepth_histogram_stats: 16 fixed-width value buckets from one
+    min/max aggregate broadcast back over the scan, then a plain
+    groupBy. No rank, no sort, no window anywhere — this is the
+    histogram you compute on every 100 TB scan for free, at the cost
+    of unequal bucket populations (the equi-depth query is the exact
+    complement; GK the sketch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo")) * 16.0 / (F.col("hi") - F.col("lo") + 1e-9)
+        ).cast("bigint"),
+        F.lit(15).cast("bigint"),
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo_seen"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi_seen"),
+        )
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+      SELECT source, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT f) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+    FROM fp GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate monitoring per source — the per-ingest metric a
+    training-data pipeline tracks over time (a source whose dup rate
+    jumps is re-crawling itself): exact-duplicate rate from the
+    md5-normalized fingerprint (operators/text.fingerprint, same hash
+    the exact-dedup tier keys on). One groupBy over (source, hash) —
+    shuffles 16-byte hashes, never text."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("source", text_ops.fingerprint("text").alias("f"))
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("f").cast("bigint").alias("n_unique"),
+        F.round(
+            1.0 - F.count_distinct("f").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
