@@ -164,6 +164,104 @@ def embedding_near_dup_pairs_fast(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    pad: int = 8,
+) -> DataFrame:
+    """Exact directed k-NN graph (every node → its k nearest by cosine) —
+    the substrate for mutual-kNN clustering, SemDeDup-style pruning, and
+    graph-based ANN index construction.
+
+    Same distributed block-pair decomposition as
+    ``embedding_near_dup_pairs_fast``: rows hash into B blocks, each
+    unordered block pair is one ``applyInPandas`` group = one BLAS gram
+    slice, and each ordered node pair meets in exactly one group. Per
+    group every node keeps only its top ``k+pad`` candidates by matmul
+    score (pad absorbs the ~1e-12 matmul-vs-sequential reordering error
+    at the k boundary), so the candidate shuffle carries n·B·(k+pad)
+    ids — never vectors, never n². Candidates are then RESCORED with the
+    sequential unrolled dot and re-ranked globally, making the emitted
+    scores and ranks bit-identical to a brute-force oracle."""
+    import math
+
+    import numpy as np
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    B = n_blocks or max(4, int(math.ceil(math.sqrt(2.0 * n_part))))
+    keep = k + pad
+
+    rows = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    pair_df = spark.createDataFrame(
+        [(x * B + y, x, y) for x in range(B) for y in range(x, B)],
+        "pid int, bx int, by int",
+    )
+    mem_a = rows.join(F.broadcast(pair_df), rows["_blk"] == pair_df["bx"]) \
+        .select("pid", F.lit("a").alias("_side"), "_id", "_vec")
+    mem_b = rows.join(F.broadcast(pair_df.filter("bx <> by")), rows["_blk"] == pair_df["by"]) \
+        .select("pid", F.lit("b").alias("_side"), "_id", "_vec")
+    mem = mem_a.unionByName(mem_b)
+
+    def find_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+        a = pdf[pdf["_side"] == "a"]
+        b = pdf[pdf["_side"] == "b"]
+        if len(a) == 0:
+            return empty
+        ids_a = a["_id"].to_numpy(dtype=np.int64)
+        A = np.stack(a["_vec"].to_numpy()).astype(np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+
+        def row_topk(sims: np.ndarray, src_ids: np.ndarray, dst_ids: np.ndarray) -> tuple:
+            kk = min(keep, sims.shape[1])
+            if kk <= 0:
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            srcs = np.repeat(src_ids, kk)
+            return (srcs, dst_ids[idx.ravel()])
+
+        if len(b):  # cross pair: candidates in BOTH directions
+            ids_b = b["_id"].to_numpy(dtype=np.int64)
+            Bm = np.stack(b["_vec"].to_numpy()).astype(np.float64)
+            Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+            S = An @ Bn.T
+            s1, d1 = row_topk(S, ids_a, ids_b)
+            s2, d2 = row_topk(S.T, ids_b, ids_a)
+            src, dst = np.concatenate([s1, s2]), np.concatenate([d1, d2])
+        else:  # diagonal: within-block, self excluded via -inf
+            S = An @ An.T
+            np.fill_diagonal(S, -np.inf)
+            src, dst = row_topk(S, ids_a, ids_a)
+        if len(src) == 0:
+            return empty
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    cand = mem.groupBy("pid").applyInPandas(find_candidates, "src long, dst long")
+    vecs = df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col), dim).alias("_n"))
+    a = vecs.select(F.col(id_col).alias("src"), F.col(vec_col).alias("vec_a"), F.col("_n").alias("n_a"))
+    b = vecs.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vec_b"), F.col("_n").alias("n_b"))
+    scored = (
+        cand.join(a, "src").join(b, "dst")
+        .withColumn("cos_sim", dot(F.col("vec_a"), F.col("vec_b"), dim) / (F.col("n_a") * F.col("n_b")))
+        .select("src", "dst", "cos_sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"),
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -6087,6 +6087,391 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 wave: corpus-health analytics — cross-source contamination
+# matrix, robust (MAD) length outliers, Zipf vocabulary fit, EWMA event
+# smoothing. The monitoring layer that runs beside every big ingest.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cross_source_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    raw_shingles AS (
+      SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM toks
+    ),
+    kept AS (
+      SELECT r.source, r.shingle FROM raw_shingles r
+      JOIN (SELECT shingle FROM raw_shingles GROUP BY shingle HAVING COUNT(*) <= 64) k
+        USING (shingle)
+    ),
+    sfp AS (SELECT DISTINCT source, shingle FROM kept)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_shingles
+    FROM sfp a JOIN sfp b USING (shingle)
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct word-5-gram shingles they share — the leakage signal that
+    tells a corpus curator two crawls overlap (and that an eval set
+    built from one is contaminated by the other) BEFORE any pairwise
+    doc comparison runs. Reuses the dedup tier's inverted index with
+    the same max_df=64 boilerplate cut, collapsed to (source, shingle)
+    before the self-join, so the join fans out over sources (bounded,
+    ~hundreds) rather than documents — at 100 TB the shuffle carries
+    one row per distinct (source, shingle), never text."""
+    d = _t(spark, sf_dir, "documents")
+    idx = dedup_ops.shingle_index(d, n=5, max_df=64)
+    sfp = (
+        idx.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .localCheckpoint(eager=False)  # two join consumers — materialize once
+    )
+    a = sfp.select(F.col("source").alias("src_a"), "shingle")
+    b = sfp.select(F.col("source").alias("src_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
+    )
+
+
+@query(
+    "length_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT lang, percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS med
+      FROM documents GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.lang, d.n_chars, m.med, ABS(d.n_chars - m.med) AS adev
+      FROM documents d JOIN med m USING (lang)
+    ),
+    mad AS (
+      SELECT lang, ANY_VALUE(med) AS med,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ABS(d.n_chars - m.med) > 3 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(ANY_VALUE(m.med), 6) AS med_chars,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad_chars
+    FROM documents d JOIN mad m USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier detection per language: median + MAD (the
+    1.4826 factor makes MAD sigma-consistent under normality), flagging
+    docs beyond 3 robust sigmas — the trim rule that, unlike mean±3σ,
+    is not dragged by the very outliers it hunts. Two grouped exact
+    percentiles (per-lang groups, partial-aggregable percentile buffers)
+    plus one broadcast join back over the scan; the doc table itself is
+    never shuffled — at 100 TB the only wide exchange carries one row
+    per language."""
+    d = _t(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    dev = d.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("lang").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    flagged = d.join(F.broadcast(mad), "lang")
+    is_out = (F.abs(F.col("n_chars") - F.col("med")) > 3 * 1.4826 * F.col("mad")).cast("bigint")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(is_out).cast("bigint").alias("n_outliers"),
+        F.round(F.first("med"), 6).alias("med_chars"),
+        F.round(F.first("mad"), 6).alias("mad_chars"),
+    )
+
+
+@query(
+    "zipf_vocabulary_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+    top AS (
+      SELECT tok, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM freq QUALIFY rnk <= 100
+    ),
+    pts AS (
+      SELECT CAST(ln(rnk) AS DECIMAL(38,18)) AS x,
+             CAST(ln(freq) AS DECIMAL(38,18)) AS y,
+             CAST(ln(rnk) * ln(freq) AS DECIMAL(38,18)) AS xy,
+             CAST(ln(rnk) * ln(rnk) AS DECIMAL(38,18)) AS xx
+      FROM top
+    )
+    , moments AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM moments
+    """,
+)
+def zipf_vocabulary_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-health check: OLS slope of log-frequency vs log-rank
+    over the top-100 tokens — natural text tracks Zipf's law (slope
+    ≈ −1); a corpus whose slope drifts toward 0 is template/boilerplate
+    heavy, one plunging below −1.5 has a collapsed vocabulary. The
+    top-k is `orderBy(desc).limit(k)` → Catalyst's TakeOrderedAndProject
+    (per-partition heaps merged at the driver, k rows moved — no global
+    sort even over a 100 TB vocabulary); the regression itself is one
+    global aggregate over 100 rows with decimal-summed moments so the
+    result is partition-order independent."""
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(text_ops.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freq.orderBy(F.desc("freq"), F.asc("tok")).limit(100)
+    from pyspark.sql.window import Window
+
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+    )
+    x = F.log(F.col("rnk"))
+    y = F.log(F.col("freq"))
+    pts = ranked.select(
+        x.cast("decimal(38,18)").alias("x"),
+        y.cast("decimal(38,18)").alias("y"),
+        (x * y).cast("decimal(38,18)").alias("xy"),
+        (x * x).cast("decimal(38,18)").alias("xx"),
+    )
+    moments = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return moments.select(
+        n.cast("bigint").alias("n_points"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+    )
+
+
+# EWMA weights alpha*(1-alpha)^j, alpha=0.3, truncated at 8 taps. Literal
+# doubles embedded identically on both sides so no runtime pow() is
+# involved (Java Math.pow and C libm pow are not bit-identical).
+_EWMA_W = [0.3 * 0.7 ** j for j in range(8)]
+
+
+@query(
+    "ewma_event_smoothing",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             {" ".join(f"LAG(value, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v{j}," for j in range(1, 8))}
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ROUND(
+             ({" + ".join(f"COALESCE({w!r} * v{j}, 0.0)" if j else f"{w!r} * value" for j, w in enumerate(_EWMA_W))})
+             /
+             ({" + ".join(f"CASE WHEN v{j} IS NULL THEN 0.0 ELSE {w!r} END" if j else f"{w!r}" for j, w in enumerate(_EWMA_W))}),
+           6) AS ewma_value
+    FROM r WHERE rn = n
+    """,
+)
+def ewma_event_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value (alpha=0.3, truncated at 8 taps —
+    the tail weight beyond 8 is 0.7^8 < 6%, and truncation is what makes
+    the operator a FIXED-frame window instead of a sequential recurrence:
+    8 LAGs over one (user, time) window, so Spark runs it as a single
+    shuffle-per-key window with no iteration and no UDF. Weights are
+    literal constants (no runtime pow — Java and C libm disagree in the
+    last ulp), products/sums are fixed-order double ops, so the result
+    is bitwise deterministic. Emits the smoothed value at each user's
+    LATEST event — the online feature a serving store would upsert."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    r = e.select(
+        "user_id", "event_id", "value",
+        F.row_number().over(w).alias("rn"),
+        *[F.lag("value", j).over(w).alias(f"v{j}") for j in range(1, 8)],
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    num = F.lit(_EWMA_W[0]) * F.col("value")
+    den = F.lit(_EWMA_W[0])
+    for j in range(1, 8):
+        num = num + F.coalesce(F.lit(_EWMA_W[j]) * F.col(f"v{j}"), F.lit(0.0))
+        den = den + F.when(F.col(f"v{j}").isNull(), F.lit(0.0)).otherwise(F.lit(_EWMA_W[j]))
+    return (
+        r.filter(F.col("rn") == F.col("n"))
+        .select("user_id", "event_id", F.round(num / den, 6).alias("ewma_value"))
+    )
+
+
+@query(
+    "knn_graph_mutual",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))) AS cos
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cos,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+      FROM scored
+    ),
+    knn AS (SELECT src, dst, cos, rnk FROM ranked WHERE rnk <= 5)
+    SELECT k1.src, k1.dst, ROUND(k1.cos, 6) AS cos_sim, CAST(k1.rnk AS BIGINT) AS rnk,
+           (k2.src IS NOT NULL) AS is_mutual
+    FROM knn k1 LEFT JOIN knn k2 ON k2.src = k1.dst AND k2.dst = k1.src
+    """,
+)
+def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact directed 5-NN graph over the embedding corpus with a
+    mutual-edge flag — mutual kNN (both endpoints rank each other) is
+    the edge set density-based semantic clustering and graph-ANN index
+    builders start from. Block-pair matmul candidate generation (each
+    node pair scored in exactly one BLAS slice, per-node top-(k+pad)
+    kept) + sequential-dot rescore makes ranks bit-identical to the
+    O(n²) oracle while shuffling only candidate id pairs. The mutuality
+    join is kNN-output-sized (n·k rows), self-joined on the reversed
+    key."""
+    e = _t(spark, sf_dir, "embeddings")
+    edges = sim_ops.knn_graph(e, k=5, dim=64)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("_m")
+    )
+    return (
+        edges.join(rev, ["src", "dst"], "left")
+        .select("src", "dst", "cos_sim", "rnk",
+                F.coalesce(F.col("_m"), F.lit(False)).alias("is_mutual"))
+    )
+
+
+@query(
+    "embedding_norm_audit",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN ABS(nrm - 1.0) <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm,
+           ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+    FROM v GROUP BY label
+    """,
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA before any index build: per-label norm distribution,
+    zero-vector count (the embedding-service error sentinel — reference
+    embedding_service returns zero vectors on failure, so n_zero IS the
+    upstream error rate), and how many vectors are already unit-norm
+    (decides whether the ANN tier can use plain dot instead of full
+    cosine). One partial-aggregable pass; norms are the unrolled
+    sequential dot so the stats replay exactly in the oracle; the mean
+    goes through DECIMAL for partition-order independence."""
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = sim_ops.norm(F.col("embedding"), 64)
+    v = e.select("label", nrm.alias("nrm"))
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum((F.col("nrm") == 0).cast("bigint")).cast("bigint").alias("n_zero"),
+        F.sum((F.abs(F.col("nrm") - 1.0) <= 0.01).cast("bigint")).cast("bigint").alias("n_unit"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_norm"),
+    )
+
+
+@query(
+    "streaming_dedup_exactly_once",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once under at-least-once delivery: the landing directory
+    contains the SAME events file twice (two symlinks — a re-delivered
+    batch, the classic upstream retry), and the stream collapses the
+    duplicate deliveries with ``dropDuplicatesWithinWatermark(event_id)``
+    before a batch count by type. The oracle is the single-copy batch
+    answer, and n_events == n_unique per type proves each event survived
+    exactly once. The watermark delay bounds dedup state retention in a
+    real deployment (here it exceeds the data's span, so the proof is
+    exact regardless of file-processing order)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    landing = (
+        f"/tmp/spark_graft_landing/{os.path.basename(os.path.normpath(sf_dir))}/events_dup2"
+    )
+    os.makedirs(landing, exist_ok=True)
+    for link_name in ("delivery1.parquet", "delivery2.parquet"):
+        link = f"{landing}/{link_name}"
+        if not os.path.exists(link):
+            os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import drain_available_now
+
+    deduped = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    drained = drain_available_now(deduped, "stream_dedup_once", output_mode="append")
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("event_id").cast("bigint").alias("n_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

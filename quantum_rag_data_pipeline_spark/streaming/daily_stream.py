@@ -67,15 +67,18 @@ def sliding_window_stream(
     )
 
 
-def drain_available_now(stream_df: DataFrame, query_name: str = "drain") -> DataFrame:
-    """Run the streaming query in availableNow mode with a complete-mode
-    memory sink and return the final result as a batch DataFrame —
-    streaming and batch must agree (the oracle checks that)."""
+def drain_available_now(
+    stream_df: DataFrame, query_name: str = "drain", output_mode: str = "complete"
+) -> DataFrame:
+    """Run the streaming query in availableNow mode with a memory sink and
+    return the final result as a batch DataFrame — streaming and batch
+    must agree (the oracle checks that). ``output_mode="append"`` for
+    stateful-but-unaggregated streams (dropDuplicatesWithinWatermark)."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

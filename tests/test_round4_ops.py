@@ -130,3 +130,88 @@ def test_sliding_distinct_users_bounds(spark, sf_dir):
     total_users = ev.select("user_id").distinct().count()
     mx = out.agg(F.max("distinct_users_7d").alias("m")).first().m
     assert 0 < mx <= total_users
+
+
+def test_contamination_matrix_upper_triangle_and_symmetric_recount(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["cross_source_contamination"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        # strict upper triangle: each unordered pair reported once
+        assert r.src_a < r.src_b and r.shared_shingles > 0
+
+
+def test_mad_outliers_are_a_small_minority(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    for r in QUERIES["length_outlier_mad"](spark, sf_dir).collect():
+        assert r.mad_chars >= 0 and 0 <= r.n_outliers <= r.n_docs
+        # 3 robust sigmas keeps the flagged set a tail, not a mode
+        assert r.n_outliers / r.n_docs < 0.1, (r.lang, r.n_outliers, r.n_docs)
+
+
+def test_zipf_slope_negative_over_full_top100(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    row = QUERIES["zipf_vocabulary_fit"](spark, sf_dir).first()
+    # capped top-k: the tiny test fixture has a vocabulary under 100
+    assert 0 < row.n_points <= 100
+    # frequency is non-increasing in rank, so the OLS slope must be <= 0
+    assert row.zipf_slope < 0
+
+
+def test_ewma_stays_within_per_user_value_range(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["ewma_event_smoothing"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rng = ev.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    j = out.join(rng, "user_id")
+    # a convex combination of observed values can never leave their range
+    eps = 1e-6  # round(…, 6) slack
+    bad = j.filter((F.col("ewma_value") < F.col("lo") - eps) | (F.col("ewma_value") > F.col("hi") + eps))
+    assert bad.count() == 0
+    # exactly one smoothed row per user
+    assert out.count() == rng.count()
+
+
+def test_knn_graph_k_edges_per_node_and_mutuality_symmetry(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["knn_graph_mutual"](spark, sf_dir).cache()
+    n_nodes = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    deg = out.groupBy("src").count().collect()
+    assert len(deg) == n_nodes and all(r["count"] == 5 for r in deg)
+    # mutuality is symmetric: (a->b mutual) iff (b->a mutual)
+    m = out.filter("is_mutual").select("src", "dst")
+    rev = m.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert m.exceptAll(rev).count() == 0
+    out.unpersist()
+
+
+def test_embedding_norm_audit_totals(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["embedding_norm_audit"](spark, sf_dir).collect()
+    n_total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == n_total
+    for r in rows:
+        assert r.min_norm <= r.avg_norm <= r.max_norm
+        assert 0 <= r.n_zero <= r.n_vecs and 0 <= r.n_unit <= r.n_vecs
+
+
+def test_streaming_dedup_collapses_double_delivery(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["streaming_dedup_exactly_once"](spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_type = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    got = {r.event_type: (r.n_events, r.n_unique) for r in rows}
+    assert set(got) == set(per_type)
+    for t, (n_ev, n_uq) in got.items():
+        # exactly-once: double delivery collapsed to the single-copy counts
+        assert n_ev == n_uq == per_type[t]
