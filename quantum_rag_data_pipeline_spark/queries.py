@@ -6471,6 +6471,185 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_strategy_parity",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    )
+    SELECT s.strategy, j.n AS n_rows
+    FROM j CROSS JOIN (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) s(strategy)
+    """,
+)
+def join_strategy_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-join-strategy parity: the SAME logical join executed under
+    the three hint-forced physical strategies — BroadcastHashJoin (dim
+    shipped to every task, zero shuffle of the fact), SortMergeJoin
+    (both sides shuffled+sorted on the key — the safe default when both
+    sides are huge), ShuffledHashJoin (shuffle both, hash the smaller —
+    skips the sort) — and proven to agree row-for-row. This is the
+    parity check you run before forcing a hint in production: Catalyst
+    honors the hint, the answer must not move. The invariant test
+    additionally asserts each plan really contains its forced operator."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    outs = []
+    for strategy, hint in (
+        ("broadcast", "broadcast"),
+        ("merge", "merge"),
+        ("shuffle_hash", "shuffle_hash"),
+    ):
+        joined = o.join(c.hint(hint), o["o_custkey"] == c["c_custkey"])
+        outs.append(
+            joined.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .select(F.lit(strategy).alias("strategy"), "n_rows")
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+@query(
+    "scd1_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS k, 'PROMO' AS new_segment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS k, 'NEWCUST' AS new_segment
+      FROM customer WHERE c_custkey < 50
+    )
+    SELECT ch.k AS c_custkey,
+           c.c_mktsegment AS old_segment,
+           ch.new_segment,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert' ELSE 'update' END AS action
+    FROM changes ch LEFT JOIN customer c ON c.c_custkey = ch.k
+    WHERE c.c_custkey IS NULL OR c.c_mktsegment <> ch.new_segment
+    """,
+)
+def scd1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD type-1) expressed as a pure DataFrame
+    plan — WHEN MATCHED AND value-changed THEN UPDATE, WHEN NOT MATCHED
+    THEN INSERT — emitting the change audit a lakehouse merge would
+    write to its commit log. The change-set joins the dimension on the
+    key (broadcast when dim-sized, shuffle-on-key at fact scale) and the
+    no-op updates (same value) are filtered out, which is exactly the
+    rewrite Delta/Iceberg MERGE does under the hood. Cf. reference
+    src/storage/timestream.py upsert path for the K1 sink analog."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    changes = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("k"), F.lit("PROMO").alias("new_segment"))
+        .unionByName(
+            c.filter(F.col("c_custkey") < 50).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.lit("NEWCUST").alias("new_segment"),
+            )
+        )
+    )
+    merged = changes.join(c, changes["k"] == c["c_custkey"], "left")
+    return (
+        merged.filter(
+            F.col("c_custkey").isNull() | (F.col("c_mktsegment") != F.col("new_segment"))
+        )
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.col("c_mktsegment").alias("old_segment"),
+            "new_segment",
+            F.when(F.col("c_custkey").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+    )
+
+
+@query(
+    "grouped_topk_with_ties",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, c.c_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DECIMAL(30,2)) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey
+    ),
+    ranked AS (
+      SELECT nation, c_custkey, revenue,
+             RANK() OVER (PARTITION BY nation ORDER BY revenue DESC) AS rnk
+      FROM rev
+    )
+    SELECT nation, c_custkey, CAST(revenue AS DOUBLE) AS revenue, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def grouped_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by revenue per nation KEEPING TIES — rank() not
+    row_number(), so equal-revenue customers at the boundary all
+    survive: the semantics leaderboards and quota cuts actually need
+    (row_number would silently drop tied rows by id order). Revenue
+    stays DECIMAL through the sum AND the rank comparison so tie
+    detection itself is exact — ranking on a double sum would make
+    'tied' partition-order dependent. One shuffle for the agg, one for
+    the per-nation window."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("decimal(30,2)").alias("revenue"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("nation").orderBy(F.col("revenue").desc())
+    return (
+        rev.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("nation", "c_custkey", F.col("revenue").cast("double").alias("revenue"),
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+@query(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE), 2) AS F_sum_qty,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F_n_rows,
+           ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE), 2) AS O_sum_qty,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O_n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value — Spark names the
+    output columns '{value}_{agg alias}', and pinning the pivot values
+    explicitly ( .pivot(col, values) ) keeps the plan a single pass:
+    without the value list Spark runs an extra distinct-scan job to
+    discover them, and the output schema becomes data-dependent — a
+    deploy hazard at 100 TB (a new status value would silently widen
+    the table). Compiles to one hash aggregate with CASE projections —
+    the same plan the oracle writes by hand."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed

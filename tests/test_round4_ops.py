@@ -215,3 +215,55 @@ def test_streaming_dedup_collapses_double_delivery(spark, sf_dir):
     for t, (n_ev, n_uq) in got.items():
         # exactly-once: double delivery collapsed to the single-copy counts
         assert n_ev == n_uq == per_type[t]
+
+
+def test_join_hints_force_distinct_physical_operators(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    o = load_table(spark, "orders", sf_dir).select("o_custkey")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey")
+    for hint, op in (
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ):
+        j = o.join(c.hint(hint), o["o_custkey"] == c["c_custkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert op in plan, f"hint {hint} did not force {op}"
+
+
+def test_scd1_merge_classifies_inserts_and_updates(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["scd1_merge_upsert"](spark, sf_dir).cache()
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n_new = c.filter(F.col("c_custkey") < 50).count()
+    ins = out.filter("action = 'insert'")
+    assert ins.count() == n_new
+    # inserts carry no old value; updates always change the value
+    assert ins.filter(F.col("old_segment").isNotNull()).count() == 0
+    upd = out.filter("action = 'update'")
+    assert upd.filter(F.col("old_segment") == F.col("new_segment")).count() == 0
+    out.unpersist()
+
+
+def test_topk_with_ties_keeps_all_boundary_ties(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["grouped_topk_with_ties"](spark, sf_dir).cache()
+    assert out.filter((F.col("rnk") < 1) | (F.col("rnk") > 3)).count() == 0
+    # rank() semantics: every nation keeps AT LEAST 3 rows (more on ties)
+    per_nation = out.groupBy("nation").count().collect()
+    assert all(r["count"] >= 3 for r in per_nation)
+    out.unpersist()
+
+
+def test_pivot_multi_agg_partitions_row_count(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["pivot_multi_agg"](spark, sf_dir)
+    li_n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    tot = out.agg(
+        F.sum(F.col("F_n_rows") + F.col("O_n_rows")).alias("t")
+    ).first().t
+    assert tot == li_n
