@@ -172,6 +172,20 @@ HEADLINE = [
     "group_trend_ols",
     "equiwidth_histogram_stats",
     "dedup_rate_by_source",
+    # round-4 continuation waves
+    "cross_source_contamination",
+    "length_outlier_mad",
+    "zipf_vocabulary_fit",
+    "ewma_event_smoothing",
+    "knn_graph_mutual",
+    "embedding_norm_audit",
+    "streaming_dedup_exactly_once",
+    "join_strategy_parity",
+    "scd1_merge_upsert",
+    "grouped_topk_with_ties",
+    "pivot_multi_agg",
+    "dedup_cluster_size_histogram",
+    "dedup_keep_longest_canonical",
 ]
 
 

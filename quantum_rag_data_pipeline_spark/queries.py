@@ -6650,6 +6650,115 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH base AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT text FROM documents WHERE doc_id % 3 = 0
+    ),
+    fp AS (SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f FROM base),
+    cl AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM fp GROUP BY f)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM cl GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the report that sizes a
+    dedup run BEFORE it happens: singleton share, 2-copy share, how
+    heavy the worst template cluster is, and n_removable (= docs −
+    clusters) is exactly the row count dedup will delete. Runs over the
+    corpus with INJECTED exact dups (every 3rd doc re-delivered, as in
+    dedup_exact) so the histogram provably has a ≥2 bucket. Two
+    partial-aggregable groupBys over 16-byte fingerprints; the second
+    one's key space is cluster SIZES (tiny), so at 100 TB the only real
+    shuffle carries (hash, count) pairs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select("text").unionByName(d.filter(F.col("doc_id") % 3 == 0).select("text"))
+    cl = (
+        base.select(text_ops.fingerprint("text").alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    )
+    return cl.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
+    )
+
+
+@query(
+    "dedup_keep_longest_canonical",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string(list_slice(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               1, 15), ' ')
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    fp AS (
+      SELECT doc_id, LENGTH(text) AS n_chars,
+             md5(array_to_string(list_slice(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               1, 10), ' ')) AS f
+      FROM base
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, f,
+             ROW_NUMBER() OVER (PARTITION BY f ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY f) AS sz
+      FROM fp
+    )
+    SELECT doc_id AS keeper_id,
+           CAST(sz AS BIGINT) AS cluster_size,
+           CAST(n_chars AS BIGINT) AS keeper_chars
+    FROM ranked WHERE rn = 1 AND sz > 1
+    """,
+)
+def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-selection POLICY: cluster by a truncation-invariant key
+    (md5 of the first 10 tokens) and keep the LONGEST member (ties →
+    lowest id) — the curation rule when near-identical pages differ by
+    clipping, where min-id selection (dedup_exact) would happily keep
+    the truncated copy. Exercised against injected truncations: every
+    5th doc is re-delivered clipped to its first 15 tokens, so each
+    injected cluster MUST resolve to the untruncated original. One
+    key-partitioned window — the policy is a sort order, not extra
+    passes."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(text_ops.tokens("text"), 1, 15), " ").alias("text"),
+    )
+    base = d.unionByName(trunc)
+    from pyspark.sql.window import Window
+
+    fp = base.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.md5(F.array_join(F.slice(text_ops.tokens("text"), 1, 10), " ")).alias("f"),
+    )
+    w = Window.partitionBy("f").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    wall = Window.partitionBy("f")
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(wall))
+        .filter((F.col("rn") == 1) & (F.col("sz") > 1))
+        .select(
+            F.col("doc_id").alias("keeper_id"),
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_chars").cast("bigint").alias("keeper_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed

@@ -267,3 +267,30 @@ def test_pivot_multi_agg_partitions_row_count(spark, sf_dir):
         F.sum(F.col("F_n_rows") + F.col("O_n_rows")).alias("t")
     ).first().t
     assert tot == li_n
+
+
+def test_cluster_histogram_accounts_for_every_doc(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["dedup_cluster_size_histogram"](spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # corpus + injected re-delivery of every 3rd doc
+    n_docs_total = d.count() + d.filter(F.col("doc_id") % 3 == 0).count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    assert any(r.cluster_size >= 2 for r in rows), "injected dups missing"
+    for r in rows:
+        # identities: docs = size x clusters, removable = docs - clusters
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_removable == r.n_docs - r.n_clusters
+
+
+def test_keep_longest_never_keeps_a_truncated_copy(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    keepers = QUERIES["dedup_keep_longest_canonical"](spark, sf_dir).cache()
+    assert keepers.count() > 0
+    assert keepers.filter(F.col("cluster_size") < 2).count() == 0
+    # a clipped copy shares its prefix key with its original, which is
+    # longer (or equal with a lower id) -- so it can NEVER win a cluster
+    assert keepers.filter(F.col("keeper_id") >= 2000000).count() == 0
+    keepers.unpersist()

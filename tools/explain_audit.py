@@ -28,10 +28,12 @@ UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_fr
                 "sql_registered_udf",
                 # round 4: UDTF / grouped-agg / grouped-map pandas API queries
                 "python_udtf_word_chunks", "pandas_udaf_geomean",
-                "group_trend_ols"}
+                "group_trend_ols",
+                # round 4 wave: block-pair matmul candidate generation
+                "knn_graph_mutual"}
 # streaming queries start a real stream; skip static explain
 SKIP = {"streaming_sliding_window", "streaming_sessionization",
-        "streaming_static_enrich"}
+        "streaming_static_enrich", "streaming_dedup_exactly_once"}
 
 
 def main() -> int:
