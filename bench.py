@@ -186,6 +186,7 @@ HEADLINE = [
     "pivot_multi_agg",
     "dedup_cluster_size_histogram",
     "dedup_keep_longest_canonical",
+    "curation_funnel_report",
 ]
 
 

@@ -294,3 +294,17 @@ def test_keep_longest_never_keeps_a_truncated_copy(spark, sf_dir):
     # longer (or equal with a lower id) -- so it can NEVER win a cluster
     assert keepers.filter(F.col("keeper_id") >= 2000000).count() == 0
     keepers.unpersist()
+
+
+def test_curation_funnel_is_monotone_and_consistent(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["curation_funnel_report"](spark, sf_dir).collect(),
+        key=lambda r: r.stage_no,
+    )
+    assert [r.stage for r in rows] == ["raw", "lang_en", "quality", "dedup", "decontaminated"]
+    # each stage only removes documents (and therefore tokens)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs and b.n_tokens <= a.n_tokens
+    assert rows[0].n_docs == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
