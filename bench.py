@@ -187,6 +187,7 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "dedup_keep_longest_canonical",
     "curation_funnel_report",
+    "knn_graph_incremental_parity",
 ]
 
 

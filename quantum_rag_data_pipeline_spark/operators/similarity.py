@@ -187,6 +187,21 @@ def knn_graph(
     ids — never vectors, never n². Candidates are then RESCORED with the
     sequential unrolled dot and re-ranked globally, making the emitted
     scores and ranks bit-identical to a brute-force oracle."""
+    cand = knn_candidates(df, k + pad, id_col, vec_col, n_blocks)
+    return _knn_topk(_rescore(df, cand, dim, id_col, vec_col), k)
+
+
+def knn_candidates(
+    df: DataFrame,
+    keep: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Within-set candidate generation for the kNN graph: per node the
+    top ``keep`` neighbors by matmul cosine from each block-pair BLAS
+    slice (each node pair meets in exactly one slice). Callers rescore
+    with ``_rescore`` + ``_knn_topk``."""
     import math
 
     import numpy as np
@@ -194,7 +209,6 @@ def knn_graph(
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     B = n_blocks or max(4, int(math.ceil(math.sqrt(2.0 * n_part))))
-    keep = k + pad
 
     rows = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
@@ -244,15 +258,29 @@ def knn_graph(
             return empty
         return pd.DataFrame({"src": src, "dst": dst})
 
-    cand = mem.groupBy("pid").applyInPandas(find_candidates, "src long, dst long")
+    return mem.groupBy("pid").applyInPandas(find_candidates, "src long, dst long")
+
+
+def _rescore(
+    df: DataFrame, cand: DataFrame, dim: int | None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-score candidate (src, dst) pairs with the sequential
+    unrolled dot — scores bit-identical to a brute-force oracle
+    regardless of how the candidates were produced."""
     vecs = df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col), dim).alias("_n"))
     a = vecs.select(F.col(id_col).alias("src"), F.col(vec_col).alias("vec_a"), F.col("_n").alias("n_a"))
     b = vecs.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vec_b"), F.col("_n").alias("n_b"))
-    scored = (
+    return (
         cand.join(a, "src").join(b, "dst")
         .withColumn("cos_sim", dot(F.col("vec_a"), F.col("vec_b"), dim) / (F.col("n_a") * F.col("n_b")))
         .select("src", "dst", "cos_sim")
     )
+
+
+def _knn_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global per-src top-k over exact-scored edges (rounding only at
+    the output boundary so merged score sets rank consistently)."""
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -260,6 +288,126 @@ def knn_graph(
         .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"),
                 F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+def cross_topk_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    keep: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Blocked cross-set candidate generation: per LEFT row the top
+    ``keep`` RIGHT rows by matmul cosine, and per RIGHT row the top
+    ``keep`` LEFT rows — both directions from ONE pass over the
+    B_L×B_R block-pair grid (each cross row pair is scored in exactly
+    one BLAS slice). The shuffle carries (|L|+|R|)·B·keep id pairs,
+    never vectors. Ids must be disjoint across the two sides."""
+    import math
+
+    import numpy as np
+
+    spark = left.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    B = n_blocks or max(2, int(math.ceil(math.sqrt(n_part))))
+
+    def tagged(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.lit(side).alias("_side"),
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+        )
+
+    grid = spark.createDataFrame(
+        [(x * B + y, x, y) for x in range(B) for y in range(B)],
+        "pid int, bx int, by int",
+    )
+    lrows, rrows = tagged(left, "a"), tagged(right, "b")
+    mem = (
+        lrows.join(F.broadcast(grid), lrows["_blk"] == grid["bx"])
+        .select("pid", "_side", "_id", "_vec")
+        .unionByName(
+            rrows.join(F.broadcast(grid), rrows["_blk"] == grid["by"])
+            .select("pid", "_side", "_id", "_vec")
+        )
+    )
+
+    def find(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+        a = pdf[pdf["_side"] == "a"]
+        b = pdf[pdf["_side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ids_a = a["_id"].to_numpy(dtype=np.int64)
+        ids_b = b["_id"].to_numpy(dtype=np.int64)
+        A = np.stack(a["_vec"].to_numpy()).astype(np.float64)
+        Bm = np.stack(b["_vec"].to_numpy()).astype(np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+        S = An @ Bn.T
+
+        def row_topk(sims, src_ids, dst_ids):
+            kk = min(keep, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] if kk < sims.shape[1] \
+                else np.tile(np.arange(sims.shape[1]), (sims.shape[0], 1))
+            return (np.repeat(src_ids, idx.shape[1]), dst_ids[idx.ravel()])
+
+        s1, d1 = row_topk(S, ids_a, ids_b)
+        s2, d2 = row_topk(S.T, ids_b, ids_a)
+        return pd.DataFrame({"src": np.concatenate([s1, s2]),
+                             "dst": np.concatenate([d1, d2])})
+
+    return mem.groupBy("pid").applyInPandas(find, "src long, dst long")
+
+
+def knn_graph_incremental(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    k: int = 5,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pad: int = 8,
+) -> DataFrame:
+    """INCREMENTAL k-NN graph maintenance: given the existing corpus and
+    a newly ingested batch, produce the full-corpus k-NN graph WITHOUT
+    re-scoring old×old pairs — the index-update path a vector store
+    runs on every ingest. Work is O(old·k) (stored edges re-ranked) +
+    one old×new cross pass + one new×new pass, vs O(n²) for a rebuild;
+    at 100 TB with a 1% daily batch that is a ~99% flop reduction.
+
+    Correctness argument (verified by the parity query): an old node's
+    updated top-k ⊆ its previous top-k ∪ its top-(k+pad) among NEW
+    vectors; a new node's top-k ⊆ its per-side top-(k+pad) against old
+    and new. All candidates funnel through the same exact-rescore tail
+    as the batch build, so the result is bit-identical to
+    ``knn_graph(old ∪ new)``."""
+    keep = k + pad
+    # The stored index: old-graph top-k edges with their exact scores. In
+    # production these are READ from the index store; the demo rebuilds
+    # them so the parity query is self-contained. Scores stay unrounded
+    # so stored and fresh edges rank on the same exact values.
+    # Small block counts: the incremental path runs THREE python stages
+    # (old candidates, cross, new candidates); fewer, larger BLAS slices
+    # amortize the per-group Arrow/worker overhead. At cluster scale pass
+    # n_blocks to track executor count instead.
+    old_scored = _rescore(old_df, knn_candidates(old_df, keep, id_col, vec_col, n_blocks=4),
+                          dim, id_col, vec_col)
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    stored = (
+        old_scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k).select("src", "dst", "cos_sim")
+    )
+    # Fresh work — the only scoring the incremental update pays for:
+    # old×new both directions + new×new, candidates only.
+    fresh_cand = cross_topk_candidates(old_df, new_df, keep, id_col, vec_col, n_blocks=3) \
+        .unionByName(knn_candidates(new_df, keep, id_col, vec_col, n_blocks=4))
+    full = old_df.unionByName(new_df)
+    fresh_scored = _rescore(full, fresh_cand, dim, id_col, vec_col)
+    # Branches are pairwise disjoint (old->old vs old->new vs new->old vs
+    # new->new), so the union needs no dedup before the final top-k.
+    return _knn_topk(stored.unionByName(fresh_scored), k)
 
 
 def embedding_near_dup_pairs(

@@ -308,3 +308,15 @@ def test_curation_funnel_is_monotone_and_consistent(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert b.n_docs <= a.n_docs and b.n_tokens <= a.n_tokens
     assert rows[0].n_docs == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def test_incremental_knn_equals_batch_rebuild(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    inc = sim_ops.knn_graph_incremental(old, new, k=5, dim=64)
+    batch = sim_ops.knn_graph(e, k=5, dim=64)
+    assert inc.exceptAll(batch).count() == 0
+    assert batch.exceptAll(inc).count() == 0
