@@ -188,6 +188,9 @@ HEADLINE = [
     "dedup_keep_longest_canonical",
     "curation_funnel_report",
     "knn_graph_incremental_parity",
+    "user_activity_pareto",
+    "quality_logreg_score",
+    "tokenizer_fertility_by_lang",
 ]
 
 

@@ -6760,6 +6760,165 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_activity_pareto",
+    oracle="""
+    WITH counts AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    ranked AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rk FROM counts),
+    base AS (
+      SELECT COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS s0,
+             CAST(SUM(rk * cnt) AS BIGINT) AS s1
+      FROM ranked
+    ),
+    shares AS (
+      SELECT
+        CAST(SUM(CASE WHEN r.rk > b.n - CEIL(0.01 * b.n) THEN r.cnt ELSE 0 END) AS BIGINT) AS top1,
+        CAST(SUM(CASE WHEN r.rk > b.n - CEIL(0.10 * b.n) THEN r.cnt ELSE 0 END) AS BIGINT) AS top10
+      FROM ranked r CROSS JOIN base b
+    )
+    SELECT CAST(b.n AS BIGINT) AS n_users,
+           ROUND(2.0 * b.s1 / (b.n * b.s0) - (b.n + 1.0) / b.n, 6) AS gini,
+           ROUND(CAST(s.top1 AS DOUBLE) / b.s0, 6) AS share_top1pct,
+           ROUND(CAST(s.top10 AS DOUBLE) / b.s0, 6) AS share_top10pct
+    FROM base b CROSS JOIN shares s
+    """,
+)
+def user_activity_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration report: Gini coefficient of per-user event
+    counts plus the share of all events generated by the top 1% / 10%
+    of users — the skew diagnostic that decides whether per-user
+    processing needs salting and how heavy-hitter capping will bite.
+    The global rank that Gini needs is built with the two-level
+    global-id construction (per-count-group row_number + tiny offset
+    table) — no single-partition window ever sees the user table. All
+    sums are integer-exact; only the two final ratios are floats."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = cur_ops.assign_global_ids(counts, "cnt", ["user_id"], id_name="rk0") \
+        .withColumn("rk", F.col("rk0") + 1)
+    base = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").cast("bigint").alias("s0"),
+        F.sum(F.col("rk") * F.col("cnt")).cast("bigint").alias("s1"),
+    )
+    j = ranked.crossJoin(F.broadcast(base))
+    shares = j.agg(
+        F.sum(
+            F.when(F.col("rk") > F.col("n") - F.ceil(0.01 * F.col("n")), F.col("cnt")).otherwise(0)
+        ).cast("bigint").alias("top1"),
+        F.sum(
+            F.when(F.col("rk") > F.col("n") - F.ceil(0.10 * F.col("n")), F.col("cnt")).otherwise(0)
+        ).cast("bigint").alias("top10"),
+    )
+    out = base.crossJoin(F.broadcast(shares))
+    return out.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(
+            F.lit(2.0) * F.col("s1") / (F.col("n") * F.col("s0"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"), 6
+        ).alias("gini"),
+        F.round(F.col("top1").cast("double") / F.col("s0"), 6).alias("share_top1pct"),
+        F.round(F.col("top10").cast("double") / F.col("s0"), 6).alias("share_top10pct"),
+    )
+
+
+@query(
+    "quality_logreg_score",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, len(tk) AS ntok,
+             CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk) AS mwl,
+             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr,
+             CAST(len(list_filter(tk, t -> t = 'the')) AS DOUBLE) / len(tk) AS stop_ratio
+      FROM tk WHERE len(tk) > 0
+    ),
+    scored AS (
+      SELECT doc_id,
+             -2.0 + 0.5 * mwl + 1.5 * ttr + 0.01 * ntok + 2.0 * stop_ratio AS logit
+      FROM feats
+    )
+    SELECT CAST(FLOOR(logit * 4) AS BIGINT) AS score_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(logit AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logit
+    FROM scored GROUP BY 1
+    """,
+)
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the fastText-classifier shape every
+    production corpus pipeline runs: a linear scorer over cheap text
+    features (mean word length, type-token ratio, length, stopword
+    share) with FIXED published-style weights, bucketed into quarter-
+    logit score bands. The whole 'model inference' is a column
+    expression — whole-stage-codegen'd, no UDF, embarrassingly parallel
+    — which is exactly why linear quality filters are the only ones
+    that run over 100 TB cheaply. Fixed-order double arithmetic on both
+    engines keeps bucket boundaries bit-deterministic; the bucket mean
+    goes through DECIMAL."""
+    d = _t(spark, sf_dir, "documents")
+    tk = text_ops.tokens("text")
+    base = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+    ntok = F.size("tk")
+    mwl = F.aggregate(F.col("tk"), F.lit(0), lambda a, t: a + F.length(t)).cast("double") / ntok
+    ttr = F.size(F.array_distinct("tk")).cast("double") / ntok
+    stop_ratio = F.size(F.filter(F.col("tk"), lambda t: t == "the")).cast("double") / ntok
+    logit = (
+        F.lit(-2.0) + F.lit(0.5) * mwl + F.lit(1.5) * ttr
+        + F.lit(0.01) * ntok + F.lit(2.0) * stop_ratio
+    )
+    scored = base.select(F.floor(logit * 4).cast("bigint").alias("score_bucket"),
+                         logit.alias("logit"))
+    return scored.groupBy("score_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("logit").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logit"),
+    )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH t AS (
+      SELECT lang, length(text) AS nchar,
+             len(list_filter(regexp_split_to_array(text, '[\\s\\.,;:!\\?''"()\\[\\]{}\\-]+'), t -> t <> '')) AS bpe,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS ws
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility,
+           ROUND(CAST(SUM(nchar) AS DOUBLE) / SUM(bpe), 6) AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language: subword (BPE-proxy)
+    tokens per whitespace word and characters per subword token — the
+    numbers that decide per-language token budgets and flag scripts the
+    tokenizer fragments (real pipelines track fertility per release of
+    the tokenizer). Integer sums, two exact ratios; one partial-agg
+    groupBy on lang."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.length("text").alias("nchar"),
+        text_ops.bpe_ish_token_count("text").alias("bpe"),
+        text_ops.token_count("text").alias("ws"),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.round(F.sum("bpe").cast("double") / F.sum("ws"), 6).alias("fertility"),
+        F.round(F.sum("nchar").cast("double") / F.sum("bpe"), 6).alias("chars_per_token"),
+    )
+
+
+@query(
     "knn_graph_incremental_parity",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

@@ -320,3 +320,33 @@ def test_incremental_knn_equals_batch_rebuild(spark, sf_dir):
     batch = sim_ops.knn_graph(e, k=5, dim=64)
     assert inc.exceptAll(batch).count() == 0
     assert batch.exceptAll(inc).count() == 0
+
+
+def test_pareto_shares_ordered_and_gini_in_range(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["user_activity_pareto"](spark, sf_dir).first()
+    assert 0.0 <= r.gini < 1.0
+    # top-1% is a subset of top-10%; both are real shares
+    assert 0.0 < r.share_top1pct <= r.share_top10pct <= 1.0
+    # the top 10% of users must account for at least 10% of events
+    assert r.share_top10pct >= 0.10 - 1e-9
+
+
+def test_quality_logreg_buckets_partition_docs(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["quality_logreg_score"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        # bucket mean must lie inside the bucket's quarter-logit band
+        assert r.score_bucket / 4.0 - 1e-9 <= r.avg_logit < (r.score_bucket + 1) / 4.0 + 1e-9
+
+
+def test_fertility_at_least_one_subword_per_word(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    for r in QUERIES["tokenizer_fertility_by_lang"](spark, sf_dir).collect():
+        # punctuation splitting can only create MORE tokens than whitespace
+        assert r.fertility >= 1.0 and r.chars_per_token > 0
