@@ -191,6 +191,7 @@ HEADLINE = [
     "user_activity_pareto",
     "quality_logreg_score",
     "tokenizer_fertility_by_lang",
+    "streaming_watermark_append_semantics",
 ]
 
 

@@ -6760,6 +6760,61 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_watermark_append_semantics",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM events),
+    agg AS (
+      SELECT date_trunc('day', ts) AS window_start, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT window_start, CAST(n_events AS BIGINT) AS n_events
+    FROM agg CROSS JOIN wm
+    WHERE window_start + INTERVAL 1 DAY <= wm.w
+    """,
+)
+def streaming_watermark_append_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode emission contract pinned exactly: a watermarked daily
+    tumbling aggregation only EMITS a window once the watermark has
+    passed its end — so with a 2-day watermark the trailing ~2 days of
+    windows are WITHHELD as still-open when the stream drains, and the
+    oracle derives the exact emitted set from first principles (daily
+    counts whose window end ≤ max(ts) − 2d; on this corpus 27 of 30
+    days). This is the semantics difference between a streaming append
+    sink and the batch answer — a downstream consumer sees closed
+    windows only, and this query makes that contract driver-verified.
+    (Per-batch LATE-DROP mechanics are deliberately not pinned: the
+    watermark's batch-boundary propagation is an implementation detail
+    that shifted across Spark versions; the emission rule above is the
+    stable public contract.)"""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    landing = f"/tmp/spark_graft_landing/{tag}/events"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import drain_available_now
+
+    return drain_available_now(agg, "wm_append_semantics", output_mode="append")
+
+
+@query(
     "user_activity_pareto",
     oracle="""
     WITH counts AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),

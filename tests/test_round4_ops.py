@@ -350,3 +350,18 @@ def test_fertility_at_least_one_subword_per_word(spark, sf_dir):
     for r in QUERIES["tokenizer_fertility_by_lang"](spark, sf_dir).collect():
         # punctuation splitting can only create MORE tokens than whitespace
         assert r.fertility >= 1.0 and r.chars_per_token > 0
+
+
+def test_watermark_append_withholds_open_tail(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    out = QUERIES["streaming_watermark_append_semantics"](spark, sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    batch = ev.groupBy(F.date_trunc("day", "ts").alias("d")).count()
+    n_days = batch.count()
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 2 DAYS")).alias("w")).first().w
+    n_closed = batch.filter(F.col("d") + F.expr("INTERVAL 1 DAY") <= F.lit(wm)).count()
+    got = out.count()
+    # append mode: exactly the closed windows are emitted, never the open tail
+    assert got == n_closed < n_days

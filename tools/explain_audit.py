@@ -33,7 +33,8 @@ UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_fr
                 "knn_graph_mutual", "knn_graph_incremental_parity"}
 # streaming queries start a real stream; skip static explain
 SKIP = {"streaming_sliding_window", "streaming_sessionization",
-        "streaming_static_enrich", "streaming_dedup_exactly_once"}
+        "streaming_static_enrich", "streaming_dedup_exactly_once",
+        "streaming_watermark_append_semantics"}
 
 
 def main() -> int:
