@@ -192,6 +192,8 @@ HEADLINE = [
     "quality_logreg_score",
     "tokenizer_fertility_by_lang",
     "streaming_watermark_append_semantics",
+    "order_totals_reconciliation",
+    "schema_evolution_merge_read",
 ]
 
 

@@ -6760,6 +6760,117 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "schema_evolution_merge_read",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(o_orderstatus, '<missing>') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total
+    FROM u GROUP BY 1
+    """,
+)
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the scan: the landing zone holds files written
+    BEFORE a column existed (v1: no o_orderstatus) next to files written
+    after (v2: with it), and ``mergeSchema`` unifies them — old rows
+    surface the new column as NULL, exactly the contract a long-lived
+    ingest pipeline depends on when producers upgrade. The aggregation
+    then treats NULL as its own '<missing>' population, which is how a
+    backfill job sizes its work. (Spark reads every file's footer under
+    mergeSchema — at 100 TB you pin the merged schema in a catalog
+    instead; this query verifies the semantics that catalog entry must
+    reproduce.)"""
+    import os
+    import shutil
+
+    o = _t(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/spark_graft_landing/{tag}/orders_schema_evo"
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice") \
+        .write.parquet(f"{base}/batch=v1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_totalprice", "o_orderstatus") \
+        .write.parquet(f"{base}/batch=v2")
+    u = spark.read.option("mergeSchema", "true").parquet(base)
+    return u.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<missing>")).alias("status")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2).alias("total"),
+    )
+
+
+@query(
+    "order_totals_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(30,6))
+                  * (1 - CAST(l_discount AS DECIMAL(12,6)))
+                  * (1 + CAST(l_tax AS DECIMAL(12,6))), 2) AS DECIMAL(30,2))) AS derived
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderstatus,
+             ABS(CAST(o.o_totalprice AS DECIMAL(30,2)) - li.derived) AS adiff
+      FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN adiff <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+           ROUND(CAST(MAX(adiff) AS DOUBLE), 2) AS max_abs_diff,
+           ROUND(CAST(SUM(adiff) AS DOUBLE) / COUNT(*), 2) AS mean_abs_diff
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def order_totals_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation audit — does the header total equal the
+    sum of its line items under the pricing formula
+    price·(1−disc)·(1+tax)? The classic warehouse closing check, done
+    entirely on the DECIMAL grid (per-line rounding to cents, exact
+    decimal sums) so 'reconciled within a cent' is a fact, not a float
+    artifact. On this synthetic data the honest finding is ZERO
+    reconciled orders (o_totalprice is generated independently of the
+    lineitems) — which is exactly what the audit exists to catch. One
+    shuffle on orderkey for the line rollup, one partial-agg groupBy
+    for the report."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    derived = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice").cast("decimal(30,6)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(12,6)"))
+                    * (F.lit(1) + F.col("l_tax").cast("decimal(12,6)")),
+                    2,
+                ).cast("decimal(30,2)")
+            ).alias("derived")
+        )
+    )
+    j = o.join(derived, o["o_orderkey"] == derived["l_orderkey"]).select(
+        "o_orderstatus",
+        F.abs(F.col("o_totalprice").cast("decimal(30,2)") - F.col("derived")).alias("adiff"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("adiff") <= 0.01).cast("bigint")).cast("bigint").alias("n_reconciled"),
+        F.round(F.max("adiff").cast("double"), 2).alias("max_abs_diff"),
+        F.round(F.sum("adiff").cast("double") / F.count(F.lit(1)), 2).alias("mean_abs_diff"),
+    )
+
+
+@query(
     "streaming_watermark_append_semantics",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM events),

@@ -365,3 +365,25 @@ def test_watermark_append_withholds_open_tail(spark, sf_dir):
     got = out.count()
     # append mode: exactly the closed windows are emitted, never the open tail
     assert got == n_closed < n_days
+
+
+def test_reconciliation_covers_all_orders_with_lineitems(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["order_totals_reconciliation"](spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_orders_with_lines = li.select("l_orderkey").distinct().count()
+    assert sum(r.n_orders for r in rows) == n_orders_with_lines
+    for r in rows:
+        assert 0 <= r.n_reconciled <= r.n_orders
+        assert r.mean_abs_diff <= r.max_abs_diff
+
+
+def test_schema_evolution_missing_population_is_even_keys(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.status: r.n_rows for r in QUERIES["schema_evolution_merge_read"](spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_even = o.filter(F.col("o_orderkey") % 2 == 0).count()
+    assert rows.get("<missing>") == n_even
+    assert sum(rows.values()) == o.count()
