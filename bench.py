@@ -194,6 +194,8 @@ HEADLINE = [
     "streaming_watermark_append_semantics",
     "order_totals_reconciliation",
     "schema_evolution_merge_read",
+    "rag_context_assembly",
+    "k_anonymity_audit",
 ]
 
 

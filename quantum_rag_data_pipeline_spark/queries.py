@@ -6760,6 +6760,109 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rag_context_assembly",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS cv,
+                 len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), t -> t <> '')) AS ntok
+          FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS doc_id, c.ntok,
+             list_dot_product(c.cv, q.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, ntok, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk
+      FROM scored
+    ),
+    ctx AS (
+      SELECT query_id, doc_id, ntok, cos, rnk,
+             SUM(ntok) OVER (PARTITION BY query_id ORDER BY rnk
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM ranked WHERE rnk <= 10
+    )
+    SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rnk,
+           CAST(ntok AS BIGINT) AS ntok, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           ROUND(cos, 6) AS cos_sim
+    FROM ctx WHERE cum_tokens <= 192
+    """,
+)
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG serving query end-to-end: retrieve the top-10 documents
+    per query vector by exact cosine, then assemble the prompt context
+    in rank order under a 192-token budget (running token sum, cut when
+    the budget would overflow) — retrieval, ranking, and context
+    packing in ONE declarative plan. Queries broadcast against the
+    never-shuffled corpus (the ann_brute_force plan), document lengths
+    join on the shared id, and the budget cut is a per-query running
+    sum over ≤10 rows. Integer token math; ranks on unrounded cosines
+    with id tie-breaks, so the emitted context is bit-deterministic."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        sim_ops.norm(F.col("embedding"), 64).alias("qn"),
+    )
+    c = (
+        e.join(d.select(F.col("doc_id"), text_ops.token_count("text").alias("ntok")),
+               e["vec_id"] == F.col("doc_id"))
+        .select(F.col("vec_id").alias("doc_id2"), "embedding", "ntok",
+                sim_ops.norm(F.col("embedding"), 64).alias("cn"))
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("doc_id2").alias("doc_id"),
+        "ntok",
+        (sim_ops.dot(F.col("embedding"), F.col("qv"), 64) / (F.col("cn") * F.col("qn"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    wsum = Window.partitionBy("query_id").orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .withColumn("cum_tokens", F.sum("ntok").over(wsum))
+        .filter(F.col("cum_tokens") <= 192)
+        .select("query_id", "doc_id", F.col("rnk").cast("bigint").alias("rnk"),
+                F.col("ntok").cast("bigint").alias("ntok"),
+                F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+                F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (SELECT lang, source, COUNT(*) AS sz FROM documents GROUP BY lang, source)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(sz) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k5,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_below_k5
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity governance audit over the (lang, source) quasi-
+    identifier: how many equivalence classes exist, the smallest class,
+    and how many classes/rows fall below k=5 — the rows a release
+    policy would suppress or generalize before publishing the corpus.
+    Two partial-agg groupBys (quasi-identifier, then global); the
+    report is constant-size regardless of corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("sz"))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("min_group_size"),
+        F.sum((F.col("sz") < 5).cast("bigint")).cast("bigint").alias("groups_below_k5"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)).cast("bigint").alias("rows_below_k5"),
+    )
+
+
+@query(
     "schema_evolution_merge_read",
     oracle="""
     WITH v1 AS (

@@ -387,3 +387,32 @@ def test_schema_evolution_missing_population_is_even_keys(spark, sf_dir):
     n_even = o.filter(F.col("o_orderkey") % 2 == 0).count()
     assert rows.get("<missing>") == n_even
     assert sum(rows.values()) == o.count()
+
+
+def test_rag_context_respects_budget_and_rank_order(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["rag_context_assembly"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        # ranks are a prefix (budget cuts the tail, never the middle)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[-1].cum_tokens <= 192
+        assert rs[-1].cum_tokens == sum(r.ntok for r in rs)
+        # cosine non-increasing with rank
+        for a, b in zip(rs, rs[1:]):
+            assert a.cos_sim >= b.cos_sim
+
+
+def test_k_anonymity_counts_consistent(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["k_anonymity_audit"](spark, sf_dir).first()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert r.n_groups == d.select("lang", "source").distinct().count()
+    assert r.groups_below_k5 <= r.n_groups
+    assert r.rows_below_k5 < 5 * max(1, r.groups_below_k5) + 1
