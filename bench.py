@@ -196,6 +196,7 @@ HEADLINE = [
     "schema_evolution_merge_read",
     "rag_context_assembly",
     "k_anonymity_audit",
+    "dataset_card_report",
 ]
 
 

@@ -6760,6 +6760,83 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataset_card_report",
+    oracle="""
+    WITH base AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents
+    ),
+    m AS (
+      SELECT lang, f, len(tk) AS ntok,
+             CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk) AS mwl,
+             CAST(list_max(list_transform(list_distinct(tk), u -> len(list_filter(tk, t -> t = u)))) AS DOUBLE) / len(tk) AS topr,
+             list_contains(tk, 'the') AS has_stop
+      FROM base
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique,
+             CAST(SUM(CASE WHEN ntok BETWEEN 30 AND 5000 AND mwl BETWEEN 3.0 AND 4.8
+                            AND topr <= 0.15 AND has_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+      FROM m
+    ),
+    langs AS (SELECT lang, COUNT(*) AS c FROM base GROUP BY lang),
+    ent AS (
+      SELECT CAST(SUM(CAST(-(CAST(l.c AS DOUBLE) / t.n) * ln(CAST(l.c AS DOUBLE) / t.n)
+                  AS DECIMAL(38,18))) AS DOUBLE) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM langs l CROSS JOIN tot t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_docs,
+           t.n_tokens,
+           e.n_langs,
+           ROUND(e.h, 6) AS lang_entropy,
+           ROUND(1.0 - CAST(t.n_unique AS DOUBLE) / t.n, 6) AS exact_dup_rate,
+           ROUND(CAST(t.n_quality AS DOUBLE) / t.n, 6) AS quality_pass_rate,
+           ROUND(CAST(t.n_tokens AS DOUBLE) / t.n, 6) AS mean_doc_tokens
+    FROM tot t CROSS JOIN ent e
+    """,
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row — the summary block every released
+    corpus ships (HuggingFace dataset-card shape): size (docs/tokens),
+    language count and Shannon entropy of the language mix, exact-
+    duplicate rate, Gopher-rules quality pass rate, and mean document
+    length. One pass computes per-doc features, three constant-size
+    aggregates combine them; the entropy terms go through DECIMAL so
+    the 5-term float sum is partition-order independent. Everything
+    here is a composition of operators already proven in isolation —
+    the card is the artifact a 100 TB release pipeline regenerates on
+    every snapshot."""
+    d = _t(spark, sf_dir, "documents")
+    flg = cur_ops.gopher_quality_flags(d).withColumn("f", text_ops.fingerprint("text"))
+    tot = flg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_ntok").cast("bigint").alias("n_tokens"),
+        F.count_distinct("f").cast("bigint").alias("n_unique"),
+        F.sum(F.col("pass_all").cast("bigint")).cast("bigint").alias("n_quality"),
+    )
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = langs.crossJoin(F.broadcast(tot.select("n"))).agg(
+        F.sum((-p * F.log(p)).cast("decimal(38,18)")).cast("double").alias("h"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    return tot.crossJoin(F.broadcast(ent)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        "n_langs",
+        F.round("h", 6).alias("lang_entropy"),
+        F.round(F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n"), 6).alias("exact_dup_rate"),
+        F.round(F.col("n_quality").cast("double") / F.col("n"), 6).alias("quality_pass_rate"),
+        F.round(F.col("n_tokens").cast("double") / F.col("n"), 6).alias("mean_doc_tokens"),
+    )
+
+
+@query(
     "rag_context_assembly",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -416,3 +416,17 @@ def test_k_anonymity_counts_consistent(spark, sf_dir):
     assert r.n_groups == d.select("lang", "source").distinct().count()
     assert r.groups_below_k5 <= r.n_groups
     assert r.rows_below_k5 < 5 * max(1, r.groups_below_k5) + 1
+
+
+def test_dataset_card_fields_consistent(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+    import math
+
+    r = QUERIES["dataset_card_report"](spark, sf_dir).first()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert r.n_docs == d.count()
+    assert r.n_langs == d.select("lang").distinct().count()
+    # entropy bounded by ln(n_langs); rates are probabilities
+    assert 0 <= r.lang_entropy <= math.log(r.n_langs) + 1e-9
+    assert 0 <= r.exact_dup_rate <= 1 and 0 <= r.quality_pass_rate <= 1
+    assert abs(r.mean_doc_tokens * r.n_docs - r.n_tokens) < r.n_docs
