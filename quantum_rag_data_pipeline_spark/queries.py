@@ -7416,6 +7416,13 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the gate. By round 5 every query has a driver-verified row.
 # Everything past position 50 remains exported, benched, pytest-covered,
 # and locally verified by tools/oracle_check.py every round.
+#
+# ROUND-5 ROTATION NOTE: the 52 queries registered DURING round 4
+# (compaction_bin_packing onward in registration order — everything from
+# bench.py's "# round 4" HEADLINE markers) have not yet had a driver-
+# verified run; they are the round-5 prefix. After that rotation every
+# query in the corpus will have at least one independent gate run on
+# record.
 # ---------------------------------------------------------------------------
 
 _VERIFY_ROTATION_R4 = [
