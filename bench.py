@@ -197,6 +197,8 @@ HEADLINE = [
     "rag_context_assembly",
     "k_anonymity_audit",
     "dataset_card_report",
+    "partition_pruning_measurement",
+    "pipe_syntax_rollup",
 ]
 
 

@@ -6760,6 +6760,80 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "partition_pruning_measurement",
+    oracle="""
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+    SELECT CAST((SELECT COUNT(DISTINCT day) FROM d) AS BIGINT) AS n_days_total,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days_scanned,
+           CAST(COUNT(*) AS BIGINT) AS rows_scanned,
+           TRUE AS partition_filter_pushed
+    FROM d WHERE day BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
+    """,
+)
+def partition_pruning_measurement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partition pruning MEASURED, not assumed: events are laid out
+    as day=YYYY-MM-DD partitions (repartition-by-day first, so exactly
+    one file per day), a 10-day range predicate is planned, and the
+    query emits (a) the day counts/rows the predicate admits and (b)
+    whether the physical scan carries a non-empty PartitionFilters
+    clause — read from the executed plan and pinned TRUE by the oracle,
+    the same invariant-pinning pattern as the sketch-bound queries. At
+    100 TB this layout turns a month-scan into a 10-directory listing;
+    this query is the regression canary that the predicate actually
+    reaches the scan instead of dying in a cast."""
+    import os
+
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/spark_graft_landing/{tag}/events_by_day"
+    if not os.path.exists(f"{base}/_SUCCESS"):
+        ev.withColumn("day", F.to_date("ts")).repartition("day") \
+            .write.mode("overwrite").partitionBy("day").parquet(base)
+    n_days_total = len([d for d in os.listdir(base) if d.startswith("day=")])
+    pr = spark.read.parquet(base).filter(
+        (F.col("day") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("day") <= F.lit("2024-01-19").cast("date"))
+    )
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    pushed = "PartitionFilters: [" in plan and "PartitionFilters: []" not in plan
+    return pr.agg(
+        F.lit(n_days_total).cast("bigint").alias("n_days_total"),
+        F.count_distinct("day").cast("bigint").alias("n_days_scanned"),
+        F.count(F.lit(1)).cast("bigint").alias("rows_scanned"),
+        F.lit(bool(pushed)).alias("partition_filter_pushed"),
+    )
+
+
+@query(
+    "pipe_syntax_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL `|>`): the same scan →
+    filter → aggregate rollup written as a linear pipeline instead of
+    inside-out SQL — the readability surface Spark 4 added for exactly
+    these multi-stage analytics. Parsed into the IDENTICAL Catalyst
+    plan as the classic form (the oracle IS the classic form), so this
+    pins that the pipe surface is wired, not just tolerated."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql("""
+        FROM lineitem_pipe
+        |> WHERE l_shipdate >= DATE '1996-01-01'
+        |> AGGREGATE ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, sum_qty, n_rows
+    """)
+
+
+@query(
     "dataset_card_report",
     oracle="""
     WITH base AS (

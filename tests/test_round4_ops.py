@@ -430,3 +430,27 @@ def test_dataset_card_fields_consistent(spark, sf_dir):
     assert 0 <= r.lang_entropy <= math.log(r.n_langs) + 1e-9
     assert 0 <= r.exact_dup_rate <= 1 and 0 <= r.quality_pass_rate <= 1
     assert abs(r.mean_doc_tokens * r.n_docs - r.n_tokens) < r.n_docs
+
+
+def test_partition_pruning_scan_reduction(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["partition_pruning_measurement"](spark, sf_dir).first()
+    assert r.partition_filter_pushed is True
+    # the 10-day predicate must prune to a strict subset of the month
+    assert 0 < r.n_days_scanned <= 10 < r.n_days_total
+
+
+def test_pipe_syntax_equals_classic_sql(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    out = {r.l_returnflag: (r.sum_qty, r.n_rows)
+           for r in QUERIES["pipe_syntax_rollup"](spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir)
+    ref = (li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+           .groupBy("l_returnflag")
+           .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double"), 2).alias("s"),
+                F.count(F.lit(1)).alias("n")))
+    for r in ref.collect():
+        assert out[r.l_returnflag] == (r.s, r.n)
