@@ -199,6 +199,8 @@ HEADLINE = [
     "dataset_card_report",
     "partition_pruning_measurement",
     "pipe_syntax_rollup",
+    "ansi_safe_arithmetic",
+    "map_functions_surface",
 ]
 
 

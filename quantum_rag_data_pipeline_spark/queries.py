@@ -6760,6 +6760,93 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ansi_safe_arithmetic",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, value,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
+           ROUND(CAST(SUM(CAST(CASE WHEN k = 0 THEN NULL ELSE value / k END
+                 AS DECIMAL(38,12))) AS DOUBLE), 4) AS sum_safe_ratio
+    FROM x GROUP BY event_type
+    """,
+)
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic: Spark 4 runs with ANSI SQL on by
+    default, where value/0 THROWS mid-job instead of returning NULL —
+    the classic way a month-long backfill dies at hour 30. `try_divide`
+    is the sanctioned escape hatch: NULL on divide-by-zero, identical
+    result otherwise, and the NULLs are COUNTED here rather than
+    silently swallowed (the div-zero tally is the data-quality signal).
+    Works identically under ANSI and legacy modes — which the plain-
+    session gate run proves."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type", "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((F.col("k") == 0).cast("bigint")).cast("bigint").alias("n_div_zero"),
+        F.round(
+            F.sum(F.try_divide(F.col("value"), F.col("k")).cast("decimal(38,12)")).cast("double"),
+            4,
+        ).alias("sum_safe_ratio"),
+    )
+
+
+@query(
+    "map_functions_surface",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           '{' || string_agg('"' || event_type || '":' || cnt, ',' ORDER BY event_type) || '}'
+             AS type_counts_json,
+           '{' || COALESCE(string_agg(CASE WHEN cnt >= 3 THEN '"' || event_type || '":' || cnt END,
+                            ',' ORDER BY event_type), '') || '}' AS frequent_json,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_count
+    FROM c GROUP BY user_id
+    """,
+)
+def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface exercised end-to-end: per-user event-type
+    counts collected into a real MapType via sorted
+    ``map_from_entries``, thinned with ``map_filter`` (keep types seen
+    ≥3×), inspected with ``map_keys``/``aggregate`` over
+    ``map_values`` — then serialized to JSON at the boundary so the
+    gate can compare engines (DuckDB's map runtime differs; the STRING
+    is the portable contract, the map ops are the thing under test).
+    Sorting entries before map construction makes the serialization
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    freq = F.map_filter(F.col("m"), lambda k, v: v >= 3)
+    return m.select(
+        "user_id",
+        F.to_json(F.col("m")).alias("type_counts_json"),
+        F.to_json(freq).alias("frequent_json"),
+        F.size(F.map_keys(F.col("m"))).cast("bigint").alias("n_keys"),
+        F.aggregate(
+            F.map_values(F.col("m")), F.lit(0).cast("bigint"),
+            lambda a, v: F.greatest(a, v.cast("bigint")),
+        ).alias("max_count"),
+    )
+
+
+@query(
     "partition_pruning_measurement",
     oracle="""
     WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day FROM events)

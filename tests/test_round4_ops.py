@@ -454,3 +454,27 @@ def test_pipe_syntax_equals_classic_sql(spark, sf_dir):
                 F.count(F.lit(1)).alias("n")))
     for r in ref.collect():
         assert out[r.l_returnflag] == (r.s, r.n)
+
+
+def test_try_divide_nulls_exactly_div_zero_rows(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    rows = QUERIES["ansi_safe_arithmetic"](spark, sf_dir).collect()
+    ev = load_table(spark, "events", sf_dir)
+    n_zero = ev.filter(F.get_json_object("props", "$.k").cast("int") == 0).count()
+    assert sum(r.n_div_zero for r in rows) == n_zero
+    assert sum(r.n_rows for r in rows) == ev.count()
+
+
+def test_map_surface_frequent_subset_of_all(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+    import json
+
+    for r in QUERIES["map_functions_surface"](spark, sf_dir).collect():
+        allm = json.loads(r.type_counts_json)
+        freq = json.loads(r.frequent_json)
+        assert set(freq) <= set(allm)
+        assert all(v >= 3 for v in freq.values())
+        assert r.n_keys == len(allm)
+        assert r.max_count == max(allm.values())
