@@ -201,6 +201,7 @@ HEADLINE = [
     "pipe_syntax_rollup",
     "ansi_safe_arithmetic",
     "map_functions_surface",
+    "streaming_stateful_key_counts",
 ]
 
 

@@ -6760,6 +6760,47 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stateful_key_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS min_id
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator at the gate:
+    ``applyInPandasWithState`` with arbitrary per-key state (running
+    count + min id) over the event stream — the escape hatch for
+    stateful logic the built-in windows can't express. The state
+    transition is commutative/associative, so the emitted totals are
+    order-free and hash-match the batch GROUP BY oracle exactly — the
+    design rule for ANY custom stateful operator that must be
+    exactly-once-replayable at 100 TB (non-commutative state would make
+    recovery order-visible)."""
+    import os
+
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import drain_available_now
+    from quantum_rag_data_pipeline_spark.streaming.stateful import (
+        streaming_stateful_accumulate,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    landing = f"/tmp/spark_graft_landing/{tag}/events"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).parquet(landing).select("user_id", "event_id")
+    out = streaming_stateful_accumulate(
+        stream, "user_id", "event_id", "user_id long, n_events long, min_id long"
+    )
+    return drain_available_now(out, "stateful_key_counts", output_mode="append")
+
+
+@query(
     "ansi_safe_arithmetic",
     oracle="""
     WITH x AS (

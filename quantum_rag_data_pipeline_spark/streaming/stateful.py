@@ -50,3 +50,35 @@ def streaming_dedup_by_key(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_stateful_accumulate(
+    keyed_stream: DataFrame,
+    key_col: str,
+    id_col: str,
+    output_schema: str,
+) -> DataFrame:
+    """Arbitrary-state accumulator: per key keep (count, min id) across
+    batches and emit the running totals each time the key appears.
+    Unlike first-row dedup, the emitted values are ORDER-FREE (count
+    and min commute), so the result is deterministic under any shuffle
+    or batch split — which is what lets the driver gate hash-match it
+    against a batch GROUP BY oracle."""
+
+    def acc(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        n, mn = (state.get if state.exists else (0, None))
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                batch_min = int(pdf[id_col].min())
+                mn = batch_min if mn is None else min(mn, batch_min)
+        state.update((n, mn))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "min_id": [mn]})
+
+    return keyed_stream.groupBy(key_col).applyInPandasWithState(
+        acc,
+        outputStructType=output_schema,
+        stateStructType="n long, mn long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

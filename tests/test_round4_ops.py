@@ -478,3 +478,15 @@ def test_map_surface_frequent_subset_of_all(spark, sf_dir):
         assert all(v >= 3 for v in freq.values())
         assert r.n_keys == len(allm)
         assert r.max_count == max(allm.values())
+
+
+def test_stateful_accumulator_matches_batch_groupby(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["streaming_stateful_key_counts"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ref = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("event_id").cast("long").alias("min_id"),
+    )
+    assert out.exceptAll(ref).count() == 0 and ref.exceptAll(out).count() == 0

@@ -34,7 +34,7 @@ UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_fr
 # streaming queries start a real stream; skip static explain
 SKIP = {"streaming_sliding_window", "streaming_sessionization",
         "streaming_static_enrich", "streaming_dedup_exactly_once",
-        "streaming_watermark_append_semantics"}
+        "streaming_watermark_append_semantics", "streaming_stateful_key_counts"}
 
 
 def main() -> int:
