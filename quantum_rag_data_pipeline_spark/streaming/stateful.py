@@ -82,3 +82,51 @@ def streaming_stateful_accumulate(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_transform_with_state(
+    keyed_stream: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Spark 4's NEW arbitrary-state API (``transformWithStateInPandas``
+    with a ``StatefulProcessor`` + ``ValueState``) — the successor to
+    applyInPandasWithState, with explicitly-managed named state and
+    timers. Accumulates per-key (count, cents) where cents is the
+    per-row floor(value·100 + 0.5) integer — commutative integer state,
+    so the emitted totals are order-free and batch-oracle-exact.
+
+    NOTE: this API drives a protobuf-based state server; in containers
+    without a working ``google.protobuf`` the stream crashes at
+    initialization (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
+    The test suite skips it there; applyInPandasWithState
+    (``streaming_stateful_accumulate``) is the dependency-free fallback
+    with the same semantics and IS driver-gated."""
+    import numpy as np
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class KeyTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                if len(pdf):
+                    n += len(pdf)
+                    cents += int(
+                        np.floor(pdf[value_col].to_numpy(dtype=np.float64) * 100.0 + 0.5)
+                        .astype(np.int64).sum()
+                    )
+            self._state.update((n, cents))
+            yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "value_cents": [cents]})
+
+        def close(self) -> None:
+            pass
+
+    return keyed_stream.groupBy(key_col).transformWithStateInPandas(
+        KeyTotals(),
+        outputStructType=f"{key_col} long, n_events long, value_cents long",
+        outputMode="append",
+        timeMode="none",
+    )

@@ -143,3 +143,29 @@ def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["fp"] for r in spark.table("ddww").collect())
     assert got == ["fp1", "fp2"]
+
+
+def test_transform_with_state_totals(spark, tmp_path):
+    # Spark 4's transformWithStateInPandas needs a working protobuf for
+    # its state server; skip cleanly where the container lacks it.
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable in this container")
+    from quantum_rag_data_pipeline_spark.streaming.stateful import (
+        streaming_transform_with_state,
+    )
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import drain_available_now
+
+    src = spark.createDataFrame(
+        [(1, 1.25), (1, 2.50), (2, 0.10)], "user_id long, value double"
+    )
+    d = str(tmp_path / "tws_src")
+    src.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    out = streaming_transform_with_state(stream, "user_id", "value")
+    got = {r.user_id: (r.n_events, r.value_cents)
+           for r in drain_available_now(out, "tws_test", output_mode="append").collect()}
+    assert got == {1: (2, 375), 2: (1, 10)}
