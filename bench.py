@@ -202,6 +202,8 @@ HEADLINE = [
     "ansi_safe_arithmetic",
     "map_functions_surface",
     "streaming_stateful_key_counts",
+    "collation_aware_grouping",
+    "xml_ingest_shredding",
 ]
 
 

@@ -6760,6 +6760,88 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "collation_aware_grouping",
+    oracle="""
+    WITH x AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type) ELSE event_type END AS et
+      FROM events
+    )
+    SELECT lower(et) AS event_type_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT et) AS BIGINT) AS n_case_variants
+    FROM x GROUP BY lower(et)
+    """,
+)
+def collation_aware_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: a mixed-case column (every 2nd row
+    upper-cased) grouped under UTF8_LCASE collation — the engine-native
+    way to get case-insensitive grouping/joins WITHOUT wrapping every
+    key in lower() (which would break predicate pushdown and dictionary
+    encoding on a real 100 TB column; collation keeps the comparison
+    rule in the type, where the scanner and the optimizer can see it).
+    n_case_variants counts the binary-distinct spellings each CI group
+    absorbed. The oracle emulates with lower() — same partition, so the
+    hash must match."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et")
+    )
+    ci = F.collate(F.col("et"), "UTF8_LCASE")
+    return x.groupBy(F.lower(ci).alias("event_type_ci")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct(F.collate(F.col("et"), "UTF8_BINARY")).cast("bigint")
+        .alias("n_case_variants"),
+    )
+
+
+@query(
+    "xml_ingest_shredding",
+    oracle="""
+    WITH x AS (
+      SELECT '<event><id>' || event_id || '</id><type>' || event_type ||
+             '</type><value>' || CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+             || '</value></event>' AS xml,
+             event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_id < 1000
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MAX(LENGTH(xml)) AS BIGINT) AS max_xml_len
+    FROM x GROUP BY event_type
+    """,
+)
+def xml_ingest_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest with Spark 4's native ``from_xml``: serialize events
+    to XML envelopes (the shape a legacy feed delivers), then shred
+    them back through a declared schema and aggregate the TYPED fields
+    — proving the round-trip is lossless (the oracle aggregates the
+    original values; the Spark side touches them only through the XML).
+    Schema-on-read XML without a UDF, same plan shape as the JSON and
+    VARIANT shredding queries."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    xml = F.concat(
+        F.lit("<event><id>"), F.col("event_id").cast("string"),
+        F.lit("</id><type>"), F.col("event_type"),
+        F.lit("</type><value>"), cents.cast("string"),
+        F.lit("</value></event>"),
+    )
+    x = ev.select(xml.alias("xml"))
+    parsed = x.select(
+        "xml",
+        F.from_xml("xml", "id BIGINT, type STRING, value BIGINT").alias("p"),
+    )
+    return parsed.groupBy(F.col("p.type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("p.value").cast("bigint").alias("total_cents"),
+        F.max(F.length("xml")).cast("bigint").alias("max_xml_len"),
+    )
+
+
+@query(
     "streaming_stateful_key_counts",
     oracle="""
     SELECT user_id,

@@ -490,3 +490,30 @@ def test_stateful_accumulator_matches_batch_groupby(spark, sf_dir):
         F.min("event_id").cast("long").alias("min_id"),
     )
     assert out.exceptAll(ref).count() == 0 and ref.exceptAll(out).count() == 0
+
+
+def test_collation_merges_case_variants(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    rows = QUERIES["collation_aware_grouping"](spark, sf_dir).collect()
+    ev = load_table(spark, "events", sf_dir)
+    # CI groups == distinct lowercase types; each absorbed 2 spellings
+    assert len(rows) == ev.select(F.lower("event_type")).distinct().count()
+    for r in rows:
+        assert r.n_case_variants == 2
+    assert sum(r.n_rows for r in rows) == ev.count()
+
+
+def test_xml_roundtrip_is_lossless(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    rows = QUERIES["xml_ingest_shredding"](spark, sf_dir).collect()
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 1000)
+    ref = {r.event_type: (r.n, r.c) for r in ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("c"),
+    ).collect()}
+    got = {r.event_type: (r.n_rows, r.total_cents) for r in rows}
+    assert got == ref
