@@ -204,6 +204,7 @@ HEADLINE = [
     "streaming_stateful_key_counts",
     "collation_aware_grouping",
     "xml_ingest_shredding",
+    "bfs_levels_copurchase",
 ]
 
 

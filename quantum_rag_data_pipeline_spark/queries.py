@@ -6760,6 +6760,99 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bfs_levels_copurchase",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    nodes AS (SELECT DISTINCT u AS n FROM und),
+    src AS (SELECT MIN(n) AS s FROM nodes),
+    l1 AS (SELECT DISTINCT e.v AS n FROM und e JOIN src ON e.u = src.s),
+    l2 AS (SELECT DISTINCT e.v AS n FROM und e JOIN l1 ON e.u = l1.n
+           WHERE e.v <> (SELECT s FROM src) AND e.v NOT IN (SELECT n FROM l1)),
+    l3 AS (SELECT DISTINCT e.v AS n FROM und e JOIN l2 ON e.u = l2.n
+           WHERE e.v <> (SELECT s FROM src)
+             AND e.v NOT IN (SELECT n FROM l1) AND e.v NOT IN (SELECT n FROM l2))
+    SELECT CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS n_nodes
+    UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM l1
+    UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM l2
+    UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM l3
+    UNION ALL SELECT -1, CAST((SELECT COUNT(*) FROM nodes) - 1
+                 - (SELECT COUNT(*) FROM l1) - (SELECT COUNT(*) FROM l2)
+                 - (SELECT COUNT(*) FROM l3) AS BIGINT)
+    """,
+)
+def bfs_levels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS levels (bounded-depth shortest paths) over the
+    co-purchase graph, from its minimum node id: 3 rounds of frontier
+    expansion — frontier ⋈ edges, minus the visited set, distinct —
+    with a localCheckpoint per round to keep the iterative lineage
+    flat, exactly the Pregel-style loop shape CC and PageRank use.
+    Level −1 counts the nodes unreachable within 3 hops. At 100 TB the
+    per-round shuffle carries only (node) ids; the visited set stays a
+    distributed anti-join, never a driver structure."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("no"))
+        .filter(F.col("no") >= 8)
+        .select("l_partkey")
+    )
+    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    und = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+        .localCheckpoint(eager=False)
+    nodes = und.select(F.col("u").alias("n")).distinct().localCheckpoint(eager=False)
+    src = nodes.agg(F.min("n").alias("n"))
+    visited = src.select("n")
+    frontier = src.select("n")
+    counts = [(0, src)]
+    for lvl in (1, 2, 3):
+        nxt = (
+            und.join(frontier.withColumnRenamed("n", "u"), "u")
+            .select(F.col("v").alias("n"))
+            .distinct()
+            .join(visited, "n", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        counts.append((lvl, nxt))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    out = None
+    for lvl, df in counts:
+        row = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")) \
+            .select(F.lit(lvl).cast("bigint").alias("level"), "n_nodes")
+        out = row if out is None else out.unionByName(row)
+    unreachable = (
+        nodes.join(visited, "n", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.lit(-1).cast("bigint").alias("level"), "n_nodes")
+    )
+    return out.unionByName(unreachable)
+
+
+@query(
     "collation_aware_grouping",
     oracle="""
     WITH x AS (

