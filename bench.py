@@ -205,6 +205,8 @@ HEADLINE = [
     "collation_aware_grouping",
     "xml_ingest_shredding",
     "bfs_levels_copurchase",
+    "csv_ingest_typed",
+    "jsonl_ingest_scan",
 ]
 
 

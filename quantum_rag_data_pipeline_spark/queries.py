@@ -6760,6 +6760,110 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "csv_ingest_typed",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_good,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total,
+           CAST(2 AS BIGINT) AS n_corrupt
+    FROM orders WHERE o_orderkey < 5000
+    GROUP BY o_orderstatus
+    """,
+)
+def csv_ingest_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CSV ingest with malformed-row accounting: the landing file
+    carries real rows plus 2 INJECTED garbage lines (truncated record,
+    non-numeric price — what actual feeds deliver), read back under an
+    explicit schema in PERMISSIVE mode with a ``_corrupt_record``
+    column. Good rows aggregate normally; the corrupt count rides along
+    in the result so bad data is a VISIBLE metric, not a silent drop
+    (DROPMALFORMED) or a dead job (FAILFAST — the ANSI-mode equivalent
+    of this query's try_divide sibling). Schema-on-read, header
+    skipped, decimal prices parsed exactly."""
+    import os
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/spark_graft_landing/{tag}/orders_csv"
+    marker = f"{base}/landing/extra.csv"
+    if not os.path.exists(marker):
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice") \
+            .coalesce(1).write.mode("overwrite").option("header", True).csv(f"{base}/clean")
+        os.makedirs(f"{base}/landing", exist_ok=True)
+        part = next(f for f in os.listdir(f"{base}/clean") if f.endswith(".csv"))
+        os.replace(f"{base}/clean/{part}", f"{base}/landing/orders.csv")
+        with open(marker, "w") as f:
+            f.write("o_orderkey,o_orderstatus,o_totalprice\n"
+                    "99999998,XX\n"                       # truncated record
+                    "99999999,YY,not_a_number\n")         # non-numeric price
+    df = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, _corrupt_record STRING"
+        )
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{base}/landing")
+    )
+    df = df.cache()  # one scan feeds both the good-row agg and the corrupt count
+    n_corrupt = F.lit(
+        df.filter(F.col("_corrupt_record").isNotNull()).count()
+    ).cast("bigint")
+    return (
+        df.filter(F.col("_corrupt_record").isNull())
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_good"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2)
+            .alias("total"),
+            n_corrupt.alias("n_corrupt"),
+        )
+    )
+
+
+@query(
+    "jsonl_ingest_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (
+      SELECT event_type, value, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events WHERE event_id < 2000
+    ) GROUP BY event_type
+    """,
+)
+def jsonl_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest through ``spark.read.json`` with a declared
+    schema (never inference at scale — a schema-inference pass over
+    100 TB of JSONL is a full extra scan): events round-trip through a
+    JSONL landing file including their NESTED props object, and the
+    typed scan aggregates the nested field directly. The cents grid
+    keeps the money sum exact; nested max proves the struct path
+    survived the round-trip."""
+    import os
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/spark_graft_landing/{tag}/events_jsonl"
+    if not os.path.exists(f"{base}/_SUCCESS"):
+        ev.select(
+            "event_id", "event_type", "value",
+            F.from_json("props", "k INT").alias("props"),
+        ).coalesce(2).write.mode("overwrite").json(base)
+    df = spark.read.schema(
+        "event_id BIGINT, event_type STRING, value DOUBLE, props STRUCT<k: INT>"
+    ).json(base)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).cast("bigint")
+        .alias("value_cents"),
+        F.max("props.k").cast("bigint").alias("max_k"),
+    )
+
+
+@query(
     "bfs_levels_copurchase",
     oracle="""
     WITH sup AS (

@@ -528,3 +528,25 @@ def test_bfs_levels_partition_the_node_set(spark, sf_dir):
     # levels + unreachable partition all nodes exactly once
     total = sum(rows.values())
     assert total > 1 and all(v >= 0 for v in rows.values())
+
+
+def test_csv_ingest_counts_injected_corrupt_rows(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["csv_ingest_typed"](spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") < 5000)
+    assert sum(r.n_good for r in rows) == o.count()
+    for r in rows:
+        assert r.n_corrupt == 2  # exactly the injected garbage lines
+
+
+def test_jsonl_nested_struct_survives_roundtrip(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    rows = QUERIES["jsonl_ingest_scan"](spark, sf_dir).collect()
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 2000)
+    ref = {r.event_type: r.mk for r in ev.groupBy("event_type").agg(
+        F.max(F.get_json_object("props", "$.k").cast("int")).alias("mk")).collect()}
+    for r in rows:
+        assert r.max_k == ref[r.event_type]
