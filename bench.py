@@ -207,6 +207,7 @@ HEADLINE = [
     "bfs_levels_copurchase",
     "csv_ingest_typed",
     "jsonl_ingest_scan",
+    "format_matrix_roundtrip",
 ]
 
 

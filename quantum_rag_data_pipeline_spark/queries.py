@@ -6760,6 +6760,64 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "format_matrix_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id < 300
+    )
+    SELECT 'orc' AS format,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS payload_metric
+    FROM base
+    UNION ALL
+    SELECT 'text', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT),
+           CAST(SUM(LENGTH(CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR))) AS BIGINT)
+    FROM base
+    """,
+)
+def format_matrix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-format matrix closure: the same slice round-trips through
+    ORC (the other columnar format Spark ships a vectorized reader for
+    — schema, predicates, and column pruning work exactly as in
+    parquet) and the raw TEXT format (one string per line — the lowest
+    common denominator every log pipeline starts from, parsed back with
+    split()). Together with the parquet/CSV/JSONL/XML queries this
+    closes the built-in format matrix; each branch emits an id checksum
+    so silent row corruption in either codec fails the hash gate."""
+    import os
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/spark_graft_landing/{tag}/format_matrix"
+    if not os.path.exists(f"{base}/orc/_SUCCESS"):
+        d.select("doc_id", "n_chars").write.mode("overwrite").orc(f"{base}/orc")
+        d.select(
+            F.concat_ws("|", F.col("doc_id").cast("string"), F.col("n_chars").cast("string"))
+            .alias("value")
+        ).write.mode("overwrite").text(f"{base}/text")
+    orc = spark.read.orc(f"{base}/orc").agg(
+        F.lit("orc").alias("format"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.sum("n_chars").cast("bigint").alias("payload_metric"),
+    )
+    txt_lines = spark.read.text(f"{base}/text")
+    parsed = txt_lines.select(
+        F.split("value", r"\|").getItem(0).cast("bigint").alias("doc_id"),
+        F.length("value").alias("line_len"),
+    )
+    txt = parsed.agg(
+        F.lit("text").alias("format"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.sum("line_len").cast("bigint").alias("payload_metric"),
+    )
+    return orc.unionByName(txt)
+
+
+@query(
     "csv_ingest_typed",
     oracle="""
     SELECT o_orderstatus,

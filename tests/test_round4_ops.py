@@ -550,3 +550,23 @@ def test_jsonl_nested_struct_survives_roundtrip(spark, sf_dir):
         F.max(F.get_json_object("props", "$.k").cast("int")).alias("mk")).collect()}
     for r in rows:
         assert r.max_k == ref[r.event_type]
+
+
+def test_format_matrix_checksums_agree_across_formats(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.format: r for r in QUERIES["format_matrix_roundtrip"](spark, sf_dir).collect()}
+    assert set(rows) == {"orc", "text"}
+    # both codecs must carry the identical row set
+    assert rows["orc"].n_rows == rows["text"].n_rows
+    assert rows["orc"].id_checksum == rows["text"].id_checksum
+
+
+def test_binaryfile_source_reads_exact_bytes(spark, sf_dir):
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    df = spark.read.format("binaryFile").load(path)
+    r = df.select("length", "content").first()
+    assert r.length == os.path.getsize(path)
+    assert len(r.content) == r.length
