@@ -208,6 +208,8 @@ HEADLINE = [
     "csv_ingest_typed",
     "jsonl_ingest_scan",
     "format_matrix_roundtrip",
+    "range_frame_trailing_revenue",
+    "null_safe_join_semantics",
 ]
 
 

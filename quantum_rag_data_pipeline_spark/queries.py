@@ -6760,6 +6760,93 @@ def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_frame_trailing_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DECIMAL(30,2)) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           ROUND(CAST(rev AS DOUBLE), 2) AS day_revenue,
+           ROUND(CAST(SUM(rev) OVER (
+             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS trailing_7d_revenue
+    FROM daily
+    """,
+)
+def range_frame_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frames over event-time — the frame ROWS can't
+    express: a trailing-7-CALENDAR-day revenue sum that stays correct
+    when days are MISSING from the data (a ROWS BETWEEN 6 PRECEDING
+    frame would silently reach back further across gaps). Spark's RANGE
+    frame needs a numeric ordering key, so the day becomes its epoch-day
+    integer — the standard idiom — while the oracle uses DuckDB's
+    native INTERVAL range frame; both must land on identical sums via
+    the decimal grid. One shuffle for the daily rollup; the global
+    window runs over one row per day (calendar-bounded, not
+    data-bounded)."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("decimal(30,2)").alias("rev")
+    )
+    w = Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))) \
+        .rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("rev").cast("double"), 2).alias("day_revenue"),
+        F.round(F.sum("rev").over(w).cast("double"), 2).alias("trailing_7d_revenue"),
+    )
+
+
+@query(
+    "null_safe_join_semantics",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS k FROM orders WHERE o_orderkey < 4000
+    ),
+    b AS (
+      SELECT NULLIF(o_orderstatus, 'O') AS k, COUNT(*) AS cnt
+      FROM orders WHERE o_orderkey < 4000 GROUP BY 1
+    )
+    SELECT 'equals' AS join_semantics,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM a JOIN b ON a.k = b.k
+    UNION ALL
+    SELECT 'null_safe', CAST(COUNT(*) AS BIGINT)
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL join semantics pinned: standard ``=`` drops every NULL key
+    (NULL = NULL is UNKNOWN), while the null-safe operator (Spark
+    ``<=>`` / SQL IS NOT DISTINCT FROM) matches NULL with NULL — the
+    difference between losing and keeping the 'status unknown'
+    population when joining on a nullable dimension key. Both joins run
+    in the same query and the row-count gap IS the NULL-keyed
+    population, driver-verified. ``<=>`` still hash-joins (Catalyst
+    treats it as an equi-join key), so the null-safe form costs no plan
+    degradation — the point of using it over COALESCE sentinels."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    a = o.select("o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"))
+    b = (
+        o.select(F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    eq = a.join(b, a["k"] == b["k"]).agg(
+        F.lit("equals").alias("join_semantics"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+    )
+    ns = a.join(b, a["k"].eqNullSafe(b["k"])).agg(
+        F.lit("null_safe").alias("join_semantics"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+    )
+    return eq.unionByName(ns)
+
+
+@query(
     "format_matrix_roundtrip",
     oracle="""
     WITH base AS (

@@ -570,3 +570,25 @@ def test_binaryfile_source_reads_exact_bytes(spark, sf_dir):
     r = df.select("length", "content").first()
     assert r.length == os.path.getsize(path)
     assert len(r.content) == r.length
+
+
+def test_range_frame_handles_calendar_gaps(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["range_frame_trailing_revenue"](spark, sf_dir).cache()
+    # trailing sum >= the day's own revenue, never more than 7 days of data
+    bad = out.filter(F.col("trailing_7d_revenue") < F.col("day_revenue") - 1e-6).count()
+    assert bad == 0
+    assert out.count() == out.select("day").distinct().count()
+    out.unpersist()
+
+
+def test_null_safe_join_gap_is_null_population(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.join_semantics: r.n_matched
+            for r in QUERIES["null_safe_join_semantics"](spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") < 4000)
+    n_null_keys = o.filter(F.col("o_orderstatus") == "O").count()
+    # '=' loses exactly the NULL-keyed rows that '<=>' keeps
+    assert rows["null_safe"] - rows["equals"] == n_null_keys
