@@ -210,6 +210,10 @@ HEADLINE = [
     "format_matrix_roundtrip",
     "range_frame_trailing_revenue",
     "null_safe_join_semantics",
+    "scd2_point_in_time_join",
+    "incremental_agg_maintenance",
+    "logreg_gd_steps",
+    "tfidf_cosine_pairs",
 ]
 
 

@@ -8029,6 +8029,447 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time (as-of dimension) join against SCD2 intervals
+# ---------------------------------------------------------------------------
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2)
+                        / COUNT(*) / 20) AS INT) AS tier
+      FROM events GROUP BY user_id, day
+    ),
+    flagged AS (
+      SELECT user_id, day, tier,
+             CASE WHEN LAG(tier) OVER w IS NULL
+                       OR LAG(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    islands AS (
+      SELECT user_id, day, tier,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    dim AS (
+      SELECT user_id, CAST(MIN(tier) AS INT) AS tier,
+             MIN(day) AS valid_from, MAX(day) AS valid_to
+      FROM islands GROUP BY user_id, island
+    ),
+    fact AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(f.value AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue
+    FROM fact f JOIN dim d
+      ON f.user_id = d.user_id AND f.day BETWEEN d.valid_from AND d.valid_to
+    GROUP BY d.tier
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against a type-2 dimension — the join every
+    warehouse needs after historizing (cf. `scd2_tier_history`): each
+    purchase event is matched to the tier row that was VALID ON ITS OWN
+    DAY (``day BETWEEN valid_from AND valid_to``), never the current
+    one — the difference between backtest-correct and leaky feature
+    joins. The join key is the user_id EQUI pair, so Catalyst plans a
+    plain hash join shuffled once on user_id and the interval predicate
+    evaluates inside the matched user's handful of intervals — no
+    cartesian, no broadcast-range machinery needed; at 100 TB both
+    sides co-partition on the same key the dimension was built with.
+    Intervals partition the timeline per user (gaps-and-islands
+    guarantees disjointness), so the join is provably 1:1 per event."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.floor(
+            F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2)
+            / F.count(F.lit(1)) / 20
+        ).cast("int").alias("tier")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = daily.select(
+        "user_id", "day", "tier",
+        F.sum(
+            F.when(
+                F.lag("tier").over(w).isNull()
+                | (F.lag("tier").over(w) != F.col("tier")), 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    dim = islands.groupBy("user_id", "island").agg(
+        F.min("tier").cast("int").alias("tier"),
+        F.min("day").alias("valid_from"),
+        F.max("day").alias("valid_to"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("f_user_id"), F.to_date("ts").alias("day"), "value"
+    )
+    joined = fact.join(
+        dim,
+        (F.col("f_user_id") == dim["user_id"])
+        & F.col("day").between(dim["valid_from"], dim["valid_to"]),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.countDistinct("f_user_id").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate (materialized-view) maintenance
+# ---------------------------------------------------------------------------
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    WITH stored AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+      GROUP BY o_orderpriority
+    ),
+    delta AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day
+      FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+      GROUP BY o_orderpriority
+    ),
+    merged AS (
+      SELECT COALESCE(s.o_orderpriority, d.o_orderpriority) AS o_orderpriority,
+             COALESCE(s.n, 0) + COALESCE(d.n, 0) AS n_orders,
+             COALESCE(s.rev, 0) + COALESCE(d.rev, 0) AS rev,
+             GREATEST(COALESCE(s.last_day, DATE '1970-01-01'),
+                      COALESCE(d.last_day, DATE '1970-01-01')) AS last_day
+      FROM stored s FULL OUTER JOIN delta d USING (o_orderpriority)
+    ),
+    full_recompute AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority,
+           CAST(m.n_orders AS BIGINT) AS n_orders,
+           ROUND(CAST(m.rev AS DOUBLE), 2) AS total_revenue,
+           m.last_day AS last_order_day,
+           (m.n_orders = f.n_orders AND m.rev = f.rev
+            AND m.last_day = f.last_day) AS matches_full_recompute
+    FROM merged m JOIN full_recompute f USING (o_orderpriority)
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — at 100 TB you never
+    re-aggregate history: the stored rollup (orders before the
+    checkpoint date) is MERGED with the fresh delta batch's partials,
+    and because count/sum/max form a commutative monoid the merge is
+    EXACTLY the full recompute — proven in-plan by computing both and
+    pinning ``matches_full_recompute`` TRUE on the decimal grid (a
+    float rollup would NOT survive this test; re-association changes
+    fp sums). The merge is a full-outer join on the group key so groups
+    appearing only in the delta (or only in history) both surface. The
+    expensive side of this query is the simulated full recompute — in
+    production only ``delta`` (one partition's scan) plus a
+    dimension-sized stored table is touched."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.col("o_orderdate").cast("date")
+    )
+    split = F.lit("1999-01-01").cast("date")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"),
+            F.max("day").alias("last_day"),
+        )
+
+    stored = rollup(o.filter(F.col("day") < split))
+    delta = rollup(o.filter(F.col("day") >= split))
+    merged = (
+        stored.alias("s")
+        .join(delta.alias("d"), "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce(F.col("s.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0)))
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("s.rev"), F.lit(0).cast("decimal(30,2)"))
+                + F.coalesce(F.col("d.rev"), F.lit(0).cast("decimal(30,2)"))
+            ).alias("rev"),
+            F.greatest(
+                F.coalesce(F.col("s.last_day"), F.lit("1970-01-01").cast("date")),
+                F.coalesce(F.col("d.last_day"), F.lit("1970-01-01").cast("date")),
+            ).alias("last_day"),
+        )
+    )
+    full = rollup(o).withColumnsRenamed(
+        {"n": "f_n", "rev": "f_rev", "last_day": "f_last_day"}
+    )
+    return merged.join(F.broadcast(full), "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("rev").cast("double"), 2).alias("total_revenue"),
+        F.col("last_day").alias("last_order_day"),
+        (
+            (F.col("n_orders") == F.col("f_n"))
+            & (F.col("rev") == F.col("f_rev"))
+            & (F.col("last_day") == F.col("f_last_day"))
+        ).alias("matches_full_recompute"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic regression — full-batch gradient-descent steps
+# ---------------------------------------------------------------------------
+
+@query(
+    "logreg_gd_steps",
+    oracle="""
+    WITH feats AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             ROUND(n_chars / 1000.0, 6) AS x1,
+             ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+                   / CAST(n_chars AS DOUBLE), 6) AS x2
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+    g1 AS (  -- step 1 from w=0: sigma(0)=0.5 exactly, no exp needed
+      SELECT SUM(CAST(ROUND((0.5 - y) * x0, 6) AS DECIMAL(30,6))) AS g0,
+             SUM(CAST(ROUND((0.5 - y) * x1, 6) AS DECIMAL(30,6))) AS g1,
+             SUM(CAST(ROUND((0.5 - y) * x2, 6) AS DECIMAL(30,6))) AS g2
+      FROM feats
+    ),
+    w1 AS (
+      SELECT ROUND(-0.5 * CAST(g0 AS DOUBLE) / n.n, 6) AS w0,
+             ROUND(-0.5 * CAST(g1 AS DOUBLE) / n.n, 6) AS w1,
+             ROUND(-0.5 * CAST(g2 AS DOUBLE) / n.n, 6) AS w2
+      FROM g1 CROSS JOIN n
+    ),
+    p2 AS (  -- step 2: rational (hardware-friendly) sigmoid, IEEE-exact
+      SELECT f.y, f.x0, f.x1, f.x2,
+             ROUND(0.5 + 0.5 * z / (1.0 + ABS(z)), 6) AS p
+      FROM (
+        SELECT y, x0, x1, x2,
+               ROUND(w.w0 * x0 + w.w1 * x1 + w.w2 * x2, 6) AS z
+        FROM feats CROSS JOIN w1 w
+      ) f
+    ),
+    g2s AS (
+      SELECT SUM(CAST(ROUND((p - y) * x0, 6) AS DECIMAL(30,6))) AS g0,
+             SUM(CAST(ROUND((p - y) * x1, 6) AS DECIMAL(30,6))) AS g1,
+             SUM(CAST(ROUND((p - y) * x2, 6) AS DECIMAL(30,6))) AS g2,
+             SUM(CAST(ROUND((p - y) * (p - y), 6) AS DECIMAL(30,6))) AS sq
+      FROM p2
+    ),
+    w2 AS (
+      SELECT ROUND(w1.w0 - 0.5 * CAST(g2s.g0 AS DOUBLE) / n.n, 6) AS w0,
+             ROUND(w1.w1 - 0.5 * CAST(g2s.g1 AS DOUBLE) / n.n, 6) AS w1,
+             ROUND(w1.w2 - 0.5 * CAST(g2s.g2 AS DOUBLE) / n.n, 6) AS w2,
+             ROUND(CAST(g2s.sq AS DOUBLE) / n.n, 6) AS mse
+      FROM g2s CROSS JOIN w1 CROSS JOIN n
+    )
+    SELECT f.feature,
+           CASE f.feature WHEN 'bias' THEN w1.w0 WHEN 'kchars' THEN w1.w1
+                          ELSE w1.w2 END AS weight_step1,
+           CASE f.feature WHEN 'bias' THEN w2.w0 WHEN 'kchars' THEN w2.w1
+                          ELSE w2.w2 END AS weight_step2,
+           w2.mse AS mse_step2
+    FROM (SELECT 'bias' AS feature UNION ALL SELECT 'kchars'
+          UNION ALL SELECT 'space_ratio') f
+    CROSS JOIN w1 CROSS JOIN w2
+    """,
+)
+def logreg_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training, two full-batch
+    gradient-descent steps (label: lang == 'en'; features: bias,
+    n_chars/1000, space ratio). The structure IS distributed ML: each
+    step is one partial-aggregable gradient sum (executors reduce
+    map-side, only d partial gradients cross the wire — parameter-server
+    shape), and the updated weight vector re-enters the next step as a
+    broadcast 1-row frame — the whole 2-step schedule is ONE lazy DAG,
+    no driver-side collect between iterations. Exactly replayable
+    because step 1 starts from w=0 (sigma(0)=1/2, no transcendentals)
+    and step 2 uses the rational sigmoid 1/2 + z/(2(1+|z|)) — IEEE
+    +,*,/,abs only, bit-identical across engines, unlike exp() whose
+    libm rounding differs; per-row gradient terms round to 6 dp onto
+    the decimal grid so the reduce is associative at any parallelism."""
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.round(F.col("n_chars") / 1000.0, 6).alias("x1"),
+        F.round(
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+            / F.col("n_chars").cast("double"), 6,
+        ).alias("x2"),
+    )
+
+    def grad(df: DataFrame, p: Column, extra: list[Column] = []) -> DataFrame:
+        terms = [
+            F.sum(F.round((p - F.col("y")) * F.col(x), 6).cast("decimal(30,6)"))
+            .alias(f"g{i}") for i, x in enumerate(["x0", "x1", "x2"])
+        ]
+        return df.agg(*terms, F.count(F.lit(1)).cast("double").alias("n"), *extra)
+
+    g1 = grad(feats, F.lit(0.5))
+    w1 = g1.select(
+        *[
+            F.round(-0.5 * F.col(f"g{i}").cast("double") / F.col("n"), 6)
+            .alias(f"w{i}") for i in range(3)
+        ]
+    )
+    with1 = feats.crossJoin(F.broadcast(w1))
+    z = F.round(
+        F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2"), 6,
+    )
+    p = F.round(0.5 + 0.5 * z / (1.0 + F.abs(z)), 6)
+    g2 = grad(
+        with1.withColumn("p", p),
+        F.col("p"),
+        [
+            F.sum(
+                F.round((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 6)
+                .cast("decimal(30,6)")
+            ).alias("sq"),
+            F.first("w0").alias("w0"), F.first("w1").alias("w1"),
+            F.first("w2").alias("w2"),
+        ],
+    )
+    w2 = g2.select(
+        *[
+            F.round(
+                F.col(f"w{i}") - 0.5 * F.col(f"g{i}").cast("double") / F.col("n"), 6
+            ).alias(f"s2_w{i}") for i in range(3)
+        ],
+        F.round(F.col("sq").cast("double") / F.col("n"), 6).alias("mse_step2"),
+    )
+    names = spark.createDataFrame(
+        [("bias",), ("kchars",), ("space_ratio",)], ["feature"]
+    )
+    sel = {"bias": "0", "kchars": "1", "space_ratio": "2"}
+    pick = lambda fmt: F.coalesce(
+        *[
+            F.when(F.col("feature") == k, F.col(fmt.format(i)))
+            for k, i in sel.items()
+        ]
+    )
+    return (
+        names.crossJoin(F.broadcast(w1)).crossJoin(F.broadcast(w2)).select(
+            "feature",
+            pick("w{}").alias("weight_step1"),
+            pick("s2_w{}").alias("weight_step2"),
+            F.col("mse_step2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity (inverted-index pair join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tfidf_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t <> '')) AS term
+      FROM documents WHERE doc_id < 250
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS wgt
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE df.df BETWEEN 2 AND 100
+    ),
+    norms AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(ROUND(wgt * wgt, 6) AS DECIMAL(30,6))) AS DOUBLE) AS nrm2
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(ROUND(a.wgt * b.wgt, 6) AS DECIMAL(30,6))) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b,
+           ROUND(d.dot / SQRT(na.nrm2) / SQRT(nb.nrm2), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / SQRT(na.nrm2) / SQRT(nb.nrm2) >= 0.15
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical document similarity — the TF-IDF twin of the dense
+    `embedding_near_dup` path: docs become sparse weighted term vectors
+    and pairwise cosine is computed by an INVERTED-INDEX self-join on
+    shared terms (postings x postings per term), never an all-pairs
+    product. The df band [2, 100] is the scale lever: df=1 terms can't
+    create a pair (dropped before the join), and stop-level terms above
+    max_df would each contribute O(df^2) candidate pairs — the same
+    frequent-shingle cut the n-gram dedup family uses. Dot products and
+    norms ride the decimal grid (per-term products rounded to 6 dp) so
+    the reduce is partition-order independent and the DuckDB replay is
+    exact. One shuffle on term for the join, one on the (a,b) pair for
+    the dot rollup; norms broadcast back onto the pair table."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    toks = d.select("doc_id", F.explode(text_ops.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df_.filter(F.col("df").between(2, 100))), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+            .alias("wgt"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.round(F.col("wgt") * F.col("wgt"), 6).cast("decimal(30,6)"))
+        .cast("double").alias("nrm2")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wgt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wgt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.round(F.col("wa") * F.col("wb"), 6).cast("decimal(30,6)"))
+            .cast("double").alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm2").alias("nb2"))
+    cos = F.col("dot") / F.sqrt(F.col("na2")) / F.sqrt(F.col("nb2"))
+    return (
+        dots.join(F.broadcast(na), "doc_a").join(F.broadcast(nb), "doc_b")
+        .filter(cos >= 0.15)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -592,3 +592,57 @@ def test_null_safe_join_gap_is_null_population(spark, sf_dir):
     n_null_keys = o.filter(F.col("o_orderstatus") == "O").count()
     # '=' loses exactly the NULL-keyed rows that '<=>' keeps
     assert rows["null_safe"] - rows["equals"] == n_null_keys
+
+
+def test_scd2_point_in_time_join_is_one_to_one(spark, sf_dir):
+    # intervals partition the per-user timeline, and every purchase day
+    # has a daily row by construction — so the join is exactly 1:1 and
+    # the tier rollup must account for every purchase event once.
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["scd2_point_in_time_join"](spark, sf_dir)
+    matched = out.agg(F.sum("n_purchases")).first()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert matched == n_purchases
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["incremental_agg_maintenance"](spark, sf_dir).cache()
+    assert out.filter(~F.col("matches_full_recompute")).count() == 0
+    total = out.agg(F.sum("n_orders")).first()[0]
+    assert total == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    out.unpersist()
+
+
+def test_logreg_gd_steps_structure(spark, sf_dir):
+    import math
+
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.feature: r for r in QUERIES["logreg_gd_steps"](spark, sf_dir).collect()}
+    assert set(rows) == {"bias", "kchars", "space_ratio"}
+    for r in rows.values():
+        assert all(math.isfinite(v) for v in
+                   (r.weight_step1, r.weight_step2, r.mse_step2))
+    # mse of a {0,1} label vs probabilities in (0,1) is bounded by 1,
+    # and with p near 0.5 after one small step it cannot be ~0
+    mse = rows["bias"].mse_step2
+    assert 0.0 < mse <= 1.0
+    # step 2 actually moved the weights (gradient is nonzero on this data)
+    assert any(rows[f].weight_step1 != rows[f].weight_step2 for f in rows)
+
+
+def test_tfidf_cosine_pairs_bounds_and_uniqueness(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["tfidf_cosine_pairs"](spark, sf_dir).cache()
+    n = out.count()
+    assert out.filter(
+        (F.col("cosine") < 0.15) | (F.col("cosine") > 1.0 + 1e-9)
+    ).count() == 0
+    assert out.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+    assert out.select("doc_a", "doc_b").distinct().count() == n
+    out.unpersist()
