@@ -214,6 +214,10 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "logreg_gd_steps",
     "tfidf_cosine_pairs",
+    "link_prediction_scores",
+    "weekday_seasonality_decomposition",
+    "cusum_changepoint_detection",
+    "arrow_python_udf_digital_root",
 ]
 
 

@@ -8470,6 +8470,339 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Link prediction over the co-purchase graph (common-neighbor family)
+# ---------------------------------------------------------------------------
+
+@query(
+    "link_prediction_scores",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT u AS x, v AS y FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT x AS n, COUNT(*) AS d FROM adj GROUP BY x),
+    wedges AS (
+      SELECT a.x AS s, b.y AS t, a.y AS via
+      FROM adj a JOIN adj b ON a.y = b.x
+      WHERE a.x < b.y
+    ),
+    cand AS (
+      SELECT w.s, w.t,
+             COUNT(*) AS cn,
+             SUM(CAST(ROUND(1.0 / ln(dv.d), 6) AS DECIMAL(30,6))) AS aa
+      FROM wedges w JOIN deg dv ON dv.n = w.via
+      GROUP BY w.s, w.t
+    )
+    SELECT c.s AS node_a, c.t AS node_b,
+           CAST(c.cn AS BIGINT) AS common_neighbors,
+           ROUND(CAST(c.cn AS DOUBLE) / (da.d + db.d - c.cn), 6) AS jaccard,
+           ROUND(CAST(c.aa AS DOUBLE), 6) AS adamic_adar
+    FROM cand c
+    JOIN deg da ON da.n = c.s
+    JOIN deg db ON db.n = c.t
+    WHERE c.cn >= 2
+      AND NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = c.s AND e.v = c.t)
+    """,
+)
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: every NON-adjacent node
+    pair sharing >= 2 neighbors is scored with the three classical
+    common-neighborhood indices — raw count, Jaccard, and Adamic-Adar
+    (1/ln(deg) down-weights hub-mediated wedges). The wedge self-join is
+    the same arboricity-shaped workhorse as `triangle_count`, so the
+    expansion is bounded by the support cut, not max degree; the s < t
+    orientation halves it and makes each candidate pair unique per
+    shared neighbor. Existing edges are removed with a LEFT ANTI join
+    (keys-only shuffle) and degrees broadcast back onto the survivors.
+    Adamic-Adar terms round to the decimal grid so the per-pair reduce
+    is order-free; ln() is replayed by DuckDB's libm-identical ln."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 8)
+        .select("l_partkey")
+    )
+    items = (
+        li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+    )
+    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        ia.join(ib, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = adj.groupBy(F.col("x").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    wa = adj.select(F.col("x").alias("s"), F.col("y").alias("via"))
+    wb = adj.select(F.col("x").alias("via"), F.col("y").alias("t"))
+    wedges = wa.join(wb, "via").filter(F.col("s") < F.col("t"))
+    cand = (
+        wedges.join(
+            F.broadcast(deg.select(F.col("n").alias("via"), F.col("d").alias("dv"))),
+            "via",
+        )
+        .groupBy("s", "t")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.round(1.0 / F.log(F.col("dv")), 6).cast("decimal(30,6)"))
+            .alias("aa"),
+        )
+        .filter(F.col("cn") >= 2)
+    )
+    nonedges = cand.join(
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t")),
+        ["s", "t"], "left_anti",
+    )
+    da = deg.select(F.col("n").alias("s"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("t"), F.col("d").alias("db"))
+    return (
+        nonedges.join(F.broadcast(da), "s").join(F.broadcast(db), "t")
+        .select(
+            F.col("s").alias("node_a"), F.col("t").alias("node_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double") / (F.col("da") + F.col("db") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa").cast("double"), 6).alias("adamic_adar"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (trend / weekday seasonal / residual)
+# ---------------------------------------------------------------------------
+
+@query(
+    "weekday_seasonality_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    trended AS (
+      SELECT day, rev,
+             ROUND(CAST(SUM(rev) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w, 4) AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                             AND INTERVAL 3 DAY FOLLOWING)
+    ),
+    detr AS (
+      SELECT isodow(day) AS weekday,
+             CAST(ROUND(CAST(rev AS DOUBLE) - trend, 4) AS DECIMAL(30,4)) AS dt
+      FROM trended
+    )
+    SELECT weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(dt) AS DOUBLE) / COUNT(*), 4) AS seasonal_index
+    FROM detr GROUP BY weekday
+    """,
+)
+def weekday_seasonality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of daily revenue: a centered
+    7-day moving average estimates trend (CALENDAR-range frame, so data
+    gaps don't smear the window), the detrended series is averaged per
+    ISO weekday into a seasonal index — the additive-decomposition
+    recipe behind every ops dashboard's 'weekend dip' line. Shuffles
+    once for the daily rollup; the global day-ordered window runs over
+    one row per day (calendar-bounded), and the weekday rollup is a
+    7-row partial aggregate. Trend division happens in double AFTER the
+    exact decimal window sum, and detrended terms re-enter the decimal
+    grid before the per-weekday reduce — order-free at any parallelism.
+    Spark's weekday() is Monday=0, DuckDB's isodow Monday=1; the +1
+    pins both to ISO."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-3, 3)
+    )
+    trended = daily.select(
+        "day", "rev",
+        F.round(
+            F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+        ).alias("trend"),
+    )
+    detr = trended.select(
+        (F.weekday("day") + 1).alias("weekday"),
+        F.round(F.col("rev").cast("double") - F.col("trend"), 4)
+        .cast("decimal(30,4)").alias("dt"),
+    )
+    return detr.groupBy("weekday").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.sum("dt").cast("double") / F.count(F.lit(1)), 4)
+        .alias("seasonal_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (prefix-sum formulation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cusum_changepoint_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE)
+                   / COUNT(*), 4) AS x
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT ROUND(CAST(SUM(CAST(x AS DECIMAL(30,4))) AS DOUBLE)
+                   / COUNT(*), 4) AS mu
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.day, CAST(ROUND(d.x - s.mu, 4) AS DECIMAL(30,4)) AS dv
+      FROM daily d CROSS JOIN stats s
+    ),
+    mad AS (
+      SELECT ROUND(CAST(SUM(ABS(dv)) AS DOUBLE) / COUNT(*), 4) AS madev FROM dev
+    ),
+    pref AS (
+      SELECT day,
+             SUM(dv) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p
+      FROM dev
+    ),
+    cusum AS (
+      SELECT day,
+             CAST(p - LEAST(CAST(0 AS DECIMAL(30,4)),
+                            MIN(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+                  AS DOUBLE) AS s_pos
+      FROM pref
+    )
+    SELECT c.day, ROUND(c.s_pos, 4) AS cusum_stat,
+           c.s_pos > 5 * m.madev AS drift_flag
+    FROM cusum c CROSS JOIN mad m
+    """,
+)
+def cusum_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection on the daily event-value mean.
+    The textbook recursion S_t = max(0, S_{t-1} + dev_t) looks
+    inherently sequential, but it has an exact PREFIX-SUM form:
+    S_t = P_t - min(0, min_{j<=t} P_j) — one running sum plus one
+    running min, both plain window functions, so the 'stateful' scan
+    parallelizes like any cumulative aggregate instead of forcing a
+    per-row loop. Prefix sums stay on the decimal grid (exact,
+    order-free); the drift threshold is 5x the mean absolute deviation,
+    data-derived and SF-independent. The day-ordered windows run over
+    the daily rollup (one row per day), not raw events — the same
+    aggregate-first discipline as the other calendar queries."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double")
+            / F.count(F.lit(1)), 4,
+        ).alias("x")
+    )
+    stats = daily.agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(30,4)")).cast("double")
+            / F.count(F.lit(1)), 4,
+        ).alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day", F.round(F.col("x") - F.col("mu"), 4).cast("decimal(30,4)").alias("dv")
+    )
+    mad = dev.agg(
+        F.round(F.sum(F.abs("dv")).cast("double") / F.count(F.lit(1)), 4)
+        .alias("madev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pref = dev.select("day", F.sum("dv").over(w).alias("p"))
+    cusum = pref.select(
+        "day",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("decimal(30,4)"), F.min("p").over(w))
+        ).cast("double").alias("s_pos"),
+    )
+    return cusum.crossJoin(F.broadcast(mad)).select(
+        "day",
+        F.round(F.col("s_pos"), 4).alias("cusum_stat"),
+        (F.col("s_pos") > 5 * F.col("madev")).alias("drift_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized Python UDF (Spark 4 useArrow scalar path)
+# ---------------------------------------------------------------------------
+
+@query(
+    "arrow_python_udf_digital_root",
+    oracle="""
+    SELECT CAST(1 + (o_orderkey - 1) % 9 AS INT) AS digital_root,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS udf_matches_closed_form
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def arrow_python_udf_digital_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Arrow-optimized scalar Python UDF (``useArrow=True``):
+    rows cross to Python in Arrow record batches instead of pickled
+    one-at-a-time rows — the modern default for the (rare) cases where
+    a row-level Python function is genuinely needed. The UDF computes
+    each order key's digital root by ITERATED DIGIT SUMMING (real
+    procedural work no Spark builtin expresses), and the query pins it
+    row-for-row against the number-theoretic closed form
+    1 + (n-1) mod 9 — a Spark-side equality aggregate the oracle fixes
+    at TRUE, so a batch-boundary or type-coercion bug in the Arrow path
+    would fail the gate, not just a unit test. Everything after the UDF
+    is a 9-group partial aggregate."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import IntegerType
+
+    @udf(returnType=IntegerType(), useArrow=True)
+    def digital_root(n: int) -> int:
+        while n >= 10:
+            n = sum(int(c) for c in str(n))
+        return n
+
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        digital_root(F.col("o_orderkey").cast("int")).alias("dr"),
+        (1 + (F.col("o_orderkey") - 1) % 9).cast("int").alias("closed"),
+    )
+    return scored.groupBy(F.col("dr").alias("digital_root")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum(F.when(F.col("dr") != F.col("closed"), 1).otherwise(0)) == 0)
+        .alias("udf_matches_closed_form"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

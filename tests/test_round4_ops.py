@@ -646,3 +646,67 @@ def test_tfidf_cosine_pairs_bounds_and_uniqueness(spark, sf_dir):
     assert out.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
     assert out.select("doc_a", "doc_b").distinct().count() == n
     out.unpersist()
+
+
+def test_link_prediction_pairs_are_nonedges(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["link_prediction_scores"](spark, sf_dir).cache()
+    assert out.filter(
+        (F.col("jaccard") <= 0) | (F.col("jaccard") > 1.0)
+        | (F.col("adamic_adar") <= 0) | (F.col("common_neighbors") < 2)
+        | (F.col("node_a") >= F.col("node_b"))
+    ).count() == 0
+    # rebuild the edge set and prove zero overlap with predictions
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = (
+        li.groupBy("l_partkey").agg(F.count_distinct("l_orderkey").alias("s"))
+        .filter("s >= 8").select("l_partkey")
+    )
+    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("node_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("node_b"))
+    edges = (
+        a.join(b, "l_orderkey").filter("node_a < node_b")
+        .groupBy("node_a", "node_b").count().filter("count >= 2")
+        .select("node_a", "node_b")
+    )
+    assert out.join(edges, ["node_a", "node_b"]).count() == 0
+    out.unpersist()
+
+
+def test_weekday_seasonality_covers_all_days(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["weekday_seasonality_decomposition"](spark, sf_dir).cache()
+    rows = out.collect()
+    assert {r.weekday for r in rows} <= set(range(1, 8))
+    n_days = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderdate").cast("date")).distinct().count()
+    )
+    assert sum(r.n_days for r in rows) == n_days
+    out.unpersist()
+
+
+def test_cusum_stat_nonnegative_and_daily(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["cusum_changepoint_detection"](spark, sf_dir).cache()
+    assert out.filter(F.col("cusum_stat") < 0).count() == 0
+    n_days = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.to_date("ts")).distinct().count()
+    )
+    assert out.count() == n_days
+    out.unpersist()
+
+
+def test_arrow_udf_agrees_with_closed_form(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["arrow_python_udf_digital_root"](spark, sf_dir).cache()
+    assert out.filter(~F.col("udf_matches_closed_form")).count() == 0
+    total = out.agg(F.sum("n_orders")).first()[0]
+    assert total == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    out.unpersist()
