@@ -218,6 +218,11 @@ HEADLINE = [
     "weekday_seasonality_decomposition",
     "cusum_changepoint_detection",
     "arrow_python_udf_digital_root",
+    "ab_test_welch",
+    "audience_overlap_matrix",
+    "bootstrap_ci_mean",
+    "streaming_outer_join_null_emission",
+    "dynamic_partition_overwrite",
 ]
 
 

@@ -8803,6 +8803,514 @@ def arrow_python_udf_digital_root(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# A/B comparison — Welch's unequal-variance t-test from sufficient stats
+# ---------------------------------------------------------------------------
+
+@query(
+    "ab_test_welch",
+    oracle="""
+    WITH s AS (
+      SELECT
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(value AS DECIMAL(30,2)) END) AS DOUBLE) AS s1,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(ROUND(value * value, 4) AS DECIMAL(30,4)) END) AS DOUBLE) AS q1,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(value AS DECIMAL(30,2)) END) AS DOUBLE) AS s2,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(ROUND(value * value, 4) AS DECIMAL(30,4)) END) AS DOUBLE) AS q2
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    m AS (
+      SELECT n1, n2,
+             ROUND(s1 / n1, 6) AS m1, ROUND(s2 / n2, 6) AS m2,
+             ROUND((q1 - s1 / n1 * s1) / (n1 - 1), 6) AS v1,
+             ROUND((q2 - s2 / n2 * s2) / (n2 - 1), 6) AS v2
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_click,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 4) AS t_stat,
+           ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS welch_df,
+           ABS((m1 - m2) / SQRT(v1 / n1 + v2 / n2)) > 1.96 AS significant_95
+    FROM m
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing event values between
+    the 'view' and 'click' arms — the A/B-test primitive, computed the
+    only way that scales: ONE pass of conditional sufficient statistics
+    (n, sum, sum-of-squares per arm, all partial-aggregable on the
+    decimal grid), then the t statistic and Welch-Satterthwaite degrees
+    of freedom as closed-form scalar math on the 1-row result. No
+    per-arm shuffle, no sort, no second scan — the same query answers
+    at 100 TB with the same plan. Squares round to 4 dp before the
+    decimal sum so the reduce is order-free; the final divisions and
+    sqrt are IEEE-exact scalar ops replayed identically by DuckDB."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+
+    def arm(t: str, col: str) -> Column:
+        return F.when(F.col("event_type") == t, F.col(col))
+
+    s = ev.agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
+        F.sum(arm("view", "value").cast("decimal(30,2)")).cast("double").alias("s1"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "view",
+                F.round(F.col("value") * F.col("value"), 4).cast("decimal(30,4)"),
+            )
+        ).cast("double").alias("q1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n2"),
+        F.sum(arm("click", "value").cast("decimal(30,2)")).cast("double").alias("s2"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.round(F.col("value") * F.col("value"), 4).cast("decimal(30,4)"),
+            )
+        ).cast("double").alias("q2"),
+    )
+    m = s.select(
+        "n1", "n2",
+        F.round(F.col("s1") / F.col("n1"), 6).alias("m1"),
+        F.round(F.col("s2") / F.col("n2"), 6).alias("m2"),
+        F.round(
+            (F.col("q1") - F.col("s1") / F.col("n1") * F.col("s1"))
+            / (F.col("n1") - 1), 6,
+        ).alias("v1"),
+        F.round(
+            (F.col("q2") - F.col("s2") / F.col("n2") * F.col("s2"))
+            / (F.col("n2") - 1), 6,
+        ).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    return m.select(
+        F.col("n1").cast("bigint").alias("n_view"),
+        F.col("n2").cast("bigint").alias("n_click"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1"))
+                / (F.col("n1") - 1)
+                + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2"))
+                / (F.col("n2") - 1)
+            ), 2,
+        ).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap matrix — exact intersections + HLL inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+@query(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    totals AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS both_users
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(ta.n AS BIGINT) AS users_a,
+           CAST(tb.n AS BIGINT) AS users_b,
+           CAST(i.both_users AS BIGINT) AS users_both,
+           ROUND(CAST(i.both_users AS DOUBLE)
+                 / (ta.n + tb.n - i.both_users), 6) AS jaccard,
+           TRUE AS hll_estimate_within_20pct
+    FROM inter i
+    JOIN totals ta ON ta.event_type = i.type_a
+    JOIN totals tb ON tb.event_type = i.type_b
+    """,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every pair of event types: exact
+    distinct-user intersection + Jaccard, AND the sketch-algebra answer
+    — HLL inclusion-exclusion |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    where est(A∪B) is the UNION-MERGE of the two per-type sketches
+    (the operation HLL supports natively; intersection is what it
+    can't do directly, hence this identity). At 100 TB the exact arm
+    is one dedup shuffle + a self-join of the deduped (type, user)
+    pairs; the sketch arm never reshuffles users at all — sketches
+    merge at bytes size. The query pins the sketch estimate within 20%
+    of the exact answer as a driver-verified boolean (the estimate
+    itself is engine-specific Datasketches state, so the bound — not
+    the value — is the stable contract)."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    totals = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("both_users"))
+    )
+    ska = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    skb = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    est = (
+        inter.join(F.broadcast(ska), "type_a").join(F.broadcast(skb), "type_b")
+        .select(
+            "type_a", "type_b", "both_users",
+            (
+                F.hll_sketch_estimate("sk_a")
+                + F.hll_sketch_estimate("sk_b")
+                - F.hll_sketch_estimate(
+                    F.hll_union("sk_a", "sk_b")
+                )
+            ).alias("hll_inter"),
+        )
+    )
+    ta = totals.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    tb = totals.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        est.join(F.broadcast(ta), "type_a").join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("na").cast("bigint").alias("users_a"),
+            F.col("nb").cast("bigint").alias("users_b"),
+            F.col("both_users").cast("bigint").alias("users_both"),
+            F.round(
+                F.col("both_users").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("both_users")), 6,
+            ).alias("jaccard"),
+            (
+                F.abs(F.col("hll_inter") - F.col("both_users"))
+                / F.col("both_users") <= 0.20
+            ).alias("hll_estimate_within_20pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (deterministic hash replicates)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bootstrap_ci_mean",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS ed,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                   / COUNT(*), 4) AS x
+      FROM orders GROUP BY 1
+    ),
+    reps AS (
+      SELECT b.b, d.ed, d.x,
+             ((d.ed * 131 + b.b) * 2654435761 % 4294967296) % 10000 AS u
+      FROM daily d CROSS JOIN (SELECT unnest(range(32)) AS b) b
+    ),
+    wtd AS (
+      SELECT b, x,
+             CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+                  WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+                  WHEN u < 9963 THEN 4 ELSE 5 END AS w
+      FROM reps
+    ),
+    rep_means AS (
+      SELECT b,
+             ROUND(CAST(SUM(CAST(ROUND(w * x, 4) AS DECIMAL(30,4))) AS DOUBLE)
+                   / SUM(w), 6) AS mb
+      FROM wtd GROUP BY b HAVING SUM(w) > 0
+    ),
+    point AS (
+      SELECT ROUND(CAST(SUM(CAST(x AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS m
+      FROM daily
+    ),
+    ranked AS (
+      SELECT mb, ROW_NUMBER() OVER (ORDER BY mb) AS rk, COUNT(*) OVER () AS nr
+      FROM rep_means
+    )
+    SELECT p.m AS point_mean,
+           MIN(CASE WHEN rk = 2 THEN mb END) AS ci_lo,
+           MIN(CASE WHEN rk = nr - 1 THEN mb END) AS ci_hi,
+           CAST(MAX(nr) AS BIGINT) AS n_replicates
+    FROM ranked CROSS JOIN point p
+    GROUP BY p.m
+    """,
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean daily revenue via the
+    POISSON bootstrap — the resampling scheme that actually
+    distributes: instead of drawing n indices with replacement (a
+    global operation), each row independently receives a
+    Poisson(1)-distributed weight per replicate, so 32 replicates are
+    one flatMap-shaped cross join and a grouped weighted mean — no
+    coordination, no global state, embarrassingly parallel at any
+    scale. Randomness is the engine's deterministic Knuth hash mapped
+    through the exact Poisson(1) inverse CDF (thresholds 3679/7358/
+    9197/9810/9963 out of 10000), so every engine — and the DuckDB
+    replay — draws the identical weights. Replicate means ride the
+    decimal grid; the CI endpoints are ORDER STATISTICS (2nd smallest /
+    2nd largest of the 32 replicate means, the ~94% central interval)
+    rather than interpolated percentiles — interpolation arithmetic
+    differs by 1 ulp between engines, order statistics are exact."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint").alias("ed")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double")
+            / F.count(F.lit(1)), 4,
+        ).alias("x")
+    )
+    reps = daily.select(
+        "ed", "x", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    ).select(
+        "b", "x",
+        (((F.col("ed") * 131 + F.col("b")) * 2654435761) % 4294967296 % 10000)
+        .alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < 3679, 0).when(F.col("u") < 7358, 1)
+        .when(F.col("u") < 9197, 2).when(F.col("u") < 9810, 3)
+        .when(F.col("u") < 9963, 4).otherwise(5)
+    )
+    rep_means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("w") * F.col("x"), 4).cast("decimal(30,4)"))
+                .cast("double") / F.sum("w"), 6,
+            ).alias("mb"),
+            F.sum("w").alias("_wsum"),
+        )
+        .filter(F.col("_wsum") > 0)
+    )
+    point = daily.agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(30,4)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("point_mean")
+    )
+    from pyspark.sql.window import Window
+
+    ranked = rep_means.select(
+        "mb",
+        F.row_number().over(Window.orderBy("mb")).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("nr"),
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("rk") == 2, F.col("mb"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == F.col("nr") - 1, F.col("mb"))).alias("ci_hi"),
+        F.max("nr").cast("bigint").alias("n_replicates"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "point_mean", "ci_lo", "ci_hi", "n_replicates"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming LEFT OUTER join — null emission on state expiry
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_outer_join_null_emission",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT c.user_id, c.click_ts, p.purchase_ts
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ),
+    wm AS (
+      SELECT LEAST((SELECT max(click_ts) FROM c),
+                   (SELECT max(purchase_ts) FROM p)) - INTERVAL 1 HOUR AS w
+    ),
+    unmatched AS (
+      SELECT c.user_id, c.click_ts FROM c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pairs x
+        WHERE x.user_id = c.user_id AND x.click_ts = c.click_ts
+      )
+    )
+    SELECT 'matched' AS category, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM pairs
+    UNION ALL
+    SELECT 'null_emitted', CAST(COUNT(*) AS BIGINT)
+    FROM unmatched CROSS JOIN wm
+    WHERE click_ts + INTERVAL 30 MINUTE < wm.w
+    UNION ALL
+    SELECT 'withheld', CAST(COUNT(*) AS BIGINT)
+    FROM unmatched CROSS JOIN wm
+    WHERE click_ts + INTERVAL 30 MINUTE >= wm.w
+    """,
+)
+def streaming_outer_join_null_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join emission contract, driver-verified:
+    matched (click, purchase-within-30min) pairs emit immediately;
+    unmatched clicks emit NULL-padded ONLY after their state expires
+    (watermark passes click_ts + 30min — no future purchase can match),
+    and clicks still open when the availableNow drain ends are WITHHELD
+    entirely. The oracle derives all three counts from first principles
+    with the final watermark = min(max click_ts, max purchase_ts) − 1h
+    (stream-stream watermark is the min across inputs; the final
+    no-data micro-batch advances it and flushes expired state). This is
+    the bounded-state join that runs forever at production rates — the
+    whole point of the watermark contract being exact."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    landing = f"/tmp/spark_graft_landing/{tag}/events"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        stream.filter("event_type='click'")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter("event_type='purchase'")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    from quantum_rag_data_pipeline_spark.streaming.joins import (
+        clicks_left_outer_purchases_stream,
+    )
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import (
+        drain_available_now,
+    )
+
+    out = drain_available_now(
+        clicks_left_outer_purchases_stream(clicks, purchases),
+        "outer_join_null_emission", output_mode="append",
+    )
+    matched = out.filter(F.col("purchase_ts").isNotNull()).agg(
+        F.lit("matched").alias("category"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    nulls = out.filter(F.col("purchase_ts").isNull()).agg(
+        F.lit("null_emitted").alias("category"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    # withheld = clicks that emitted in NEITHER form (batch arithmetic
+    # over the drained result — the stream itself never reveals them)
+    ev = _t(spark, sf_dir, "events")
+    n_clicks = ev.filter(F.col("event_type") == "click").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    emitted_clicks = out.select("user_id", "click_ts").distinct().agg(
+        F.count(F.lit(1)).alias("_e")
+    )
+    withheld = n_clicks.crossJoin(emitted_clicks).select(
+        F.lit("withheld").alias("category"),
+        (F.col("_n") - F.col("_e")).cast("bigint").alias("n_rows"),
+    )
+    return matched.unionByName(nulls).unionByName(withheld)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite (warehouse partition-replacement semantics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dynamic_partition_overwrite",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, event_id FROM events
+    ),
+    target AS (SELECT MIN(day) AS d FROM days)
+    SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN day = t.d AND event_id % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rows_target_day,
+           CAST(SUM(CASE WHEN day <> t.d THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_other_days,
+           TRUE AS untouched_partitions_preserved
+    FROM days CROSS JOIN target t
+    GROUP BY t.d
+    """,
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the warehouse partition-replacement
+    contract: with ``partitionOverwriteMode=dynamic``, an overwrite
+    write replaces ONLY the partitions present in the incoming frame
+    and leaves every other partition's files untouched (static mode
+    would truncate the whole table — the classic data-loss footgun).
+    The query materializes events partitioned by day, then overwrites
+    just the earliest day with its even-numbered events, reads the
+    table back and proves: the target day now holds only the rewritten
+    half, every other day's rows survived byte-for-byte (count proven
+    in-plan and pinned TRUE). This is the idempotent daily-backfill
+    primitive — at 100 TB you re-run one day's pipeline without
+    touching the other 364 partitions."""
+    import os
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_dpo/{tag}/events_by_day"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    target = ev.agg(F.min("day").alias("d"))
+    delta = (
+        ev.join(F.broadcast(target), ev["day"] == F.col("d"))
+        .filter(F.col("event_id") % 2 == 0)
+        .drop("d")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    delta.write.mode("overwrite").partitionBy("day").parquet(path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    back = spark.read.parquet(path).join(F.broadcast(target), F.lit(True))
+    expected_other = (
+        ev.join(F.broadcast(target), F.lit(True))
+        .filter(F.col("day") != F.col("d"))
+        .agg(F.count(F.lit(1)).alias("_exp"))
+    )
+    agg = back.agg(
+        F.countDistinct("day").cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("day") == F.col("d"), 1).otherwise(0))
+        .cast("bigint").alias("rows_target_day"),
+        F.sum(F.when(F.col("day") != F.col("d"), 1).otherwise(0))
+        .cast("bigint").alias("rows_other_days"),
+    )
+    return agg.crossJoin(F.broadcast(expected_other)).select(
+        "n_days", "rows_target_day", "rows_other_days",
+        (F.col("rows_other_days") == F.col("_exp"))
+        .alias("untouched_partitions_preserved"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -71,3 +71,34 @@ def clicks_before_purchases_stream(
             F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
         ).alias("gap_us"),
     )
+
+
+def clicks_left_outer_purchases_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    interval: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — the semantics the inner join
+    can't give: a click with NO qualifying purchase still surfaces,
+    but only once its state EXPIRES (watermark passes click_ts +
+    interval, so no future purchase can ever match it). Matched pairs
+    emit immediately; the NULL-padded rows emit on watermark advance —
+    including the final no-data micro-batch an availableNow drain runs,
+    which is what makes the emitted set deterministic: null rows are
+    exactly the unmatched clicks whose expiry precedes
+    min(max click_ts, max purchase_ts) - watermark. Clicks whose
+    expiry is at-or-after that final watermark are WITHHELD (state
+    still open when the stream drains) — same append-mode contract as
+    the windowed aggregation. Both inputs must already be watermarked
+    streaming frames; per-key state stays bounded by watermark +
+    interval, the property that lets this run forever.
+    """
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {interval}")),
+        "leftOuter",
+    ).select("user_id", "click_ts", "purchase_ts")

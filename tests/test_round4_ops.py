@@ -710,3 +710,62 @@ def test_arrow_udf_agrees_with_closed_form(spark, sf_dir):
     total = out.agg(F.sum("n_orders")).first()[0]
     assert total == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     out.unpersist()
+
+
+def test_ab_test_welch_counts_and_df_bounds(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["ab_test_welch"](spark, sf_dir).first()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert r.n_view == ev.filter("event_type='view'").count()
+    assert r.n_click == ev.filter("event_type='click'").count()
+    # Welch-Satterthwaite df is bounded by min(n)-1 and n1+n2-2
+    assert min(r.n_view, r.n_click) - 1 <= r.welch_df <= r.n_view + r.n_click - 2
+
+
+def test_audience_overlap_bounds(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["audience_overlap_matrix"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.users_both <= min(r.users_a, r.users_b)
+        assert 0 < r.jaccard <= 1.0
+        assert r.hll_estimate_within_20pct is True
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["bootstrap_ci_mean"](spark, sf_dir).first()
+    assert r.n_replicates == 32
+    assert r.ci_lo < r.ci_hi
+    assert r.ci_lo <= r.point_mean <= r.ci_hi
+
+
+def test_streaming_outer_join_accounts_for_every_click(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.category: r.n_rows for r in
+            QUERIES["streaming_outer_join_null_emission"](spark, sf_dir).collect()}
+    assert set(rows) == {"matched", "null_emitted", "withheld"}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_clicks = ev.filter("event_type='click'").count()
+    # every click is matched (>=1 pair), null-emitted, or withheld;
+    # matched counts pairs (fan-out), so the inequality is the invariant
+    assert rows["null_emitted"] + rows["withheld"] <= n_clicks
+    assert rows["matched"] + rows["null_emitted"] + rows["withheld"] >= n_clicks
+
+
+def test_dynamic_partition_overwrite_preserves_untouched(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["dynamic_partition_overwrite"](spark, sf_dir).first()
+    assert r.untouched_partitions_preserved is True
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    target_day_rows = (
+        ev.select(F.to_date("ts").alias("day"))
+        .groupBy("day").count().orderBy("day").first()["count"]
+    )
+    # the rewritten partition holds only the even-id half
+    assert r.rows_target_day < target_day_rows
