@@ -223,6 +223,9 @@ HEADLINE = [
     "bootstrap_ci_mean",
     "streaming_outer_join_null_emission",
     "dynamic_partition_overwrite",
+    "pca_power_iteration",
+    "rendezvous_hashing_stability",
+    "kfold_cv_ols",
 ]
 
 

@@ -9311,6 +9311,360 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed PCA — Gram power iteration without covariance materialization
+# ---------------------------------------------------------------------------
+
+@query(
+    "pca_power_iteration",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, d.d AS dim,
+             CAST(ROUND(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS r6
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d
+    ),
+    s1 AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(SUM(r6 * 125000) AS DOUBLE) / 1000000.0) AS BIGINT) AS s6
+      FROM x GROUP BY vec_id
+    ),
+    y1 AS (
+      SELECT x.dim,
+             CAST(ROUND(CAST(SUM(x.r6 * s1.s6) AS DOUBLE) / 1000000.0) AS BIGINT) AS y6
+      FROM x JOIN s1 USING (vec_id) GROUP BY x.dim
+    ),
+    n1 AS (
+      SELECT SQRT(CAST(SUM(CAST(y6 AS DECIMAL(38,0)) * y6) AS DOUBLE)) AS nrm
+      FROM y1
+    ),
+    v1 AS (
+      SELECT dim,
+             CAST(ROUND(CAST(y6 AS DOUBLE) / n1.nrm * 1000000.0) AS BIGINT) AS v6
+      FROM y1 CROSS JOIN n1
+    ),
+    s2 AS (
+      SELECT x.vec_id,
+             CAST(ROUND(CAST(SUM(x.r6 * v1.v6) AS DOUBLE) / 1000000.0) AS BIGINT) AS s6
+      FROM x JOIN v1 ON v1.dim = x.dim GROUP BY x.vec_id
+    ),
+    y2 AS (
+      SELECT x.dim,
+             CAST(ROUND(CAST(SUM(x.r6 * s2.s6) AS DOUBLE) / 1000000.0) AS BIGINT) AS y6
+      FROM x JOIN s2 USING (vec_id) GROUP BY x.dim
+    ),
+    n2 AS (
+      SELECT SQRT(CAST(SUM(CAST(y6 AS DECIMAL(38,0)) * y6) AS DOUBLE)) AS nrm
+      FROM y2
+    ),
+    v2 AS (
+      SELECT dim,
+             CAST(ROUND(CAST(y6 AS DOUBLE) / n2.nrm * 1000000.0) AS BIGINT) AS v6
+      FROM y2 CROSS JOIN n2
+    ),
+    ranked AS (
+      SELECT dim, v6, ROW_NUMBER() OVER (ORDER BY ABS(v6) DESC, dim) AS rk FROM v2
+    )
+    SELECT CAST(r.dim AS INT) AS dim,
+           CAST(r.v6 AS DOUBLE) / 1000000.0 AS loading,
+           ROUND(n2.nrm / 1000000.0, 4) AS gram_eigenvalue_est
+    FROM ranked r CROSS JOIN n2 WHERE r.rk <= 8
+    """,
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, top principal direction by POWER ITERATION on
+    the Gram matrix — computed the way that scales: the d x d matrix
+    G = X'X is never materialized; each iteration is two long-form
+    matmul passes, y = X'(Xv) — a per-row dot against the broadcast
+    64-value direction, then a per-dimension weighted sum — so the
+    shuffle carries d partial sums, never vectors, and n can be 10^11.
+    Two iterations from the uniform start v0 = 1/8, each renormalized;
+    the Rayleigh-norm after iteration 2 estimates the top Gram
+    eigenvalue. All matmul arithmetic runs on an INTEGER micro-unit
+    grid (values scaled by 1e6, products summed as exact int64):
+    decimal-place rounding of arbitrary doubles is replay-UNSAFE — the
+    1e-6 rounding threshold is not binary-representable, and Spark
+    (shortest-repr BigDecimal) and DuckDB (raw binary) can disagree by
+    1 ulp at the boundary — whereas integer-grid rounding has its
+    threshold at x.5, which IS exact, so both engines agree always.
+    Output: the 8 dimensions with the largest |loading|."""
+    e = _t(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "_f")
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("_f").cast("double") * 1000000.0).cast("bigint").alias("r6"),
+    )
+    x = x.localCheckpoint(eager=False)
+
+    def iterate(v: DataFrame | None) -> DataFrame:
+        """One power step on the micro-grid: returns 64 rows (dim, y6)."""
+        if v is None:
+            s = x.groupBy("vec_id").agg(
+                F.round(F.sum(F.col("r6") * 125000).cast("double") / 1000000.0)
+                .cast("bigint").alias("s6")
+            )
+        else:
+            s = (
+                x.join(F.broadcast(v), "dim")
+                .groupBy("vec_id")
+                .agg(
+                    F.round(
+                        F.sum(F.col("r6") * F.col("v6")).cast("double") / 1000000.0
+                    ).cast("bigint").alias("s6")
+                )
+            )
+        return (
+            x.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.round(
+                    F.sum(F.col("r6") * F.col("s6")).cast("double") / 1000000.0
+                ).cast("bigint").alias("y6")
+            )
+        )
+
+    def normalize(y: DataFrame) -> tuple[DataFrame, DataFrame]:
+        nrm = y.agg(
+            F.sqrt(
+                F.sum(F.col("y6").cast("decimal(38,0)") * F.col("y6")).cast("double")
+            ).alias("nrm")
+        )
+        v = y.crossJoin(F.broadcast(nrm)).select(
+            "dim",
+            F.round(F.col("y6").cast("double") / F.col("nrm") * 1000000.0)
+            .cast("bigint").alias("v6"),
+        )
+        return v, nrm
+
+    v1, _ = normalize(iterate(None))
+    v2, n2 = normalize(iterate(v1))
+    ranked = v2.select(
+        "dim", "v6",
+        F.row_number().over(Window.orderBy(F.abs("v6").desc(), "dim")).alias("rk"),
+    ).filter(F.col("rk") <= 8)
+    return ranked.crossJoin(F.broadcast(n2)).select(
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("v6").cast("double") / 1000000.0).alias("loading"),
+        F.round(F.col("nrm") / 1000000.0, 4).alias("gram_eigenvalue_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) hashing — minimal-movement contract
+# ---------------------------------------------------------------------------
+
+@query(
+    "rendezvous_hashing_stability",
+    oracle="""
+    WITH scores AS (
+      SELECT doc_id, s.s,
+             ((doc_id * 8 + s.s) * 2654435761 % 4294967296) * 8 + s.s AS key
+      FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+    ),
+    before AS (SELECT doc_id, arg_max(s, key) AS shard FROM scores GROUP BY doc_id),
+    after AS (
+      SELECT doc_id, arg_max(s, key) AS shard
+      FROM scores WHERE s <> 3 GROUP BY doc_id
+    ),
+    moved AS (
+      SELECT b.doc_id, b.shard AS b_shard, a.shard AS a_shard
+      FROM before b JOIN after a USING (doc_id)
+    ),
+    stability AS (
+      SELECT SUM(CASE WHEN b_shard <> 3 AND b_shard <> a_shard
+                      THEN 1 ELSE 0 END) = 0 AS stable
+      FROM moved
+    )
+    SELECT CAST(sh.s AS INT) AS shard,
+           CAST(SUM(CASE WHEN m.b_shard = sh.s THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_before,
+           CAST(SUM(CASE WHEN m.a_shard = sh.s THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after,
+           CAST(SUM(CASE WHEN m.b_shard = 3 AND m.a_shard = sh.s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inherited,
+           MAX(st.stable) AS only_removed_shard_moved
+    FROM (SELECT unnest(range(0, 8)) AS s) sh
+    CROSS JOIN moved m CROSS JOIN stability st
+    GROUP BY sh.s
+    """,
+)
+def rendezvous_hashing_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing — the shard router
+    with the MINIMAL-MOVEMENT guarantee consistent hashing promises:
+    each key goes to the shard with the highest hash(key, shard), so
+    removing one shard relocates ONLY that shard's keys (every other
+    key's argmax is untouched) — the property that makes shard
+    membership changes O(1/n) instead of a full reshuffle. The query
+    routes every doc across 8 shards, removes shard 3, and PROVES the
+    contract in-plan: per-shard before/after populations, the inherited
+    keys, and a pinned-TRUE flag that no key outside shard 3 moved.
+    Scores use the engine's Knuth hash made tie-free (score*8+s is a
+    total order), so argmax is deterministic and the DuckDB replay is
+    exact. One flatMap-shaped cross join and two argmax aggregates —
+    no shuffle of the documents themselves."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.range(0, 8).select(F.col("id").cast("int").alias("s"))
+    scores = d.crossJoin(F.broadcast(shards)).select(
+        "doc_id", "s",
+        (
+            ((F.col("doc_id") * 8 + F.col("s")) * 2654435761) % 4294967296 * 8
+            + F.col("s")
+        ).alias("key"),
+    ).localCheckpoint(eager=False)
+    before = scores.groupBy("doc_id").agg(F.max_by("s", "key").alias("b_shard"))
+    after = (
+        scores.filter(F.col("s") != 3)
+        .groupBy("doc_id")
+        .agg(F.max_by("s", "key").alias("a_shard"))
+    )
+    moved = before.join(after, "doc_id")
+    stability = moved.agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("b_shard") != 3) & (F.col("b_shard") != F.col("a_shard")), 1
+                ).otherwise(0)
+            ) == 0
+        ).alias("stable")
+    )
+    return (
+        shards.crossJoin(moved).crossJoin(F.broadcast(stability))
+        .groupBy(F.col("s").cast("int").alias("shard"))
+        .agg(
+            F.sum(F.when(F.col("b_shard") == F.col("s"), 1).otherwise(0))
+            .cast("bigint").alias("n_before"),
+            F.sum(F.when(F.col("a_shard") == F.col("s"), 1).otherwise(0))
+            .cast("bigint").alias("n_after"),
+            F.sum(
+                F.when(
+                    (F.col("b_shard") == 3) & (F.col("a_shard") == F.col("s")), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_inherited"),
+            F.max("stable").alias("only_removed_shard_moved"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation — leave-one-fold-out sufficient statistics
+# ---------------------------------------------------------------------------
+
+@query(
+    "kfold_cv_ols",
+    oracle="""
+    WITH base AS (
+      SELECT (event_id * 2654435761 % 4294967296) % 4 AS fold,
+             hour(ts) AS x, value AS y
+      FROM events
+    ),
+    fs AS (
+      SELECT fold, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(ROUND(y, 4) AS DECIMAL(30,4))) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(CAST(ROUND(x * y, 4) AS DECIMAL(30,4))) AS sxy
+      FROM base GROUP BY fold
+    ),
+    tot AS (
+      SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+             SUM(sxx) AS sxx, SUM(sxy) AS sxy
+      FROM fs
+    ),
+    coefs AS (
+      SELECT f.fold,
+             t.n - f.n AS n_train,
+             ROUND((CAST(t.n - f.n AS DOUBLE) * CAST(t.sxy - f.sxy AS DOUBLE)
+                    - CAST(t.sx - f.sx AS DOUBLE) * CAST(t.sy - f.sy AS DOUBLE))
+                   / (CAST(t.n - f.n AS DOUBLE) * CAST(t.sxx - f.sxx AS DOUBLE)
+                      - CAST(t.sx - f.sx AS DOUBLE) * CAST(t.sx - f.sx AS DOUBLE)),
+                   8) AS b
+      FROM fs f CROSS JOIN tot t
+    ),
+    coefs2 AS (
+      SELECT c.fold, c.n_train, c.b,
+             ROUND((CAST(t.sy - f.sy AS DOUBLE) - c.b * CAST(t.sx - f.sx AS DOUBLE))
+                   / CAST(t.n - f.n AS DOUBLE), 8) AS a
+      FROM coefs c
+      JOIN fs f ON f.fold = c.fold CROSS JOIN tot t
+    )
+    SELECT CAST(b.fold AS INT) AS fold,
+           CAST(c.n_train AS BIGINT) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           c.b AS slope, c.a AS intercept,
+           ROUND(CAST(SUM(CAST(ROUND(ROUND(b.y - (c.a + c.b * b.x), 4)
+                                     * ROUND(b.y - (c.a + c.b * b.x), 4), 4)
+                               AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*), 4) AS test_mse
+    FROM base b JOIN coefs2 c ON c.fold = b.fold
+    GROUP BY b.fold, c.n_train, c.b, c.a
+    """,
+)
+def kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-fold cross-validation of a linear model (event value ~ hour of
+    day) with the LEAVE-ONE-FOLD-OUT sufficient-statistics trick: ONE
+    scan computes per-fold {n, Σx, Σy, Σx², Σxy}, and each fold's
+    TRAINING statistics are just totals − fold — so training 4 models
+    costs one aggregation of a 4-row table, not 4 scans (at 100 TB the
+    difference between one pass and k passes is the whole game; this is
+    how distributed CV is actually done). Closed-form OLS per fold, then
+    one co-partitioned second pass scores each row against ITS OWN
+    fold's held-out model for the test MSE. Fold assignment is the
+    deterministic Knuth hash; all sums ride the decimal grid; the
+    closed-form divisions are fixed-order IEEE doubles."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        ((F.col("event_id") * 2654435761) % 4294967296 % 4).alias("fold"),
+        F.hour("ts").alias("x"),
+        F.col("value").alias("y"),
+    )
+    fs = base.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.round("y", 4).cast("decimal(30,4)")).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast("decimal(30,4)")).alias("sxy"),
+    )
+    tot = fs.agg(
+        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"), F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"), F.sum("sxy").alias("tsxy"),
+    )
+    j = fs.crossJoin(F.broadcast(tot))
+    ntr = (F.col("tn") - F.col("n")).cast("double")
+    dsx = (F.col("tsx") - F.col("sx")).cast("double")
+    dsy = (F.col("tsy") - F.col("sy")).cast("double")
+    dsxx = (F.col("tsxx") - F.col("sxx")).cast("double")
+    dsxy = (F.col("tsxy") - F.col("sxy")).cast("double")
+    coefs = j.select(
+        "fold",
+        (F.col("tn") - F.col("n")).alias("n_train"),
+        F.round((ntr * dsxy - dsx * dsy) / (ntr * dsxx - dsx * dsx), 8).alias("b"),
+        dsy.alias("_dsy"), dsx.alias("_dsx"), ntr.alias("_ntr"),
+    ).select(
+        "fold", "n_train", "b",
+        F.round((F.col("_dsy") - F.col("b") * F.col("_dsx")) / F.col("_ntr"), 8)
+        .alias("a"),
+    )
+    resid = F.round(F.col("y") - (F.col("a") + F.col("b") * F.col("x")), 4)
+    return (
+        base.join(F.broadcast(coefs), "fold")
+        .groupBy(
+            F.col("fold").cast("int").alias("fold"),
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("b").alias("slope"), F.col("a").alias("intercept"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(
+                F.sum(F.round(resid * resid, 4).cast("decimal(38,4)"))
+                .cast("double") / F.count(F.lit(1)), 4,
+            ).alias("test_mse"),
+        )
+        .select("fold", "n_train", "n_test", "slope", "intercept", "test_mse")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -769,3 +769,57 @@ def test_dynamic_partition_overwrite_preserves_untouched(spark, sf_dir):
     )
     # the rewritten partition holds only the even-id half
     assert r.rows_target_day < target_day_rows
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["pca_power_iteration"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    eig = rows[0].gram_eigenvalue_est
+    assert eig > 0
+    # replicate the same 2-step power iteration in float numpy: the
+    # micro-grid quantization error is ~1e-6 per step, so loadings must
+    # agree to ~1e-3
+    emb = np.array(
+        [r.embedding for r in
+         spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()],
+        dtype=np.float64,
+    )
+    v = np.full(64, 0.125)
+    for _ in range(2):
+        y = emb.T @ (emb @ v)
+        nrm = np.linalg.norm(y)
+        v = y / nrm
+    for r in rows:
+        assert abs(abs(r.loading) - abs(v[r.dim])) < 1e-3
+    assert abs(eig - nrm) / nrm < 1e-3
+
+
+def test_rendezvous_hashing_minimal_movement(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.shard: r for r in
+            QUERIES["rendezvous_hashing_stability"](spark, sf_dir).collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_before for r in rows.values()) == n_docs
+    assert sum(r.n_after for r in rows.values()) == n_docs
+    assert rows[3].n_after == 0
+    assert sum(r.n_inherited for r in rows.values()) == rows[3].n_before
+    assert all(r.only_removed_shard_moved for r in rows.values())
+
+
+def test_kfold_cv_partitions_and_finite_coefs(spark, sf_dir):
+    import math
+
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["kfold_cv_ols"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    for r in rows:
+        assert r.n_train + r.n_test == total
+        assert math.isfinite(r.slope) and math.isfinite(r.intercept)
+        assert r.test_mse >= 0
