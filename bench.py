@@ -226,6 +226,9 @@ HEADLINE = [
     "pca_power_iteration",
     "rendezvous_hashing_stability",
     "kfold_cv_ols",
+    "kaplan_meier_survival",
+    "kl_divergence_langs",
+    "bucketed_join_no_shuffle",
 ]
 
 

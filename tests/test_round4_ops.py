@@ -823,3 +823,50 @@ def test_kfold_cv_partitions_and_finite_coefs(spark, sf_dir):
         assert r.n_train + r.n_test == total
         assert math.isfinite(r.slope) and math.isfinite(r.intercept)
         assert r.test_mse >= 0
+
+
+def test_kaplan_meier_survival_is_monotone_decreasing(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["kaplan_meier_survival"](spark, sf_dir).collect(),
+        key=lambda r: r.duration_day,
+    )
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= prev + 1e-9
+        prev = r.survival
+        assert r.n_events >= 1
+    # at-risk counts are non-increasing over time
+    risks = [r.n_at_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_kl_divergence_nonnegative_and_asymmetric(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["kl_divergence_langs"](spark, sf_dir).first()
+    # Gibbs: KL >= 0 (within micro-grid quantization)
+    assert r.kl_a_to_b >= -1e-4 and r.kl_b_to_a >= -1e-4
+    assert r.vocab_size > 0
+    assert r.n_tokens_a > 0 and r.n_tokens_b > 0
+
+
+def test_bucketed_join_shuffle_free_and_matches_plain_join(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["bucketed_join_no_shuffle"](spark, sf_dir).cache()
+    assert out.filter(~F.col("join_is_shuffle_free")).count() == 0
+    plain = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment").count()
+    )
+    got = {r.c_mktsegment: r.n_orders for r in out.collect()}
+    exp = {r.c_mktsegment: r["count"] for r in plain.collect()}
+    assert got == exp
+    out.unpersist()
