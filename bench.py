@@ -229,6 +229,11 @@ HEADLINE = [
     "kaplan_meier_survival",
     "kl_divergence_langs",
     "bucketed_join_no_shuffle",
+    "time_hierarchy_rollup",
+    "attribution_model_compare",
+    "label_centroid_distances",
+    "observed_write_metrics",
+    "streaming_update_mode_semantics",
 ]
 
 

@@ -9980,6 +9980,389 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-hierarchy rollup via GROUPING SETS (one pass, three grains)
+# ---------------------------------------------------------------------------
+
+@query(
+    "time_hierarchy_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+             CAST(o_totalprice AS DECIMAL(30,2)) AS rev
+      FROM orders WHERE o_orderdate >= DATE '2001-01-01'
+    )
+    SELECT CASE WHEN day IS NOT NULL THEN 'day'
+                WHEN week IS NOT NULL THEN 'week' ELSE 'month' END AS grain,
+           COALESCE(day, week, month) AS period_start,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS revenue
+    FROM base
+    GROUP BY GROUPING SETS ((day), (week), (month))
+    """,
+)
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup in ONE scan: GROUPING SETS ((day),
+    (week), (month)) aggregates the same order slice at three calendar
+    grains simultaneously — the dashboard pattern that would otherwise
+    be three scans or a self-union. Spark expands the sets into a
+    single Expand + hash aggregate, so the fact table is read once and
+    the shuffle carries one row per (grain, period) — at 100 TB the
+    3x scan saving is the win. Grain is recovered from which key is
+    non-null (order dates are never null, so COALESCE is exact);
+    week/month boundaries use date_trunc, identical Monday-start
+    semantics in both engines; revenue rides the decimal grid."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("date")
+    )
+    o.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.date_trunc("week", F.col("o_orderdate").cast("date")).cast("date")
+        .alias("week"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+        .alias("month"),
+        F.col("o_totalprice").cast("decimal(30,2)").alias("rev"),
+    ).createOrReplaceTempView("orders_time_base")
+    return spark.sql("""
+        SELECT CASE WHEN day IS NOT NULL THEN 'day'
+                    WHEN week IS NOT NULL THEN 'week' ELSE 'month' END AS grain,
+               COALESCE(day, week, month) AS period_start,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS revenue
+        FROM orders_time_base
+        GROUP BY GROUPING SETS ((day), (week), (month))
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Attribution model comparison (first / last / linear in one pass)
+# ---------------------------------------------------------------------------
+
+@query(
+    "attribution_model_compare",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts, value AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS c_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+      SELECT p.p_id, p.v, c.c_id, c.c_ts,
+             isodow(CAST(c.c_ts AS DATE)) AS wd,
+             COUNT(*) OVER (PARTITION BY p.p_id) AS n_touches,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY c.c_ts, c.c_id)
+               AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY c.c_ts DESC, c.c_id DESC)
+               AS rn_last
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 3 DAY
+    ),
+    credits AS (
+      SELECT 'first_touch' AS model, wd,
+             CAST(ROUND(v * 100.0) AS BIGINT) AS cents
+      FROM touches WHERE rn_first = 1
+      UNION ALL
+      SELECT 'last_touch', wd, CAST(ROUND(v * 100.0) AS BIGINT)
+      FROM touches WHERE rn_last = 1
+      UNION ALL
+      SELECT 'linear', wd, CAST(ROUND(v * 100.0 / n_touches) AS BIGINT)
+      FROM touches
+    )
+    SELECT model, CAST(wd AS INT) AS click_weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS credited_revenue
+    FROM credits GROUP BY model, wd
+    """,
+)
+def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three marketing attribution models — first-touch, last-touch,
+    linear — over the SAME bounded-interval touch join (clicks within
+    3 days before a purchase), compared side by side per click weekday.
+    One range join builds the touch table; per-purchase windows
+    (partitioned by purchase id, a handful of rows each) rank the
+    touches once, and all three models read off that single ranked
+    table — no per-model rescans, which is the scale discipline (the
+    touch join dominates; it must run once). Rankings are made
+    deterministic with the (ts, event_id) composite order; every
+    credit rounds to INTEGER CENTS per touch before the rollup — the
+    auditable convention real billing pipelines use, and the
+    representable-threshold rounding rule (fractional cent rounding
+    diverges across engines at half-cent boundaries; integer rounding
+    never does)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"), F.col("value").alias("v"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    touches = purch.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 3 DAYS")),
+    ).select(
+        "p_id", "v", "c_id", "c_ts",
+        (F.weekday(F.col("c_ts").cast("date")) + 1).alias("wd"),
+    )
+    w = Window.partitionBy("p_id")
+    ranked = touches.select(
+        "p_id", "v", "wd",
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+        F.row_number().over(w.orderBy("c_ts", "c_id")).alias("rn_first"),
+        F.row_number().over(
+            w.orderBy(F.col("c_ts").desc(), F.col("c_id").desc())
+        ).alias("rn_last"),
+    ).localCheckpoint(eager=False)
+    first = ranked.filter(F.col("rn_first") == 1).select(
+        F.lit("first_touch").alias("model"), "wd",
+        F.round(F.col("v") * 100.0).cast("bigint").alias("cents"),
+    )
+    last = ranked.filter(F.col("rn_last") == 1).select(
+        F.lit("last_touch").alias("model"), "wd",
+        F.round(F.col("v") * 100.0).cast("bigint").alias("cents"),
+    )
+    linear = ranked.select(
+        F.lit("linear").alias("model"), "wd",
+        F.round(F.col("v") * 100.0 / F.col("n_touches")).cast("bigint")
+        .alias("cents"),
+    )
+    return (
+        first.unionByName(last).unionByName(linear)
+        .groupBy("model", F.col("wd").cast("int").alias("click_weekday"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            (F.sum("cents").cast("double") / 100.0).alias("credited_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid cosine distance matrix (cluster separability report)
+# ---------------------------------------------------------------------------
+
+@query(
+    "label_centroid_distances",
+    oracle="""
+    WITH x AS (
+      SELECT label, d.d AS dim,
+             CAST(ROUND(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS r6
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(ROUND(CAST(SUM(r6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m6
+      FROM x GROUP BY label, dim
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.m6 * b.m6) AS dot,
+             SUM(a.m6 * a.m6) AS na2, SUM(b.m6 * b.m6) AS nb2
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT CAST(label_a AS INT) AS label_a, CAST(label_b AS INT) AS label_b,
+           CAST(CAST(ROUND(CAST(dot AS DOUBLE)
+                           / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE)))
+                           * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS centroid_cosine
+    FROM pairs
+    """,
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separability report: per-label embedding centroids and
+    the full pairwise centroid-cosine matrix — the cheap O(k²·d) stand-
+    in for silhouette analysis (which is O(n²) and off the table at
+    scale). Centroids are one partial-aggregable grouped mean on the
+    integer micro-grid (k·d partial sums cross the wire, vectors never
+    shuffle); the 45-pair matrix is a self-join of the k·d centroid
+    table on dim. High inter-centroid cosine = labels that embed
+    closely = clusters a downstream IVF/SemDeDup pass will confuse;
+    this is the audit you run BEFORE trusting label-blocked
+    operations. All products are exact int64; the single fractional
+    value per pair rounds on the representable integer threshold."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("dim", "_f")
+    ).select(
+        "label", "dim",
+        F.round(F.col("_f").cast("double") * 1000000.0).cast("bigint").alias("r6"),
+    )
+    cent = x.groupBy("label", "dim").agg(
+        F.round(F.sum("r6").cast("double") / F.count(F.lit(1)))
+        .cast("bigint").alias("m6")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("m6").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("m6").alias("mb")
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+        )
+    )
+    cos6 = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+        * 1000000.0
+    ).cast("bigint")
+    return pairs.select(
+        F.col("label_a").cast("int").alias("label_a"),
+        F.col("label_b").cast("int").alias("label_b"),
+        (cos6.cast("double") / 1000000.0).alias("centroid_cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Observed write metrics (df.observe — QA metrics without a second scan)
+# ---------------------------------------------------------------------------
+
+@query(
+    "observed_write_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS total_revenue,
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS max_order_day,
+           TRUE AS observed_equals_recomputed
+    FROM orders
+    """,
+)
+def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe`` — data-quality metrics collected DURING a write,
+    not by a second scan: an Observation attaches named aggregates to
+    the frame, the noop write drives them, and the metrics arrive on
+    the driver when the action finishes. At 100 TB this is the only
+    affordable way to get row counts / control totals on every pipeline
+    write (a verification re-scan would double the job). The query then
+    RE-computes the same aggregates declaratively and pins
+    observed == recomputed at the gate — catching the classic
+    observe-layer bugs (metrics read before the action, partial-task
+    double counting). The observed values themselves are returned as a
+    literal 1-row frame; the decimal grid keeps both sides exact."""
+    from pyspark.sql import Observation
+
+    o = _t(spark, sf_dir, "orders")
+    obs = Observation("write_qa")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_day"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    got = obs.get
+    recomputed = o.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev2"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max2"),
+    ).first()
+    parity = (
+        int(got["n_rows"]) == int(recomputed["n2"])
+        and got["rev"] == recomputed["rev2"]
+        and got["max_day"] == recomputed["max2"]
+    )
+    out = spark.createDataFrame(
+        [(int(got["n_rows"]), float(got["rev"]), got["max_day"], bool(parity))],
+        "n_rows bigint, _rev double, max_order_day date, observed_equals_recomputed boolean",
+    )
+    return out.select(
+        "n_rows",
+        F.round(F.col("_rev"), 2).alias("total_revenue"),
+        "max_order_day", "observed_equals_recomputed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming UPDATE-mode emission semantics (per-batch changed groups)
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_update_mode_semantics",
+    oracle="""
+    WITH even AS (
+      SELECT event_type, COUNT(*) AS c FROM events
+      WHERE event_id % 2 = 0 GROUP BY event_type
+    ),
+    total AS (
+      SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type
+    )
+    SELECT t.event_type,
+           CAST(CASE WHEN e.c IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+             AS n_emissions,
+           CAST(COALESCE(e.c, t.c) AS BIGINT) AS first_emitted_count,
+           CAST(t.c AS BIGINT) AS final_count
+    FROM total t LEFT JOIN even e USING (event_type)
+    """,
+)
+def streaming_update_mode_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode emission contract pinned: a streaming aggregation in
+    update mode re-emits a group EVERY micro-batch in which its value
+    changed — unlike append (closed windows only) or complete (all
+    groups always). The landing dir is split deterministically into an
+    even-id file and an odd-id file with pinned mtimes, drained with
+    maxFilesPerTrigger=1, so batch 1 emits the even-half counts and
+    batch 2 re-emits every group at its full count; the memory sink
+    accumulates BOTH emissions and the query reads the per-group
+    emission count, first emission, and final state back out of it.
+    The oracle derives all three from the even/total split. This is
+    the semantics a downstream upsert sink must be built for —
+    update-mode consumers see the same key many times and must be
+    idempotent on the latest value."""
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    landing = f"/tmp/spark_graft_landing/{tag}/events_split2"
+    if not os.path.exists(f"{landing}/b_odd.parquet"):
+        os.makedirs(landing, exist_ok=True)
+        for nm, pred, mtime in (
+            ("a_even", "event_id % 2 = 0", 1_000_000_000),
+            ("b_odd", "event_id % 2 = 1", 1_000_000_100),
+        ):
+            tmp = f"{landing}/_stage_{nm}"
+            src.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            shutil.move(f"{tmp}/{part}", f"{landing}/{nm}.parquet")
+            shutil.rmtree(tmp)
+            os.utime(f"{landing}/{nm}.parquet", (mtime, mtime))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import (
+        drain_available_now,
+    )
+
+    sink = drain_available_now(agg, "update_mode_semantics", output_mode="update")
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_emissions"),
+        F.min("c").cast("bigint").alias("first_emitted_count"),
+        F.max("c").cast("bigint").alias("final_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
