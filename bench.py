@@ -234,6 +234,13 @@ HEADLINE = [
     "label_centroid_distances",
     "observed_write_metrics",
     "streaming_update_mode_semantics",
+    "file_provenance_audit",
+    "array_functions_surface",
+    "null_semantics_matrix",
+    "timezone_wall_clock_histogram",
+    "order_lifecycle_durations",
+    "topn_plus_other_rollup",
+    "kmv_distinct_sketch",
 ]
 
 

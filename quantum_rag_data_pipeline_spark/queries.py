@@ -9519,7 +9519,9 @@ def rendezvous_hashing_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max_by("s", "key").alias("a_shard"))
     )
-    moved = before.join(after, "doc_id")
+    # both the per-shard rollup and the global stability scalar consume
+    # `moved`; checkpoint it so the argmax pipeline runs once, not twice
+    moved = before.join(after, "doc_id").localCheckpoint(eager=False)
     stability = moved.agg(
         (
             F.sum(
@@ -10359,6 +10361,425 @@ def streaming_update_mode_semantics(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).cast("bigint").alias("n_emissions"),
         F.min("c").cast("bigint").alias("first_emitted_count"),
         F.max("c").cast("bigint").alias("final_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# File provenance audit (hidden _metadata column over a partitioned lake)
+# ---------------------------------------------------------------------------
+
+@query(
+    "file_provenance_audit",
+    oracle="""
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files,
+           TRUE AS file_path_matches_partition
+    FROM d GROUP BY day
+    """,
+)
+def file_provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance via the hidden ``_metadata`` column — which
+    physical file produced each row, with zero scan overhead (the
+    values come from the reader, not the data). Over the day-partitioned
+    lake layout (one file per day, the `partition_pruning_measurement`
+    landing), the query counts rows and distinct files per day and pins
+    that every row's file path lives under its own day's partition
+    directory — the audit that catches misplaced files after a manual
+    backfill, and the mechanism incident response uses to trace bad
+    rows back to an ingest batch. Provenance queries like this are why
+    writers should keep partition values IN the path at 100 TB."""
+    import os
+
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/spark_graft_landing/{tag}/events_by_day"
+    if not os.path.exists(f"{base}/_SUCCESS"):
+        ev.withColumn("day", F.to_date("ts")).repartition("day") \
+            .write.mode("overwrite").partitionBy("day").parquet(base)
+    pr = spark.read.parquet(base).select(
+        "day",
+        F.col("_metadata.file_path").alias("fp"),
+    )
+    return pr.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("fp").cast("bigint").alias("n_files"),
+        (
+            F.sum(
+                F.when(
+                    F.col("fp").contains(F.concat(F.lit("day="), F.col("day").cast("string"))),
+                    0,
+                ).otherwise(1)
+            ) == 0
+        ).alias("file_path_matches_partition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array-function surface (higher-order + set algebra on collected arrays)
+# ---------------------------------------------------------------------------
+
+@query(
+    "array_functions_surface",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           array_to_string(types, ',') AS distinct_types,
+           CAST(len(types) AS INT) AS n_types,
+           array_to_string(list_sort(list_intersect(types, ['click', 'purchase', 'view'])),
+                           ',') AS funnel_types,
+           CAST(len(list_filter(types, t -> t LIKE '%c%')) AS INT) AS n_with_c,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM seq WHERE user_id < 200
+    """,
+)
+def array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complex-type function surface in one query: per-user event
+    types as a SORTED array (collect_set is unordered in a distributed
+    engine — sort_array makes it canonical), set algebra
+    (array_intersect against a literal funnel set), and a higher-order
+    filter lambda — all JVM-side column expressions inside whole-stage
+    codegen, zero Python. Arrays serialize to strings at the compare
+    boundary because the hash gate sorts scalar columns; the
+    intersection is re-sorted explicitly — set operations guarantee
+    MEMBERSHIP, not order, and DuckDB's list_intersect proves it by
+    returning a different order than Spark's. One shuffle for the
+    per-user collect; everything after is per-row."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return seq.filter(F.col("user_id") < 200).select(
+        "user_id",
+        F.array_join("types", ",").alias("distinct_types"),
+        F.size("types").cast("int").alias("n_types"),
+        F.array_join(
+            F.array_sort(
+                F.array_intersect(
+                    "types", F.array(F.lit("click"), F.lit("purchase"), F.lit("view"))
+                )
+            ), ",",
+        ).alias("funnel_types"),
+        F.size(F.filter("types", lambda t: t.contains("c"))).cast("int")
+        .alias("n_with_c"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics matrix (the aggregate/sort/comparison contract, pinned)
+# ---------------------------------------------------------------------------
+
+@query(
+    "null_semantics_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st,
+             CASE WHEN o_orderstatus = 'O' THEN NULL
+                  ELSE CAST(o_totalprice AS DECIMAL(30,2)) END AS v
+      FROM orders WHERE o_orderkey < 8000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS count_star,
+           CAST(COUNT(st) AS BIGINT) AS count_col,
+           CAST(COUNT(DISTINCT st) AS BIGINT) AS count_distinct_col,
+           ROUND(CAST(SUM(v) AS DOUBLE), 2) AS sum_skips_nulls,
+           ROUND(CAST(SUM(v) AS DOUBLE)
+                 / COUNT(v), 2) AS avg_skips_nulls,
+           CAST(SUM(CASE WHEN st IS DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS is_distinct_from_matches,
+           CAST(SUM(CASE WHEN (st = 'F') IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS three_valued_unknowns,
+           (SELECT st FROM t ORDER BY st ASC NULLS FIRST, o_orderkey LIMIT 1)
+             IS NULL AS asc_nulls_first_leads_null
+    FROM t
+    """,
+)
+def null_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL contract in one driver-verified row: COUNT(*) counts
+    rows but COUNT(col) skips nulls; COUNT(DISTINCT) ignores them
+    entirely; SUM/AVG aggregate over the non-null subset (so
+    SUM/COUNT(col), not SUM/COUNT(*), is the real mean); IS DISTINCT
+    FROM treats NULL as a comparable value while ``=`` yields UNKNOWN
+    (counted explicitly as the three-valued-logic residue); and ASC NULLS
+    FIRST puts the nulls ahead in a sort. Every one of these is a
+    place naive SQL silently computes the wrong statistic on nullable
+    data; pinning them at the gate documents the engine contract the
+    rest of the corpus builds on."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 8000)
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
+        F.when(
+            F.col("o_orderstatus") == "O", F.lit(None).cast("decimal(30,2)")
+        ).otherwise(F.col("o_totalprice").cast("decimal(30,2)")).alias("v"),
+    ).localCheckpoint(eager=False)
+    first_sorted = t.orderBy(
+        F.col("st").asc_nulls_first(), "o_orderkey"
+    ).limit(1).select(F.col("st").isNull().alias("leads_null"))
+    agg = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("count_star"),
+        F.count("st").cast("bigint").alias("count_col"),
+        F.countDistinct("st").cast("bigint").alias("count_distinct_col"),
+        F.round(F.sum("v").cast("double"), 2).alias("sum_skips_nulls"),
+        F.round(F.sum("v").cast("double") / F.count("v"), 2)
+        .alias("avg_skips_nulls"),
+        F.sum(
+            F.when(~F.col("st").eqNullSafe("F"), 1).otherwise(0)
+        ).cast("bigint").alias("is_distinct_from_matches"),
+        F.sum(
+            F.when((F.col("st") == "F").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("three_valued_unknowns"),
+    )
+    return agg.crossJoin(F.broadcast(first_sorted)).select(
+        "count_star", "count_col", "count_distinct_col",
+        "sum_skips_nulls", "avg_skips_nulls",
+        "is_distinct_from_matches", "three_valued_unknowns",
+        F.col("leads_null").alias("asc_nulls_first_leads_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Timezone wall-clock conversion (UTC instants -> IANA zone, DST-correct)
+# ---------------------------------------------------------------------------
+
+@query(
+    "timezone_wall_clock_histogram",
+    oracle="""
+    WITH w AS (
+      SELECT hour(timezone('America/New_York',
+                           CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')) AS h
+      FROM events
+    )
+    SELECT CAST(h AS INT) AS ny_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(h BETWEEN 9 AND 16 AS BOOLEAN) AS business_hours
+    FROM w GROUP BY h
+    """,
+)
+def timezone_wall_clock_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-correct wall-clock analytics: event instants (stored
+    UTC — the only sane storage convention) are converted to
+    America/New_York WALL time with the engine's IANA tzdb
+    (from_utc_timestamp), and the hour histogram + business-hours flag
+    come from the converted clock. This is where naive `hour(ts)`
+    analytics silently lie to an operations team in a different zone —
+    and where DST makes a fixed-offset shift wrong for half the year;
+    both engines resolve the zone rules from the same IANA database so
+    the replay is exact. The conversion is a per-row JVM expression
+    inside codegen; the rollup is a 24-row partial aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select(
+        F.hour(F.from_utc_timestamp("ts", "America/New_York")).alias("h")
+    )
+    return w.groupBy(F.col("h").cast("int").alias("ny_hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.first(F.col("h").between(9, 16)).alias("business_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Accumulating-snapshot fact: order lifecycle milestone durations
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_lifecycle_durations",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey,
+             MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+             MAX(CAST(l_shipdate AS DATE)) AS last_ship,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                                        lc.first_ship) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_days_to_first_ship,
+           ROUND(CAST(SUM(CAST(datediff('day', lc.first_ship, lc.last_ship)
+                               AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_fulfillment_spread,
+           CAST(SUM(CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                                       lc.last_ship) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_over_90d
+    FROM orders o JOIN lc ON lc.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def order_lifecycle_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact build — the Kimball pattern for
+    processes with milestones: each order's lifecycle collapses to
+    (ordered -> first line shipped -> last line shipped), the
+    fulfillment SPREAD (days between first and last shipment — the
+    split-shipment cost driver) rides along, and orders whose final
+    shipment exceeds the 90-day SLA are counted — then everything
+    aggregates by priority. One grouped pass over lineitem produces
+    the per-order snapshot (MIN/MAX — all partial-aggregable), one
+    co-keyed join attaches the order header, and the rollup is a
+    5-row aggregate. Day differences are exact integers, so the
+    averages are int-sum / count — no float accumulation at all until
+    the final division."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lc = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )
+    j = o.join(lc, o["o_orderkey"] == lc["l_orderkey"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(
+                F.datediff(F.col("first_ship"), F.col("o_orderdate").cast("date"))
+                .cast("bigint")
+            ).cast("double") / F.count(F.lit(1)), 4,
+        ).alias("avg_days_to_first_ship"),
+        F.round(
+            F.sum(
+                F.datediff(F.col("last_ship"), F.col("first_ship")).cast("bigint")
+            ).cast("double") / F.count(F.lit(1)), 4,
+        ).alias("avg_fulfillment_spread"),
+        F.sum(
+            F.when(
+                F.datediff(F.col("last_ship"), F.col("o_orderdate").cast("date")) > 90,
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_orders_over_90d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group + OTHER bucket (the BI long-tail rollup)
+# ---------------------------------------------------------------------------
+
+@query(
+    "topn_plus_other_rollup",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY n.n_name, r.r_name
+    ),
+    ranked AS (
+      SELECT region, nation, rev,
+             ROW_NUMBER() OVER (PARTITION BY region
+                                ORDER BY rev DESC, nation) AS rk
+      FROM rev
+    )
+    SELECT region,
+           CASE WHEN rk <= 3 THEN nation ELSE 'OTHER' END AS nation_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS revenue
+    FROM ranked
+    GROUP BY region, CASE WHEN rk <= 3 THEN nation ELSE 'OTHER' END
+    """,
+)
+def topn_plus_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI long-tail rollup: top-3 nations per region keep their
+    identity, everything else collapses into an OTHER bucket whose
+    revenue still totals correctly — the chart-ready shape every
+    dashboard needs and naive LIMIT-per-group silently gets wrong (it
+    DROPS the tail instead of bucketing it, understating the total).
+    The star join runs with broadcast dimensions (nation/region are
+    tiny; customer hashes once), ranking happens on the 25-row
+    aggregate — never on the fact table — and the deterministic
+    (revenue DESC, name) order makes the bucket assignment replayable.
+    Decimal revenue end to end."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    from pyspark.sql.window import Window
+
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
+    )
+    ranked = rev.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("region").orderBy(F.col("rev").desc(), "nation")
+        ),
+    )
+    return (
+        ranked.withColumn(
+            "nation_bucket",
+            F.when(F.col("rk") <= 3, F.col("nation")).otherwise(F.lit("OTHER")),
+        )
+        .groupBy("region", "nation_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — exactly replayable estimator
+# ---------------------------------------------------------------------------
+
+@query(
+    "kmv_distinct_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT o_orderkey,
+             (o_orderkey * 2654435761 + 40503) % 4294967296 AS hv
+      FROM orders
+    ),
+    ranked AS (
+      SELECT hv, ROW_NUMBER() OVER (ORDER BY hv, o_orderkey) AS rk FROM h
+    ),
+    kth AS (SELECT hv AS hk FROM ranked WHERE rk = 64),
+    exact AS (SELECT COUNT(*) AS n FROM h)
+    SELECT CAST(64 AS INT) AS k,
+           CAST(e.n AS BIGINT) AS exact_distinct,
+           ROUND(63.0 * 4294967296.0 / k2.hk, 2) AS kmv_estimate,
+           ABS(63.0 * 4294967296.0 / k2.hk - e.n) / e.n <= 0.5
+             AS within_loose_bound
+    FROM exact e CROSS JOIN kth k2
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) cardinality sketch — the distinct-count
+    estimator that, unlike HLL, is EXACTLY replayable: keep the k
+    smallest hash values; if the k-th smallest is h_k on a hash space
+    of size M, the estimate is (k-1)·M/h_k (uniform order statistics).
+    The sketch is mergeable (union = k smallest of the concatenation),
+    supports set intersection via the inclusion-exclusion-free
+    Jaccard-over-combined-sketch trick, and its per-partition state is
+    k values — the same partial-agg shape as every sketch in this
+    corpus. The engine keeps the k-minimum set with one TakeOrdered
+    over the deterministic Knuth hashes (no full sort); the oracle
+    replays it bit-for-bit and the standard-error bound
+    (~1/sqrt(k-2) ≈ 13%, pinned at a loose 50%) is driver-verified
+    against the exact count."""
+    o = _t(spark, sf_dir, "orders")
+    h = o.select("o_orderkey").distinct().select(
+        "o_orderkey",
+        ((F.col("o_orderkey") * 2654435761 + 40503) % 4294967296).alias("hv"),
+    )
+    kmin = h.orderBy("hv", "o_orderkey").limit(64)
+    kth = kmin.agg(F.max("hv").alias("hk"))
+    exact = h.agg(F.count(F.lit(1)).alias("n"))
+    est = F.lit(63.0) * 4294967296.0 / F.col("hk")
+    return exact.crossJoin(F.broadcast(kth)).select(
+        F.lit(64).cast("int").alias("k"),
+        F.col("n").cast("bigint").alias("exact_distinct"),
+        F.round(est, 2).alias("kmv_estimate"),
+        (F.abs(est - F.col("n")) / F.col("n") <= 0.5).alias("within_loose_bound"),
     )
 
 

@@ -940,3 +940,99 @@ def test_update_mode_emits_every_group_twice(spark, sf_dir):
         assert r.final_count == totals[r.event_type]
         assert r.n_emissions in (1, 2)
         assert r.first_emitted_count <= r.final_count
+
+
+def test_file_provenance_each_day_one_file(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["file_provenance_audit"](spark, sf_dir).cache()
+    assert out.filter(~F.col("file_path_matches_partition")).count() == 0
+    assert out.filter(F.col("n_files") != 1).count() == 0
+    total = out.agg(F.sum("n_rows")).first()[0]
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    out.unpersist()
+
+
+def test_array_surface_intersection_is_subset(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    for r in QUERIES["array_functions_surface"](spark, sf_dir).collect():
+        types = set(r.distinct_types.split(","))
+        funnel = set(r.funnel_types.split(",")) - {""}
+        assert funnel <= types & {"click", "purchase", "view"}
+        assert r.n_types == len(types)
+
+
+def test_null_semantics_identities(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["null_semantics_matrix"](spark, sf_dir).first()
+    assert r.count_col < r.count_star  # nulls exist and are skipped
+    assert r.asc_nulls_first_leads_null is True
+    # UNKNOWN rows are exactly the null-keyed rows
+    assert r.three_valued_unknowns == r.count_star - r.count_col
+    # IS DISTINCT FROM counts nulls as non-matching values
+    assert r.is_distinct_from_matches >= r.three_valued_unknowns
+
+
+def test_timezone_histogram_covers_all_events(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["timezone_wall_clock_histogram"](spark, sf_dir).cache()
+    assert out.agg(F.sum("n_events")).first()[0] == \
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.filter((F.col("ny_hour") < 0) | (F.col("ny_hour") > 23)).count() == 0
+    out.unpersist()
+
+
+def test_order_lifecycle_covers_orders_with_lines(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["order_lifecycle_durations"](spark, sf_dir)
+    total = out.agg(F.sum("n_orders")).first()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert total == li.select("l_orderkey").distinct().count()
+    for r in out.collect():
+        # the synthetic generator doesn't enforce orderdate <= shipdate,
+        # so only the max>=min spread invariant is data-independent
+        assert r.avg_fulfillment_spread >= 0
+        assert 0 <= r.n_orders_over_90d <= r.n_orders
+
+
+def test_topn_other_preserves_regional_totals(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["topn_plus_other_rollup"](spark, sf_dir).cache()
+    per_region = {
+        r.region: r.total
+        for r in out.groupBy("region").agg(
+            F.round(F.sum("revenue"), 2).alias("total")
+        ).collect()
+    }
+    named = out.filter(F.col("nation_bucket") != "OTHER") \
+        .groupBy("region").count().collect()
+    for r in named:
+        assert r["count"] <= 3
+    # totals must equal the plain rollup (the tail is bucketed, not dropped)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    plain = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(rg, n["n_regionkey"] == rg["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2).alias("t"))
+    )
+    for r in plain.collect():
+        assert abs(per_region[r.r_name] - r.t) < 0.02
+    out.unpersist()
+
+
+def test_kmv_estimate_within_bound(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["kmv_distinct_sketch"](spark, sf_dir).first()
+    assert r.within_loose_bound is True
+    assert r.exact_distinct >= 64
