@@ -241,6 +241,9 @@ HEADLINE = [
     "order_lifecycle_durations",
     "topn_plus_other_rollup",
     "kmv_distinct_sketch",
+    "cdc_log_apply",
+    "band_join_price_tiers",
+    "group_by_all_surface",
 ]
 
 

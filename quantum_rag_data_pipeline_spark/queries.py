@@ -10784,6 +10784,180 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC log apply (latest-wins upsert/delete materialization)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_log_apply",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'upsert' END AS op
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    latest AS (
+      SELECT user_id, op, value
+      FROM (
+        SELECT user_id, op, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT CAST(SUM(CASE WHEN op = 'upsert' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_live_rows,
+           CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted_rows,
+           ROUND(CAST(SUM(CASE WHEN op = 'upsert'
+                          THEN CAST(ROUND(value * 100.0) AS BIGINT) END)
+                      AS DOUBLE) / 100.0, 2) AS live_value_total
+    FROM latest
+    """,
+)
+def cdc_log_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of change-data-capture — `snapshot_diff_cdc`
+    builds a change log, this query CONSUMES one: events become an
+    ordered op log (view/click = upsert with a new value, purchase =
+    delete), and materializing the current table is latest-op-wins per
+    key with deletes tombstoning the row — exactly how a Delta/Hudi
+    MERGE applies a Debezium feed. The reduction is one per-key window
+    over the log (ordered by the (ts, event_id) total order, because
+    CDC feeds NEED a tiebreaker for same-timestamp ops — the classic
+    apply bug this query pins), then a 1-row audit of live rows,
+    tombstones, and the surviving value total in integer cents. At
+    100 TB the window partitions by key, so state per task is one
+    row, and the log never needs a global sort."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    from pyspark.sql.window import Window
+
+    log = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.agg(
+        F.sum(F.when(F.col("op") == "upsert", 1).otherwise(0))
+        .cast("bigint").alias("n_live_rows"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0))
+        .cast("bigint").alias("n_deleted_rows"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("op") == "upsert",
+                    F.round(F.col("value") * 100.0).cast("bigint"),
+                )
+            ).cast("double") / 100.0, 2,
+        ).alias("live_value_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Band (theta) join against a literal tier dimension
+# ---------------------------------------------------------------------------
+
+@query(
+    "band_join_price_tiers",
+    oracle="""
+    WITH tiers AS (
+      SELECT * FROM (VALUES
+        ('budget',   0.0,      100000.0),
+        ('standard', 100000.0, 200000.0),
+        ('premium',  200000.0, 300000.0),
+        ('luxury',   300000.0, 450000.0),
+        ('ultra',    450000.0, 1000000000.0)
+      ) AS t(tier, lo, hi)
+    )
+    SELECT t.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders o JOIN tiers t
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier
+    """,
+)
+def band_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pure THETA join — no equi-key at all, the join condition is a
+    band predicate (price >= lo AND price < hi) against a 5-row tier
+    dimension. Catalyst has no hash key to use, so this plans as a
+    BroadcastNestedLoopJoin: every fact row probes the broadcast tier
+    table — which is exactly the right physical strategy when the
+    inner side is tiny and the predicate is arbitrary (the nested loop
+    is O(n·5), embarrassingly parallel, no shuffle of the fact side at
+    all). The disjoint half-open bands make the join provably 1:1, so
+    counts are conservation-checked against the raw table in the
+    pytest. The same shape at 100 TB: tier tables, rate cards, SLA
+    bands — broadcast theta joins, never shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [
+            ("budget", 0.0, 100000.0),
+            ("standard", 100000.0, 200000.0),
+            ("premium", 200000.0, 300000.0),
+            ("luxury", 300000.0, 450000.0),
+            ("ultra", 450000.0, 1000000000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    j = o.join(
+        F.broadcast(tiers),
+        (o["o_totalprice"] >= tiers["lo"]) & (o["o_totalprice"] < tiers["hi"]),
+    )
+    return j.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL surface (analyst-SQL ergonomics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "group_by_all_surface",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate < DATE '1998-09-01'
+    GROUP BY ALL
+    """,
+)
+def group_by_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the analyst-SQL ergonomic both Spark 4 and DuckDB
+    adopted (every non-aggregate select item becomes a grouping key
+    automatically), pinned here with the ORACLE RUNNING THE IDENTICAL
+    QUERY TEXT: same grouping inference in both engines or the hash
+    gate fails. Semantically it's the TPC-H Q1 shape — scan, filter,
+    2-key hash aggregate with map-side partials; the surface sugar
+    changes nothing physical, which is the point of pinning it."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2)
+                 AS sum_qty
+        FROM lineitem_gba
+        WHERE l_shipdate < DATE '1998-09-01'
+        GROUP BY ALL
+    """)
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -1036,3 +1036,37 @@ def test_kmv_estimate_within_bound(spark, sf_dir):
     r = QUERIES["kmv_distinct_sketch"](spark, sf_dir).first()
     assert r.within_loose_bound is True
     assert r.exact_distinct >= 64
+
+
+def test_cdc_apply_accounts_for_every_user(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["cdc_log_apply"](spark, sf_dir).first()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+    n_users = ev.select("user_id").distinct().count()
+    assert r.n_live_rows + r.n_deleted_rows == n_users
+    assert r.live_value_total >= 0
+
+
+def test_band_join_is_one_to_one_and_plans_nested_loop(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["band_join_price_tiers"](spark, sf_dir).cache()
+    total = out.agg(F.sum("n_orders")).first()[0]
+    assert total == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    out.unpersist()
+
+
+def test_group_by_all_matches_explicit_grouping(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["group_by_all_surface"](spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .filter(F.col("l_shipdate") < F.lit("1998-09-01").cast("date"))
+    explicit = li.groupBy("l_returnflag", "l_linestatus").count()
+    got = {(r.l_returnflag, r.l_linestatus): r.n_lines for r in out.collect()}
+    exp = {(r.l_returnflag, r.l_linestatus): r["count"] for r in explicit.collect()}
+    assert got == exp
