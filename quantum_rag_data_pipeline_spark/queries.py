@@ -10972,12 +10972,13 @@ def group_by_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything past position 50 remains exported, benched, pytest-covered,
 # and locally verified by tools/oracle_check.py every round.
 #
-# ROUND-5 ROTATION NOTE: the 52 queries registered DURING round 4
+# ROUND-5 ROTATION NOTE: the queries registered DURING round 4
 # (compaction_bin_packing onward in registration order — everything from
-# bench.py's "# round 4" HEADLINE markers) have not yet had a driver-
-# verified run; they are the round-5 prefix. After that rotation every
-# query in the corpus will have at least one independent gate run on
-# record.
+# bench.py's "# round 4" HEADLINE markers, through the continuation
+# waves ending at group_by_all_surface) have not yet had a driver-
+# verified run; they are the round-5 (and, overflowing 50, round-6)
+# prefix, in registration order. After those rotations every query in
+# the corpus has at least one independent gate run on record.
 # ---------------------------------------------------------------------------
 
 _VERIFY_ROTATION_R4 = [
