@@ -244,6 +244,10 @@ HEADLINE = [
     "cdc_log_apply",
     "band_join_price_tiers",
     "group_by_all_surface",
+    "seasonal_naive_backtest",
+    "conformal_interval_coverage",
+    "data_expectations_report",
+    "feature_leakage_audit",
 ]
 
 

@@ -10958,6 +10958,370 @@ def group_by_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (per-type MAE on a holdout week)
+# ---------------------------------------------------------------------------
+
+@query(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS v_cents
+      FROM events GROUP BY event_type, day
+    ),
+    mx AS (SELECT MAX(day) AS end_day FROM daily),
+    joined AS (
+      SELECT a.event_type, a.day, a.v_cents,
+             b.v_cents AS pred_cents
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day - INTERVAL 7 DAY
+      CROSS JOIN mx
+      WHERE a.day > mx.end_day - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           ROUND(CAST(SUM(ABS(v_cents - pred_cents)) AS DOUBLE) / 100.0
+                 / COUNT(*), 2) AS mae,
+           ROUND(CAST(SUM(ABS(v_cents - pred_cents)) AS DOUBLE)
+                 / SUM(ABS(v_cents)), 6) AS wape
+    FROM joined GROUP BY event_type
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-model backtesting at its distributed core: the
+    seasonal-naive baseline (predict today = same weekday last week —
+    the forecast every fancier model must beat) scored on the final
+    week of the corpus with MAE and WAPE per event type. The 'model'
+    is a self-join of the daily rollup on (type, day-7) — which is how
+    ANY lag-based forecast evaluates at scale: never a per-series loop,
+    one co-partitioned join on the series key. Daily totals are exact
+    integer cents, so the error sums are integers until the final
+    divisions. WAPE rather than MAPE because MAPE explodes on
+    near-zero days — the practitioner's choice, pinned here."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("bigint")).cast("bigint")
+        .alias("v_cents")
+    )
+    mx = daily.agg(F.max("day").alias("end_day"))
+    a = daily
+    b = daily.select(
+        F.col("event_type").alias("b_type"), F.col("day").alias("b_day"),
+        F.col("v_cents").alias("pred_cents"),
+    )
+    joined = (
+        a.join(
+            b,
+            (F.col("b_type") == F.col("event_type"))
+            & (F.col("b_day") == F.date_sub(F.col("day"), 7)),
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("day") > F.date_sub(F.col("end_day"), 7))
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.round(
+            F.sum(F.abs(F.col("v_cents") - F.col("pred_cents"))).cast("double")
+            / 100.0 / F.count(F.lit(1)), 2,
+        ).alias("mae"),
+        F.round(
+            F.sum(F.abs(F.col("v_cents") - F.col("pred_cents"))).cast("double")
+            / F.sum(F.abs(F.col("v_cents"))), 6,
+        ).alias("wape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conformal prediction interval (distribution-free coverage guarantee)
+# ---------------------------------------------------------------------------
+
+@query(
+    "conformal_interval_coverage",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY event_type, day
+    ),
+    mx AS (SELECT MAX(day) AS end_day FROM daily),
+    scored AS (
+      SELECT a.event_type, a.day, a.v, b.v AS pred,
+             ABS(a.v - b.v) AS abs_resid,
+             a.day > mx.end_day - INTERVAL 7 DAY AS is_test
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day - INTERVAL 7 DAY
+      CROSS JOIN mx
+    ),
+    q AS (  -- conformal quantile: ceil(0.9*(n_cal+1))-th smallest calib residual
+      SELECT r.abs_resid AS qhat
+      FROM (
+        SELECT abs_resid,
+               ROW_NUMBER() OVER (ORDER BY abs_resid, event_type, day) AS rk,
+               COUNT(*) OVER () AS n_cal
+        FROM scored WHERE NOT is_test
+      ) r
+      WHERE r.rk = CAST(CEIL(0.9 * (r.n_cal + 1)) AS BIGINT)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM scored WHERE NOT is_test) AS BIGINT)
+             AS n_calibration,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(q.qhat / 100.0, 2) AS interval_halfwidth,
+           CAST(SUM(CASE WHEN s.abs_resid <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           CAST(SUM(CASE WHEN s.abs_resid <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) >= 0.75 AS coverage_near_nominal
+    FROM scored s CROSS JOIN q
+    WHERE s.is_test
+    GROUP BY q.qhat
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction on the seasonal-naive forecast — the
+    DISTRIBUTION-FREE interval method modern ML serving uses: the 90%
+    interval half-width is the ceil(0.9·(n+1))-th smallest calibration
+    residual (an ORDER STATISTIC, no distributional assumption, no
+    interpolation — exactly replayable), and the marginal coverage
+    guarantee P(|resid| <= qhat) >= 0.9 holds by exchangeability alone.
+    The query calibrates on all but the last week, scores the last
+    week, and pins observed coverage >= 0.75 (nominal 0.9 minus
+    small-sample slack) at the gate. The quantile comes from a
+    rank-window over the calibration residuals; everything else is the
+    same co-partitioned lag join as the backtest — conformal adds ONE
+    scalar to a pipeline that already exists, which is why it scales."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("bigint")).cast("bigint")
+        .alias("v")
+    )
+    mx = daily.agg(F.max("day").alias("end_day"))
+    b = daily.select(
+        F.col("event_type").alias("b_type"), F.col("day").alias("b_day"),
+        F.col("v").alias("pred"),
+    )
+    scored = (
+        daily.join(
+            b,
+            (F.col("b_type") == F.col("event_type"))
+            & (F.col("b_day") == F.date_sub(F.col("day"), 7)),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "event_type", "day",
+            F.abs(F.col("v") - F.col("pred")).alias("abs_resid"),
+            (F.col("day") > F.date_sub(F.col("end_day"), 7)).alias("is_test"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cal = scored.filter(~F.col("is_test"))
+    ranked = cal.select(
+        "abs_resid",
+        F.row_number().over(
+            Window.orderBy("abs_resid", "event_type", "day")
+        ).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_cal"),
+    )
+    q = ranked.filter(
+        F.col("rk") == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("bigint")
+    ).select(F.col("abs_resid").alias("qhat"), "n_cal")
+    test = scored.filter(F.col("is_test"))
+    return test.crossJoin(F.broadcast(q)).groupBy("qhat", "n_cal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("abs_resid") <= F.col("qhat"), 1).otherwise(0))
+        .cast("bigint").alias("n_covered"),
+    ).select(
+        F.col("n_cal").cast("bigint").alias("n_calibration"),
+        "n_test",
+        F.round(F.col("qhat") / 100.0, 2).alias("interval_halfwidth"),
+        "n_covered",
+        (F.col("n_covered").cast("double") / F.col("n_test") >= 0.75)
+        .alias("coverage_near_nominal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-expectations report (a dbt-style test suite in one pass per table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "data_expectations_report",
+    oracle="""
+    WITH o AS (SELECT * FROM orders)
+    SELECT 'orders.o_orderkey.not_null' AS expectation,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM o
+    UNION ALL
+    SELECT 'orders.o_orderkey.unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+    FROM o
+    UNION ALL
+    SELECT 'orders.o_orderstatus.accepted_values',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) = 0
+    FROM o
+    UNION ALL
+    SELECT 'orders.o_totalprice.positive',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+    FROM o
+    UNION ALL
+    SELECT 'orders.o_custkey.relationship_customer',
+           CAST((SELECT COUNT(*) FROM o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           (SELECT COUNT(*) FROM o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    """,
+)
+def data_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A dbt-style expectation suite as ONE query: not_null, unique,
+    accepted_values, range, and relationship checks on the orders
+    table, each reported as (expectation, violation count, pass flag).
+    The four scalar checks share a single scan (conditional aggregates
+    — dbt would run four separate queries); the FK check is a LEFT
+    ANTI join with the keys-only projection. This is the contract
+    layer a 100 TB warehouse runs after every load, and the violation
+    COUNT matters as much as the flag — triage needs magnitude, a
+    boolean gate doesn't."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    scalars = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("nn"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("uq"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("av"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("pos"),
+    )
+    orphans = o.join(
+        c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("fk"))
+    j = scalars.crossJoin(F.broadcast(orphans))
+
+    def row(name: str, col: str):
+        return j.select(
+            F.lit(name).alias("expectation"),
+            F.col(col).cast("bigint").alias("n_violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+
+    return (
+        row("orders.o_orderkey.not_null", "nn")
+        .unionByName(row("orders.o_orderkey.unique", "uq"))
+        .unionByName(row("orders.o_orderstatus.accepted_values", "av"))
+        .unionByName(row("orders.o_totalprice.positive", "pos"))
+        .unionByName(row("orders.o_custkey.relationship_customer", "fk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-leakage audit: point-in-time vs latest-value join, quantified
+# ---------------------------------------------------------------------------
+
+@query(
+    "feature_leakage_audit",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS spend
+      FROM events GROUP BY user_id, day
+    ),
+    cum AS (
+      SELECT user_id, day,
+             SUM(spend) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS cum_spend
+      FROM daily
+    ),
+    latest AS (
+      SELECT user_id, arg_max(cum_spend, day) AS final_spend FROM cum GROUP BY user_id
+    ),
+    fact AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pit AS (
+      SELECT f.user_id, f.event_id,
+             (SELECT MAX(c.cum_spend) FROM cum c
+              WHERE c.user_id = f.user_id AND c.day <= f.day) AS feat_pit
+      FROM fact f
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_feature_rows,
+           CAST(SUM(CASE WHEN p.feat_pit <> l.final_spend THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaky_rows,
+           ROUND(CAST(SUM(CASE WHEN p.feat_pit <> l.final_spend
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS leak_rate,
+           ROUND(CAST(SUM(l.final_spend - p.feat_pit) AS DOUBLE) / 100.0 / COUNT(*),
+                 2) AS avg_future_info_leaked
+    FROM pit p JOIN latest l USING (user_id)
+    """,
+)
+def feature_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifying TRAINING-SERVING LEAKAGE — the difference between
+    the feature value a model should see (cumulative user spend AS OF
+    the purchase date, an as-of join against the running-sum series)
+    and the value a naive latest-snapshot join gives it (the user's
+    FINAL spend, which includes the future). The audit joins both
+    feature versions to every purchase row and reports how many rows
+    differ and how much future information leaks on average — the
+    number that explains 'why did offline AUC not transfer to prod'.
+    The as-of side reuses the per-key running-sum + max-filter shape
+    (one window, one grouped argmax — no per-row subquery actually
+    runs in Spark; the oracle's correlated subquery is DuckDB-side
+    decorrelated the same way). Integer-cent arithmetic throughout."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("bigint")).cast("bigint")
+        .alias("spend")
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = daily.select(
+        "user_id", "day", F.sum("spend").over(w).alias("cum_spend")
+    ).localCheckpoint(eager=False)
+    latest = cum.groupBy("user_id").agg(
+        F.max_by("cum_spend", "day").alias("final_spend")
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("f_user"), F.to_date("ts").alias("f_day"), "event_id"
+    )
+    pit = (
+        fact.join(cum, (F.col("user_id") == F.col("f_user")) & (F.col("day") <= F.col("f_day")))
+        .groupBy("f_user", "event_id")
+        .agg(F.max("cum_spend").alias("feat_pit"))
+        .withColumnRenamed("f_user", "user_id")
+    )
+    return pit.join(latest, "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feature_rows"),
+        F.sum(F.when(F.col("feat_pit") != F.col("final_spend"), 1).otherwise(0))
+        .cast("bigint").alias("n_leaky_rows"),
+        F.round(
+            F.sum(
+                F.when(F.col("feat_pit") != F.col("final_spend"), 1).otherwise(0)
+            ).cast("double") / F.count(F.lit(1)), 6,
+        ).alias("leak_rate"),
+        F.round(
+            F.sum(F.col("final_spend") - F.col("feat_pit")).cast("double")
+            / 100.0 / F.count(F.lit(1)), 2,
+        ).alias("avg_future_info_leaked"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

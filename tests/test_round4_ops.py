@@ -1070,3 +1070,45 @@ def test_group_by_all_matches_explicit_grouping(spark, sf_dir):
     got = {(r.l_returnflag, r.l_linestatus): r.n_lines for r in out.collect()}
     exp = {(r.l_returnflag, r.l_linestatus): r["count"] for r in explicit.collect()}
     assert got == exp
+
+
+def test_seasonal_naive_scores_only_holdout_week(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    for r in QUERIES["seasonal_naive_backtest"](spark, sf_dir).collect():
+        assert 1 <= r.n_days_scored <= 7
+        assert r.mae >= 0 and r.wape >= 0
+
+
+def test_conformal_quantile_is_calibration_residual(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["conformal_interval_coverage"](spark, sf_dir).first()
+    assert r.n_calibration > 0 and r.n_test > 0
+    assert 0 <= r.n_covered <= r.n_test
+    assert r.interval_halfwidth >= 0
+
+
+def test_expectations_all_pass_on_clean_testdata(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["data_expectations_report"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.passed is True and r.n_violations == 0, r.expectation
+
+
+def test_feature_leakage_pit_never_exceeds_final(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["feature_leakage_audit"](spark, sf_dir).first()
+    # cumulative as-of value can never exceed the final cumulative value,
+    # so the average leaked amount is nonnegative; and any purchase that
+    # precedes a user's last active day is leaky by construction
+    assert r.avg_future_info_leaked >= 0
+    assert 0 <= r.n_leaky_rows <= r.n_feature_rows
+    n_purch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type='purchase'").count()
+    )
+    assert r.n_feature_rows == n_purch
