@@ -248,6 +248,10 @@ HEADLINE = [
     "conformal_interval_coverage",
     "data_expectations_report",
     "feature_leakage_audit",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "column_encoding_planner",
 ]
 
 

@@ -1112,3 +1112,48 @@ def test_feature_leakage_pit_never_exceeds_final(spark, sf_dir):
         .filter("event_type='purchase'").count()
     )
     assert r.n_feature_rows == n_purch
+
+
+def test_tpch_q3_plan_uses_take_ordered(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["tpch_q3_shipping_priority"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_tpch_q5_local_constraint_holds(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["tpch_q5_local_supplier_volume"](spark, sf_dir).collect()
+    # only ASIA nations can appear
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    asia = {
+        x.n_name
+        for x in n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter("r_name='ASIA'").select("n_name").collect()
+    }
+    assert {x.n_name for x in rows} <= asia
+
+
+def test_tpch_q10_top20_ordering(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["tpch_q10_returned_items"](spark, sf_dir).collect()
+    assert len(rows) <= 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_encoding_planner_recommends_dict_for_low_cardinality(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.col: r for r in QUERIES["column_encoding_planner"](spark, sf_dir).collect()}
+    assert rows["lang"].recommend_dictionary is True
+    assert rows["text"].recommend_dictionary is False  # near-unique text
+    assert rows["lang"].n_distinct < rows["source"].n_distinct <= rows["text"].n_distinct
