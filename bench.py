@@ -252,6 +252,8 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
     "column_encoding_planner",
+    "bigram_pmi_keyphrases",
+    "lateral_correlated_topk",
 ]
 
 

@@ -11564,6 +11564,155 @@ def column_encoding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram PMI keyphrase mining (collocation detection, integer-count logs)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bigram_pmi_keyphrases",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE lang = 'en'
+    ),
+    uni AS (
+      SELECT unnest(tk) AS w FROM toks
+    ),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ucnt),
+    bi AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, (SELECT unnest(range(1, 200)) AS i) ix
+      WHERE i < len(tk)
+    ),
+    bcnt AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    ),
+    scored AS (
+      SELECT b.w1, b.w2, b.cb,
+             CAST(ROUND(ln(CAST(b.cb * n.n AS DOUBLE)
+                           / (c1.c * CAST(c2.c AS BIGINT))) * 1000000.0)
+                  AS BIGINT) AS pmi6
+      FROM bcnt b
+      JOIN ucnt c1 ON c1.w = b.w1
+      JOIN ucnt c2 ON c2.w = b.w2
+      CROSS JOIN n
+    )
+    SELECT w1, w2, CAST(cb AS BIGINT) AS n_occurrences,
+           CAST(pmi6 AS DOUBLE) / 1000000.0 AS pmi
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi6 DESC, w1, w2) AS rk FROM scored
+    ) WHERE rk <= 20
+    """,
+)
+def bigram_pmi_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    statistic that finds 'new york'-style phrases: PMI(a,b) =
+    ln(P(ab) / P(a)P(b)), high when a bigram co-occurs far above
+    chance. Exactly the tokenizer-merge signal `bpe_merge_candidates`
+    counts, completed with the probabilistic score. Bigrams come from
+    one pass pairing each token with its successor (posexplode +
+    self-join on position — sequence order is data, not partition
+    order); a min-count floor kills the unstable tail before scoring.
+    Replay-exact via the integer-ratio-ln + micro-unit rule: cb·N and
+    c1·c2 are exact int64 products, so both engines feed libm the
+    same double. Top-20 by PMI, deterministically tie-broken."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    from pyspark.sql.window import Window
+
+    toks = d.select("doc_id", text_ops.tokens("text").alias("tk"))
+    uni = toks.select(F.explode("tk").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = ucnt.agg(F.sum("c").cast("bigint").alias("n"))
+    pos = toks.select("doc_id", F.posexplode("tk").alias("i", "w1"))
+    nxt = toks.select("doc_id", F.posexplode("tk").alias("i2", "w2"))
+    bi = pos.join(
+        nxt,
+        (pos["doc_id"] == nxt["doc_id"]) & (nxt["i2"] == pos["i"] + 1),
+    ).select("w1", "w2")
+    bcnt = (
+        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+        .filter(F.col("cb") >= 5)
+    )
+    c1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bcnt.join(F.broadcast(c1), "w1").join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "cb",
+            F.round(
+                F.log(
+                    (F.col("cb") * F.col("n")).cast("double")
+                    / (F.col("c1") * F.col("c2").cast("bigint"))
+                ) * 1000000.0
+            ).cast("bigint").alias("pmi6"),
+        )
+    )
+    top = scored.select(
+        "*",
+        F.row_number().over(
+            Window.orderBy(F.col("pmi6").desc(), "w1", "w2")
+        ).alias("rk"),
+    ).filter(F.col("rk") <= 20)
+    return top.select(
+        "w1", "w2",
+        F.col("cb").cast("bigint").alias("n_occurrences"),
+        (F.col("pmi6").cast("double") / 1000000.0).alias("pmi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (greatest-n-per-group, SQL-standard form)
+# ---------------------------------------------------------------------------
+
+@query(
+    "lateral_correlated_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           t.o_orderkey AS top_orderkey,
+           ROUND(CAST(t.o_totalprice AS DOUBLE), 2) AS top_price
+    FROM customer c,
+    LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 1
+    ) t
+    WHERE c.c_custkey < 300
+    """,
+)
+def lateral_correlated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard greatest-n-per-group: a LATERAL correlated
+    subquery — 'for each customer, their single largest order' written
+    as a per-row subquery with ORDER BY ... LIMIT 1, the form ANSI
+    analysts reach for first. Catalyst DECORRELATES it into the same
+    window/aggregate plan the DataFrame row_number() idiom produces —
+    there is no per-customer re-execution, which is the entire point
+    of pinning it: the ergonomic form and the scalable form are the
+    same plan. DuckDB runs the identical text; inner ordering is made
+    total with the orderkey tiebreak so LIMIT 1 is deterministic."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_mktsegment,
+               t.o_orderkey AS top_orderkey,
+               ROUND(CAST(t.o_totalprice AS DOUBLE), 2) AS top_price
+        FROM customer_lat c,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 1
+        ) t
+        WHERE c.c_custkey < 300
+    """)
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from datetime import date, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 SCHEMA = "date_from string, field string, value string"
@@ -85,17 +90,82 @@ class ErcotEnvelopeReader(DataSourceReader):
                     yield (partition.date_from, names[i], None if v is None else str(v))
 
 
+class ErcotTickStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the Python DataSource matrix (Spark 4
+    ``simpleStreamReader``): a deterministic ERCOT-shaped tick feed.
+
+    Offsets are plain dicts ``{"batch": N}``; each micro-batch emits 16
+    ticks whose values are a pure function of (batch, i) — the same
+    no-RNG reproducibility rule as the batch reader above — and the
+    feed is FINITE (``n_batches``, default 3): once drained,
+    ``read`` returns the same offset with no rows, so a test can wait
+    for exactly n_batches·16 rows and stop. The driver-side simple
+    reader is the right tier here (ticks are tiny; the partition-
+    planning ``streamReader`` tier buys nothing) — prefetched rows are
+    replayed by the engine between offsets for exactly-once."""
+
+    ROWS_PER_BATCH = 16
+
+    def __init__(self, options: dict):
+        self.n_batches = int(options.get("n_batches", "3"))
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def _rows(self, batch: int):
+        for i in range(self.ROWS_PER_BATCH):
+            # deterministic "SCED telemetry": MW value from the Knuth hash
+            mw = float(((batch * self.ROWS_PER_BATCH + i) * 2654435761 % 4294967296) % 100000) / 100.0
+            yield (f"2024-01-0{batch + 1}T00:{i:02d}:00", "HB_HUBAVG", mw)
+
+    def read(self, start: dict):
+        b = start["batch"]
+        if b >= self.n_batches:
+            return iter([]), {"batch": b}
+        # a LIST iterator, not a generator: the engine's prefetch cache
+        # copy.copy()s the iterator for offset replay, and generators
+        # aren't copyable (TypeError: cannot pickle 'generator')
+        return iter(list(self._rows(b))), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for b in range(start["batch"], end["batch"]):
+            rows.extend(self._rows(b))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+TICK_SCHEMA = "sced_ts string, settlement_point string, mw double"
+
+
 class ErcotEnvelopeDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "ercot_envelope"
 
     def schema(self) -> str:
+        # batch reads use the envelope schema; streaming reads (the tick
+        # feed) declare theirs via the ercot_ticks source below
         return SCHEMA
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return ErcotEnvelopeReader(self.options)
 
 
+class ErcotTickStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "ercot_ticks"
+
+    def schema(self) -> str:
+        return TICK_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return ErcotTickStreamReader(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(ErcotEnvelopeDataSource)
+    spark.dataSource.register(ErcotTickStreamDataSource)
