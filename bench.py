@@ -254,6 +254,9 @@ HEADLINE = [
     "column_encoding_planner",
     "bigram_pmi_keyphrases",
     "lateral_correlated_topk",
+    "rfm_segmentation",
+    "association_rules_lift",
+    "snippet_best_window",
 ]
 
 

@@ -11713,6 +11713,271 @@ def lateral_correlated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS end_day FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             datediff('day', MAX(CAST(o_orderdate AS DATE)), mx.end_day) AS recency,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DECIMAL(30,2))
+               AS monetary
+      FROM orders CROSS JOIN mx
+      GROUP BY o_custkey, mx.end_day
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY recency DESC, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm
+    ),
+    labeled AS (
+      SELECT CASE
+               WHEN r_score = 4 AND f_score = 4 THEN 'champion'
+               WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+               WHEN r_score <= 1 AND f_score >= 3 THEN 'at_risk'
+               WHEN r_score <= 1 AND f_score <= 1 THEN 'lost'
+               ELSE 'regular'
+             END AS segment,
+             r_score, f_score, m_score
+      FROM scored
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(r_score) AS DOUBLE) / COUNT(*), 4) AS avg_r,
+           ROUND(CAST(SUM(f_score) AS DOUBLE) / COUNT(*), 4) AS avg_f,
+           ROUND(CAST(SUM(m_score) AS DOUBLE) / COUNT(*), 4) AS avg_m
+    FROM labeled GROUP BY segment
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the retention team's workhorse: per-customer
+    Recency (days since last order), Frequency, Monetary rolled into
+    quartile scores (NTILE over deterministic total orders — ties
+    broken by key, or the segmentation isn't reproducible between
+    runs), then the classic champion/loyal/at-risk/lost rule grid.
+    One grouped pass builds the RFM triple; the three NTILEs run over
+    the CUSTOMER-level aggregate (~n_customers rows, not orders) —
+    fine as a global window at this grain, and at true 100 TB grain
+    the two-level rank construction (`global_id_assignment`) swaps in
+    without changing semantics. Integer scores make every downstream
+    average exact."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("end_day"))
+    rfm = o.crossJoin(F.broadcast(mx)).groupBy("o_custkey", "end_day").agg(
+        F.datediff(F.first("end_day"), F.max(F.col("o_orderdate").cast("date")))
+        .alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(
+            Window.orderBy(F.col("recency").desc(), "o_custkey")
+        ).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    labeled = scored.select(
+        F.when((F.col("r_score") == 4) & (F.col("f_score") == 4), "champion")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 1) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") <= 1) & (F.col("f_score") <= 1), "lost")
+        .otherwise("regular").alias("segment"),
+        "r_score", "f_score", "m_score",
+    )
+    return labeled.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("r_score").cast("double") / F.count(F.lit(1)), 4).alias("avg_r"),
+        F.round(F.sum("f_score").cast("double") / F.count(F.lit(1)), 4).alias("avg_f"),
+        F.round(F.sum("m_score").cast("double") / F.count(F.lit(1)), 4).alias("avg_m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules with confidence and lift (market-basket completion)
+# ---------------------------------------------------------------------------
+
+@query(
+    "association_rules_lift",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items),
+    isup AS (SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS sxy
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+      GROUP BY x, y HAVING COUNT(*) >= 3
+    )
+    SELECT p.x AS antecedent, p.y AS consequent,
+           CAST(p.sxy AS BIGINT) AS support_count,
+           CAST(CAST(ROUND(CAST(p.sxy AS DOUBLE) / sx.s * 1000000.0) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS confidence,
+           CAST(CAST(ROUND(CAST(p.sxy AS DOUBLE) * n.n_baskets
+                           / (sx.s * CAST(sy.s AS BIGINT)) * 1000000.0) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS lift
+    FROM pairs p
+    JOIN isup sx ON sx.l_partkey = p.x
+    JOIN isup sy ON sy.l_partkey = p.y
+    CROSS JOIN n
+    WHERE CAST(p.sxy AS DOUBLE) / sx.s >= 0.10
+    """,
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules x=>y with CONFIDENCE and LIFT — the step after
+    `copurchase_pairs_apriori` that turns co-occurrence counts into
+    actionable rules: confidence = P(y|x) filters weak rules, lift =
+    P(y|x)/P(y) filters rules that are just popularity (lift <= 1 means
+    x tells you nothing about y). Same support-pruned basket self-join
+    as the pairs query, DIRECTED this time (x != y, both directions
+    kept, because confidence is asymmetric); item supports broadcast
+    back onto the surviving pairs. All ratios are exact-integer
+    quotients rounded on the micro-grid. The 0.10 confidence floor and
+    min-support 3 are the knobs real recommenders tune (set for this
+    corpus's basket sparsity — confidence tops out ~0.14 here)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 8)
+        .select("l_partkey")
+    )
+    items = (
+        li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = items.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets"))
+    isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("x"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("y"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("x") != F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("sxy"))
+        .filter(F.col("sxy") >= 3)
+    )
+    sx = isup.select(F.col("l_partkey").alias("x"), F.col("s").alias("sx"))
+    sy = isup.select(F.col("l_partkey").alias("y"), F.col("s").alias("sy"))
+    conf6 = F.round(
+        F.col("sxy").cast("double") / F.col("sx") * 1000000.0
+    ).cast("bigint")
+    lift6 = F.round(
+        F.col("sxy").cast("double") * F.col("n_baskets")
+        / (F.col("sx") * F.col("sy").cast("bigint")) * 1000000.0
+    ).cast("bigint")
+    return (
+        pairs.join(F.broadcast(sx), "x").join(F.broadcast(sy), "y")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("sxy").cast("double") / F.col("sx") >= 0.10)
+        .select(
+            F.col("x").alias("antecedent"), F.col("y").alias("consequent"),
+            F.col("sxy").cast("bigint").alias("support_count"),
+            (conf6.cast("double") / 1000000.0).alias("confidence"),
+            (lift6.cast("double") / 1000000.0).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Best-window snippet extraction (RAG highlighting)
+# ---------------------------------------------------------------------------
+
+@query(
+    "snippet_best_window",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(tk, 1) - 1 AS pos,
+             unnest(tk) AS token
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents WHERE doc_id < 120
+      )
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM toks WHERE token IN ('data', 'model', 'learning')
+    ),
+    windows AS (
+      SELECT a.doc_id, a.pos AS win_start, COUNT(*) AS n_matches
+      FROM hits a JOIN hits b
+        ON b.doc_id = a.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 24
+      GROUP BY a.doc_id, a.pos
+    ),
+    best AS (
+      SELECT doc_id, win_start, n_matches,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY n_matches DESC, win_start) AS rk
+      FROM windows
+    )
+    SELECT doc_id, CAST(win_start AS INT) AS win_start,
+           CAST(n_matches AS BIGINT) AS n_matches
+    FROM best WHERE rk = 1
+    """,
+)
+def snippet_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippet selection: for each matching document,
+    find the 24-token window containing the MOST query-term hits — the
+    highlighting primitive every retrieval UI needs after BM25 ranks
+    the doc. Candidate windows only ever START at a hit position (an
+    optimal window can always be slid left onto its first hit — the
+    standard trick that makes this O(hits²-per-doc) instead of
+    O(doc_len)), so the work is a per-doc self-join of the small hit
+    table, never of the token table. Per-doc argmax with
+    deterministic earliest-window tie-break. At 100 TB the hit table
+    is the only thing shuffled — postings-scale, not corpus-scale."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    from pyspark.sql.window import Window
+
+    toks = d.select("doc_id", F.posexplode(text_ops.tokens("text")).alias("pos", "token"))
+    hits = toks.filter(F.col("token").isin("data", "model", "learning")).select(
+        "doc_id", "pos"
+    )
+    a = hits.select("doc_id", F.col("pos").alias("win_start"))
+    b = hits.select(F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"))
+    windows = (
+        a.join(
+            b,
+            (F.col("b_doc") == F.col("doc_id"))
+            & (F.col("b_pos") >= F.col("win_start"))
+            & (F.col("b_pos") < F.col("win_start") + 24),
+        )
+        .groupBy("doc_id", "win_start")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    best = windows.select(
+        "*",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("n_matches").desc(), "win_start"
+            )
+        ).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "doc_id",
+        F.col("win_start").cast("int").alias("win_start"),
+        F.col("n_matches").cast("bigint").alias("n_matches"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

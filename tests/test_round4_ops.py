@@ -1157,3 +1157,89 @@ def test_encoding_planner_recommends_dict_for_low_cardinality(spark, sf_dir):
     assert rows["lang"].recommend_dictionary is True
     assert rows["text"].recommend_dictionary is False  # near-unique text
     assert rows["lang"].n_distinct < rows["source"].n_distinct <= rows["text"].n_distinct
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["rfm_segmentation"](spark, sf_dir).collect()
+    n_custs = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_custs
+    for r in rows:
+        assert 1.0 <= r.avg_r <= 4.0 and 1.0 <= r.avg_f <= 4.0
+
+
+def test_association_rules_bounds(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["association_rules_lift"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0.1 <= r.confidence <= 1.0 + 1e-9
+        assert r.lift > 0 and r.support_count >= 3
+        assert r.antecedent != r.consequent
+
+
+def test_snippet_window_contains_hits(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["snippet_best_window"](spark, sf_dir).cache()
+    assert out.filter(F.col("n_matches") < 1).count() == 0
+    # one best window per doc
+    assert out.count() == out.select("doc_id").distinct().count()
+    out.unpersist()
+
+
+def test_aqe_coalesces_post_filter_shuffle(spark, sf_dir):
+    # AQE must coalesce the 8 shuffle partitions of a tiny post-filter
+    # aggregate down to fewer partitions at runtime
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    agg = o.filter("o_orderkey < 50").groupBy("o_orderpriority").count()
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    # one key carries ~all rows; with thresholds lowered AQE's skew-join
+    # rule must split the hot partition
+    from pyspark.sql import functions as FF
+
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # the downstream aggregate requires hash partitioning; skew split
+        # breaks it, so AQE only applies the rule when forced (or when no
+        # required distribution follows) — force it for the plan pin
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # non-foldable 99%-hot key (a literal key constant-folds to a
+        # cartesian and bypasses the join entirely)
+        left = spark.range(0, 200_000).select(
+            FF.when(FF.col("id") % 100 < 99, 0)
+            .otherwise((FF.col("id") % 4)).cast("int").alias("k"),
+            FF.lit("x" * 64).alias("pad"),
+        )
+        right = spark.range(0, 40_000).select(
+            (FF.col("id") % 4).cast("int").alias("k"), FF.lit("dim").alias("d")
+        )
+        j = left.join(right, "k").groupBy("k").count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan and "skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)

@@ -21,6 +21,9 @@ sys.path.insert(0, "/root/repo")
 
 # queries where Python (Arrow) stages are by design
 UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_frames",
+                # the Arrow-optimized scalar UDF surface demo — the Python
+                # stage IS the query's subject (pinned against closed form)
+                "arrow_python_udf_digital_root",
                 "embedding_near_dup",
                 # SRP bucketing pandas_udf feeds the self-recovery invariant
                 "ann_lsh_self_recovery",
