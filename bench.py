@@ -257,6 +257,9 @@ HEADLINE = [
     "rfm_segmentation",
     "association_rules_lift",
     "snippet_best_window",
+    "filtered_vector_search",
+    "multivector_maxsim_retrieval",
+    "quantile_transform_scaler",
 ]
 
 

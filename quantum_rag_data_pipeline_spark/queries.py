@@ -11978,6 +11978,221 @@ def snippet_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Filtered vector search (metadata predicate BEFORE the distance scan)
+# ---------------------------------------------------------------------------
+
+@query(
+    "filtered_vector_search",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE label IN (2, 3, 5) AND vec_id >= 5
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id, c.label,
+             ROUND(list_dot_product(q.qv, c.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM q CROSS JOIN corpus c
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, CAST(label AS INT) AS label, cosine
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the vector-DB feature benchmarks argue
+    about: a metadata predicate (label IN (2,3,5)) restricts the
+    corpus BEFORE any distance is computed (pre-filtering), not after
+    top-k (post-filtering, which silently under-returns when the
+    filter is selective — the classic recall bug). In Spark the
+    predicate is just a pushed-down scan filter ahead of the broadcast
+    cosine scan, so filtered search costs LESS than unfiltered — the
+    opposite of graph-index vector stores, where filters break the
+    index and this feature is hard. Query side broadcasts; corpus
+    never shuffles; per-query top-5 by window over the scored slice.
+    Unrolled sequential dots keep both engines bit-equal."""
+    e = _t(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = e.filter(F.col("label").isin(2, 3, 5) & (F.col("vec_id") >= 5)).select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    scored = F.broadcast(q).crossJoin(corpus).select(
+        "query_id", "vec_id", "label",
+        F.round(
+            sim_ops.dot(F.col("qv"), F.col("v"), 64)
+            / (
+                F.sqrt(sim_ops.dot(F.col("qv"), F.col("qv"), 64))
+                * F.sqrt(sim_ops.dot(F.col("v"), F.col("v"), 64))
+            ), 6,
+        ).alias("cosine"),
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+        ).alias("rk"),
+    ).filter(F.col("rk") <= 5)
+    return ranked.select(
+        "query_id", "vec_id", F.col("label").cast("int").alias("label"), "cosine"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector (late-interaction) retrieval — MaxSim pooling per document
+# ---------------------------------------------------------------------------
+
+@query(
+    "multivector_maxsim_retrieval",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    corpus AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 8
+    ),
+    persim AS (
+      SELECT q.query_id, c.label,
+             ROUND(list_dot_product(q.qv, c.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM q CROSS JOIN corpus c
+    ),
+    pooled AS (
+      SELECT query_id, label, MAX(cosine) AS maxsim, COUNT(*) AS n_vectors
+      FROM persim GROUP BY query_id, label
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim DESC, label) AS rk
+      FROM pooled
+    )
+    SELECT query_id, CAST(label AS INT) AS label, maxsim,
+           CAST(n_vectors AS BIGINT) AS n_vectors
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def multivector_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector document retrieval with MAX-pooled similarity — the
+    late-interaction shape (ColBERT-family) where a document is a BAG
+    of vectors (here: each label's vector set) and relevance is the
+    best-matching vector, not a single pooled embedding — the design
+    that preserves fine-grained matches single-vector pooling averages
+    away. Physically it's the broadcast cosine scan feeding a grouped
+    MAX — MaxSim pooling is a plain partial-aggregable aggregate, so
+    the multi-vector index costs ONE extra groupBy over its
+    single-vector cousin, which is why this representation scales.
+    Top-3 documents (labels) per query, deterministic tie-break."""
+    e = _t(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= 8).select(
+        "label", F.col("embedding").alias("v")
+    )
+    persim = F.broadcast(q).crossJoin(corpus).select(
+        "query_id", "label",
+        F.round(
+            sim_ops.dot(F.col("qv"), F.col("v"), 64)
+            / (
+                F.sqrt(sim_ops.dot(F.col("qv"), F.col("qv"), 64))
+                * F.sqrt(sim_ops.dot(F.col("v"), F.col("v"), 64))
+            ), 6,
+        ).alias("cosine"),
+    )
+    pooled = persim.groupBy("query_id", "label").agg(
+        F.max("cosine").alias("maxsim"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    ranked = pooled.select(
+        "*",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("maxsim").desc(), "label")
+        ).alias("rk"),
+    ).filter(F.col("rk") <= 3)
+    return ranked.select(
+        "query_id", F.col("label").cast("int").alias("label"),
+        "maxsim", F.col("n_vectors").cast("bigint").alias("n_vectors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-transform feature scaler (rank/(n+1), no single-partition sort)
+# ---------------------------------------------------------------------------
+
+@query(
+    "quantile_transform_scaler",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    transformed AS (
+      SELECT CAST(FLOOR(CAST(rk AS DOUBLE) / (n + 1) * 10) AS INT) AS decile,
+             CAST(rk AS DOUBLE) / (n + 1) AS qv,
+             o_totalprice
+      FROM ranked
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(qv), 6) AS min_q, ROUND(MAX(qv), 6) AS max_q,
+           ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 2) AS min_price,
+           ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 2) AS max_price
+    FROM transformed GROUP BY decile
+    """,
+)
+def quantile_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-transform feature scaler (sklearn's
+    QuantileTransformer shape): every value maps to its empirical
+    quantile rank/(n+1) — uniform marginals regardless of the input
+    distribution, the preprocessing step that makes heavy-tailed
+    monetary features usable by distance-based models. The global rank
+    comes from the TWO-LEVEL id construction
+    (`curation.assign_global_ids`) — no single-partition window ever
+    touches the full table, which is what makes an exact (not
+    sketch-approximated) transform feasible at 100 TB. Verified at
+    decile grain: each decile holds ~n/10 rows and the per-decile
+    price ranges are contiguous and increasing."""
+    o = _t(spark, sf_dir, "orders")
+    ranked = cur_ops.assign_global_ids(
+        o.select("o_totalprice", "o_orderkey"), "o_totalprice", ["o_orderkey"],
+        id_name="rk0",
+    ).withColumn("rk", F.col("rk0") + 1)
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    t = ranked.crossJoin(F.broadcast(n)).select(
+        "o_totalprice",
+        (F.col("rk").cast("double") / (F.col("n") + 1)).alias("qv"),
+    ).withColumn(
+        "decile", F.floor(F.col("qv") * 10).cast("int")
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("qv"), 6).alias("min_q"),
+        F.round(F.max("qv"), 6).alias("max_q"),
+        F.round(F.min("o_totalprice").cast("double"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice").cast("double"), 2).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

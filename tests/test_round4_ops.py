@@ -1243,3 +1243,44 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_filtered_search_respects_metadata_predicate(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["filtered_vector_search"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.label in (2, 3, 5)  # pre-filter respected
+        assert -1.0 - 1e-6 <= r.cosine <= 1.0 + 1e-6
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.cosine)
+    for cos in per_q.values():
+        assert cos == sorted(cos, reverse=True) and len(cos) <= 5
+
+
+def test_maxsim_dominates_any_single_vector(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["multivector_maxsim_retrieval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_vectors >= 1
+        assert -1.0 - 1e-6 <= r.maxsim <= 1.0 + 1e-6
+
+
+def test_quantile_transform_uniform_marginals(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["quantile_transform_scaler"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    n_total = sum(r.n_rows for r in rows)
+    for r in rows:
+        # uniform marginals: each decile holds ~10% of rows
+        assert abs(r.n_rows - n_total / 10) <= n_total / 10 * 0.2 + 2
+    # decile price ranges are non-overlapping and increasing
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_price <= b.min_price + 1e-9
