@@ -260,6 +260,8 @@ HEADLINE = [
     "filtered_vector_search",
     "multivector_maxsim_retrieval",
     "quantile_transform_scaler",
+    "personalized_pagerank_seeds",
+    "matched_cohort_rank_pairing",
 ]
 
 

@@ -12193,6 +12193,255 @@ def quantile_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Personalized PageRank (seed-restart, pure-integer mass — zero rounding)
+# ---------------------------------------------------------------------------
+
+@query(
+    "personalized_pagerank_seeds",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    both_ AS (SELECT u AS s, v AS t FROM edges
+              UNION ALL SELECT v AS s, u AS t FROM edges),
+    deg AS (SELECT s, COUNT(*) AS d FROM both_ GROUP BY s),
+    seeds AS (
+      SELECT s FROM (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY d DESC, s) AS rk FROM deg
+      ) WHERE rk <= 3
+    ),
+    pr0 AS (
+      SELECT deg.s AS node, deg.d,
+             CASE WHEN sd.s IS NOT NULL
+                  THEN CAST(333333333 AS BIGINT) ELSE 0 END AS pr
+      FROM deg LEFT JOIN seeds sd ON sd.s = deg.s
+    ),
+    m1 AS (
+      SELECT b.t AS node, SUM(p.pr // p.d) AS mass
+      FROM both_ b JOIN pr0 p ON p.node = b.s GROUP BY b.t
+    ),
+    pr1 AS (
+      SELECT p.node, p.d,
+             (15 * (CASE WHEN sd.s IS NOT NULL
+                         THEN CAST(333333333 AS BIGINT) ELSE 0 END)
+              + 85 * COALESCE(m.mass, 0)) // 100 AS pr
+      FROM pr0 p
+      LEFT JOIN m1 m ON m.node = p.node
+      LEFT JOIN seeds sd ON sd.s = p.node
+    ),
+    m2 AS (
+      SELECT b.t AS node, SUM(p.pr // p.d) AS mass
+      FROM both_ b JOIN pr1 p ON p.node = b.s GROUP BY b.t
+    ),
+    pr2 AS (
+      SELECT p.node, p.d,
+             (15 * (CASE WHEN sd.s IS NOT NULL
+                         THEN CAST(333333333 AS BIGINT) ELSE 0 END)
+              + 85 * COALESCE(m.mass, 0)) // 100 AS pr
+      FROM pr1 p
+      LEFT JOIN m2 m ON m.node = p.node
+      LEFT JOIN seeds sd ON sd.s = p.node
+    )
+    SELECT node, CAST(pr AS DOUBLE) / 1000000000.0 AS ppr,
+           node IN (SELECT s FROM seeds) AS is_seed
+    FROM (
+      SELECT node, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rn
+      FROM pr2
+    ) WHERE rn <= 15
+    """,
+)
+def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank — random walk with restart to a seed set
+    (the 3 highest-degree parts), the graph-proximity recommender
+    behind 'people who bought X': unlike global PageRank
+    (`pagerank_copurchase`), the teleport returns to the SEEDS, so
+    mass concentrates in their neighborhood and the ranking answers
+    'what is close to these nodes', not 'what is globally central'.
+    Two power iterations with the same destination-keyed shuffle per
+    round — and the entire mass ledger is PURE int64 nano-units
+    (floor-divided contributions, integer damping (15·s + 85·m)//100):
+    no decimal grid, no rounding thresholds, nothing for engines to
+    disagree on — the strongest form of the replay rules in
+    docs/DETERMINISM.md. Floor division leaks ≤1 nano-unit per edge
+    per round (documented, deterministic); top-15 with seed flags."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 8)
+        .select("l_partkey")
+    )
+    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        ia.join(ib, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    both = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).localCheckpoint(eager=False)
+    deg = both.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    seeds = (
+        deg.select(
+            "s",
+            F.row_number().over(Window.orderBy(F.col("d").desc(), "s")).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("s")
+    )
+    seed_ind = F.when(F.col("is_seed"), F.lit(333333333).cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    pr = (
+        deg.join(
+            F.broadcast(seeds.withColumn("is_seed", F.lit(True))), "s", "left"
+        )
+        .select(
+            F.col("s").alias("node"), "d",
+            F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"),
+        )
+        .withColumn("pr", seed_ind)
+    )
+    for _ in range(2):
+        contrib = both.join(
+            pr.select(F.col("node").alias("s"), "pr", "d"), "s"
+        ).select(F.col("t").alias("node"), F.expr("pr div d").alias("c"))
+        mass = contrib.groupBy("node").agg(F.sum("c").alias("mass"))
+        pr = (
+            pr.drop("pr")
+            .join(mass, "node", "left")
+            .select(
+                "node", "d", "is_seed",
+                F.expr(
+                    "(15 * (CASE WHEN is_seed THEN CAST(333333333 AS BIGINT) "
+                    "ELSE CAST(0 AS BIGINT) END) + 85 * COALESCE(mass, CAST(0 AS BIGINT))) div 100"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    top = pr.select(
+        "node", "pr", "is_seed",
+        F.row_number().over(Window.orderBy(F.col("pr").desc(), "node")).alias("rn"),
+    ).filter(F.col("rn") <= 15)
+    return top.select(
+        "node",
+        (F.col("pr").cast("double") / 1000000000.0).alias("ppr"),
+        "is_seed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-matched cohort pairing (observational-comparison prep)
+# ---------------------------------------------------------------------------
+
+@query(
+    "matched_cohort_rank_pairing",
+    oracle="""
+    WITH activity AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             ((user_id * 2654435761 + 283521) % 4294967296) % 2 AS treated
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT user_id, n_events,
+             ROW_NUMBER() OVER (ORDER BY n_events, user_id) AS rk,
+             COUNT(*) OVER () AS na
+      FROM activity WHERE treated = 1
+    ),
+    b AS (
+      SELECT user_id, n_events,
+             ROW_NUMBER() OVER (ORDER BY n_events, user_id) AS rk,
+             COUNT(*) OVER () AS nb
+      FROM activity WHERE treated = 0
+    ),
+    pairs AS (
+      SELECT a.user_id AS treated_id, a.n_events AS treated_events,
+             b.user_id AS control_id, b.n_events AS control_events
+      FROM a JOIN b
+        ON b.rk = LEAST(b.nb, GREATEST(1, (a.rk * b.nb + a.na // 2) // a.na))
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ABS(treated_events - control_events)) AS BIGINT)
+             AS total_activity_gap,
+           ROUND(CAST(SUM(ABS(treated_events - control_events)) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_activity_gap,
+           CAST(MAX(ABS(treated_events - control_events)) AS BIGINT)
+             AS worst_pair_gap
+    FROM pairs
+    """,
+)
+def matched_cohort_rank_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-matched comparison prep: each hash-assigned TREATED
+    user is matched to a CONTROL user at the SAME ACTIVITY QUANTILE —
+    rank-aligned matching, the scalable cousin of nearest-neighbor
+    propensity matching (exact NN matching is a sequential greedy
+    algorithm; quantile alignment gives the same covariate balance in
+    two rank windows and one equi-join on the mapped rank, fully
+    parallel). Assignment is the deterministic Knuth hash — the shape
+    of correcting an A/B test whose arms drifted imbalanced. The
+    mapped rank is pure integer arithmetic ((rk·nb + na//2) // na, a
+    rounded rescale) so the pairing is deterministic; the output
+    audits the achieved balance — total/average/worst activity gap —
+    the number you check BEFORE trusting any outcome comparison.
+    Ranks come from windows over the user-level aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    activity = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+    ).withColumn(
+        "treated", ((F.col("user_id") * 2654435761 + 283521) % 4294967296) % 2
+    )
+    w = Window.orderBy("n_events", "user_id")
+    wc = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    a = activity.filter(F.col("treated") == 1).select(
+        F.col("user_id").alias("treated_id"),
+        F.col("n_events").alias("treated_events"),
+        F.row_number().over(w).alias("rk"), F.count(F.lit(1)).over(wc).alias("na"),
+    )
+    b = activity.filter(F.col("treated") == 0).select(
+        F.col("user_id").alias("control_id"),
+        F.col("n_events").alias("control_events"),
+        F.row_number().over(w).alias("b_rk"), F.count(F.lit(1)).over(wc).alias("nb"),
+    )
+    mapped = F.least(
+        F.col("nb"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("(rk * nb + na div 2) div na"),
+        ),
+    )
+    pairs = a.join(b, b["b_rk"] == mapped)
+    gap = F.abs(F.col("treated_events") - F.col("control_events"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(gap).cast("bigint").alias("total_activity_gap"),
+        F.round(F.sum(gap).cast("double") / F.count(F.lit(1)), 4)
+        .alias("avg_activity_gap"),
+        F.max(gap).cast("bigint").alias("worst_pair_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -1284,3 +1284,33 @@ def test_quantile_transform_uniform_marginals(spark, sf_dir):
     # decile price ranges are non-overlapping and increasing
     for a, b in zip(rows, rows[1:]):
         assert a.max_price <= b.min_price + 1e-9
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["personalized_pagerank_seeds"](spark, sf_dir).collect()
+    assert rows
+    seeds = [r for r in rows if r.is_seed]
+    # restart mass keeps the seeds themselves in the top ranks
+    assert len(seeds) >= 1
+    total = sum(r.ppr for r in rows)
+    # mass is conserved up to floor-division leakage: top-15 can't
+    # exceed the unit total
+    assert 0 < total <= 1.0 + 1e-9
+    pprs = [r.ppr for r in rows]
+    assert pprs == sorted(pprs, reverse=True)
+
+
+def test_matched_pairs_cover_every_treated_user(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["matched_cohort_rank_pairing"](spark, sf_dir).first()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    treated = (
+        ev.select("user_id").distinct()
+        .filter(((F.col("user_id") * 2654435761 + 283521) % 4294967296) % 2 == 1)
+        .count()
+    )
+    assert r.n_pairs == treated
+    assert 0 <= r.avg_activity_gap <= r.worst_pair_gap
