@@ -262,6 +262,7 @@ HEADLINE = [
     "quantile_transform_scaler",
     "personalized_pagerank_seeds",
     "matched_cohort_rank_pairing",
+    "image_phash_near_dup",
 ]
 
 

@@ -12442,6 +12442,161 @@ def matched_cohort_rank_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (block-bucketed aHash over media payloads)
+# ---------------------------------------------------------------------------
+
+@query(
+    "image_phash_near_dup",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0
+    ),
+    pop AS (  -- originals + re-encoded twins (two pixels nudged +-8)
+      SELECT media_id, FALSE AS is_twin FROM ids
+      UNION ALL
+      SELECT media_id + 1000000, TRUE FROM ids
+    ),
+    px AS (
+      SELECT p.media_id, p.is_twin, j.j,
+             CAST(((p.media_id % 1000000) * (2654435761 + j.j * 81006))
+                  % 4294967296 // 256 % 256 AS BIGINT)
+             + CASE WHEN p.is_twin AND j.j = 17 THEN 8
+                    WHEN p.is_twin AND j.j = 41 THEN -8 ELSE 0 END AS v
+      FROM pop p CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+    ),
+    tot AS (
+      SELECT media_id, is_twin, SUM(v) AS s FROM px GROUP BY media_id, is_twin
+    ),
+    bits AS (
+      SELECT px.media_id, px.is_twin, px.j // 16 AS blk,
+             CASE WHEN px.v * 64 > t.s THEN (1 << (px.j % 16)) ELSE 0 END AS b
+      FROM px JOIN tot t USING (media_id)
+    ),
+    blocks AS (
+      SELECT media_id, is_twin, blk, CAST(SUM(b) AS BIGINT) AS bv
+      FROM bits GROUP BY media_id, is_twin, blk
+    ),
+    cands AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bv = b.bv AND a.media_id < b.media_id
+    ),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+      FROM cands c
+      JOIN blocks ba ON ba.media_id = c.id_a
+      JOIN blocks bb ON bb.media_id = c.id_b AND bb.blk = ba.blk
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming,
+           id_b = id_a + 1000000 AS is_injected_twin
+    FROM ham WHERE hamming <= 2
+    """,
+)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE detection — the multimodal
+    twin of `dedup_simhash`: every image gets a 64-bit average-hash
+    (bit j = pixel j above the image mean), re-encoded copies land
+    within a few bits, and candidate pairs come from a 4x16-bit
+    BLOCK-BUCKET join (≤2 corrupted blocks ⇒ ≥2 clean blocks ⇒ a
+    guaranteed bucket hit — the same pigeonhole as SimHash banding),
+    then exact Hamming rescore via XOR+bit_count on the block ints.
+    Near-dups are INJECTED: each image gets a 'reencoded' twin with
+    two pixels nudged ±8 (sum-preserving, so the aHash threshold
+    doesn't move and at most those 2 bits flip) — every twin pair MUST
+    surface with hamming ≤ 2. Pixels are the engine's deterministic
+    fake decode (`operators/multimodal.py` — real codecs aren't in
+    this container; the Arrow-batched mapInPandas plumbing and the
+    bucket-join shape are the real, scale-tested parts). At 100 TB
+    the hash computation rides the media scan and only 4 small
+    (block, value) keys per image ever shuffle."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    pop = d.select(F.col("doc_id").alias("media_id"), F.lit(False).alias("is_twin")) \
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 1000000).alias("media_id"),
+                F.lit(True).alias("is_twin"),
+            )
+        )
+
+    def ahash(batches):
+        for pdf in batches:
+            out = []
+            for mid, tw in zip(pdf["media_id"], pdf["is_twin"]):
+                base = int(mid) % 1000000
+                # j-dependent odd multiplier: an affine-in-id formula
+                # would shift every pixel by the same constant mod 256,
+                # collapsing the aHash space (measured: 2855 spurious
+                # pairs); varying the multiplier mixes per-position
+                # bits 8-15 of the product, not the low byte: the low
+                # byte of base*odd sees only base mod 256, so ids 256
+                # apart would collide with hamming 0
+                px = [
+                    (base * (2654435761 + j * 81006)) % 4294967296 // 256 % 256
+                    for j in range(64)
+                ]
+                if tw:
+                    px[17] += 8
+                    px[41] -= 8
+                s = sum(px)
+                blocks = [0, 0, 0, 0]
+                for j, v in enumerate(px):
+                    if v * 64 > s:
+                        blocks[j // 16] |= 1 << (j % 16)
+                out.append((int(mid), bool(tw), *blocks))
+            yield pd.DataFrame(
+                out, columns=["media_id", "is_twin", "b0", "b1", "b2", "b3"]
+            )
+
+    hashed = pop.mapInPandas(
+        ahash,
+        "media_id long, is_twin boolean, b0 long, b1 long, b2 long, b3 long",
+    ).localCheckpoint(eager=False)
+    blocks = hashed.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("blk"), F.col(f"b{i}").alias("bv"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("media_id", "e.blk", "e.bv")
+    a = blocks.select(F.col("media_id").alias("id_a"), "blk", "bv")
+    b = blocks.select(F.col("media_id").alias("id_b"), "blk", "bv")
+    cands = (
+        a.join(b, ["blk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    hb = hashed.select(
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}"))) for i in range(4)
+    )
+    return (
+        cands.join(F.broadcast(ha), "id_a").join(F.broadcast(hb), "id_b")
+        .select(
+            "id_a", "id_b",
+            hamming.cast("bigint").alias("hamming"),
+            (F.col("id_b") == F.col("id_a") + 1000000).alias("is_injected_twin"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

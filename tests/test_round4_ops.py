@@ -1314,3 +1314,20 @@ def test_matched_pairs_cover_every_treated_user(spark, sf_dir):
     )
     assert r.n_pairs == treated
     assert 0 <= r.avg_activity_gap <= r.worst_pair_gap
+
+
+def test_phash_recovers_every_injected_twin(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["image_phash_near_dup"](spark, sf_dir).cache()
+    n_images = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 3 = 0").count()
+    )
+    # the sum-preserving 2-pixel nudge flips at most 2 bits, and the
+    # 4-block pigeonhole guarantees a bucket hit: every twin MUST appear
+    twins = out.filter(F.col("is_injected_twin"))
+    assert twins.count() == n_images
+    assert twins.filter(F.col("hamming") > 2).count() == 0
+    assert out.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    out.unpersist()
