@@ -263,6 +263,9 @@ HEADLINE = [
     "personalized_pagerank_seeds",
     "matched_cohort_rank_pairing",
     "image_phash_near_dup",
+    "seasonal_adjusted_anomalies",
+    "price_volume_decomposition",
+    "dedup_bag_of_words",
 ]
 
 

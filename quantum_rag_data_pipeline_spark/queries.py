@@ -12597,6 +12597,292 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Seasonally-adjusted anomaly detection (trend + weekday + robust MAD gate)
+# ---------------------------------------------------------------------------
+
+@query(
+    "seasonal_adjusted_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    trended AS (
+      SELECT day, rev,
+             ROUND(CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w, 4) AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                                          AND INTERVAL 3 DAY FOLLOWING)
+    ),
+    detr AS (
+      SELECT day, isodow(day) AS wd,
+             CAST(ROUND(CAST(rev AS DOUBLE) - trend, 4) AS DECIMAL(30,4)) AS dt
+      FROM trended
+    ),
+    seas AS (
+      SELECT wd, ROUND(CAST(SUM(dt) AS DOUBLE) / COUNT(*), 4) AS s
+      FROM detr GROUP BY wd
+    ),
+    resid AS (
+      SELECT d.day, CAST(ROUND(CAST(d.dt AS DOUBLE) - s.s, 4) AS DECIMAL(30,4)) AS r
+      FROM detr d JOIN seas s ON s.wd = d.wd
+    ),
+    med AS (
+      SELECT r AS m FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, day) AS rk, COUNT(*) OVER () AS n
+        FROM resid
+      ) WHERE rk = (n + 1) // 2
+    ),
+    absdev AS (
+      SELECT resid.day, resid.r, ABS(CAST(resid.r - med.m AS DECIMAL(30,4))) AS ad
+      FROM resid CROSS JOIN med
+    ),
+    mad AS (
+      SELECT ad AS m FROM (
+        SELECT ad, ROW_NUMBER() OVER (ORDER BY ad, day) AS rk, COUNT(*) OVER () AS n
+        FROM absdev
+      ) WHERE rk = (n + 1) // 2
+    )
+    SELECT a.day, ROUND(CAST(a.r AS DOUBLE), 2) AS residual,
+           a.ad > 3 * mad.m AS is_anomaly
+    FROM absdev a CROSS JOIN mad
+    WHERE a.ad > 3 * mad.m
+    """,
+)
+def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection — the composition the
+    pieces were built for: the centered-MA trend and weekday seasonal
+    index (`weekday_seasonality_decomposition`) come OFF the daily
+    revenue first, and only the residual is gated, with a robust
+    3-MAD threshold (`length_outlier_mad`'s estimator) — so a normal
+    weekend dip is never an 'anomaly' and a true outlier isn't hidden
+    inside weekday variance, the failure modes of naive z-scoring the
+    raw series. Median and MAD are exact order statistics over the
+    daily residual table (rule 4 of docs/DETERMINISM.md); output is
+    the anomalous days only. Everything runs over one-row-per-day
+    aggregates; the fact table is scanned once."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-3, 3)
+    )
+    detr = daily.select(
+        "day",
+        (F.weekday("day") + 1).alias("wd"),
+        F.round(
+            F.col("rev").cast("double")
+            - F.round(
+                F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+            ), 4,
+        ).cast("decimal(30,4)").alias("dt"),
+    )
+    seas = detr.groupBy("wd").agg(
+        F.round(F.sum("dt").cast("double") / F.count(F.lit(1)), 4).alias("s")
+    )
+    resid = detr.join(F.broadcast(seas), "wd").select(
+        "day",
+        F.round(F.col("dt").cast("double") - F.col("s"), 4)
+        .cast("decimal(30,4)").alias("r"),
+    ).localCheckpoint(eager=False)
+
+    def exact_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = df.select(
+            F.col(col),
+            F.row_number().over(Window.orderBy(col, "day")).alias("rk"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("n"),
+        )
+        return ranked.filter(
+            F.col("rk") == F.floor((F.col("n") + 1) / 2)
+        ).select(F.col(col).alias(out))
+
+    med = exact_median(resid, "r", "m")
+    absdev = resid.crossJoin(F.broadcast(med)).select(
+        "day", "r",
+        F.abs((F.col("r") - F.col("m")).cast("decimal(30,4)")).alias("ad"),
+    ).localCheckpoint(eager=False)
+    mad = exact_median(absdev, "ad", "mm")
+    return (
+        absdev.crossJoin(F.broadcast(mad))
+        .filter(F.col("ad") > 3 * F.col("mm"))
+        .select(
+            "day",
+            F.round(F.col("r").cast("double"), 2).alias("residual"),
+            (F.col("ad") > 3 * F.col("mm")).alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price/volume variance decomposition (FP&A bridge analysis)
+# ---------------------------------------------------------------------------
+
+@query(
+    "price_volume_decomposition",
+    oracle="""
+    WITH p1 AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS rev_c
+      FROM orders
+      WHERE o_orderdate >= DATE '1999-01-01' AND o_orderdate < DATE '2000-01-01'
+      GROUP BY 1
+    ),
+    p2 AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS rev_c
+      FROM orders
+      WHERE o_orderdate >= DATE '2000-01-01' AND o_orderdate < DATE '2001-01-01'
+      GROUP BY 1
+    )
+    SELECT p1.o_orderpriority,
+           CAST((p2.rev_c - p1.rev_c) AS DOUBLE) / 100.0 AS total_change,
+           ROUND(CAST(p2.n - p1.n AS DOUBLE) * (CAST(p1.rev_c AS DOUBLE) / p1.n)
+                 / 100.0, 2) AS volume_effect,
+           ROUND(CAST(p2.n AS DOUBLE)
+                 * (CAST(p2.rev_c AS DOUBLE) / p2.n
+                    - CAST(p1.rev_c AS DOUBLE) / p1.n) / 100.0, 2) AS price_effect,
+           ABS(CAST(p2.rev_c - p1.rev_c AS DOUBLE) / 100.0
+               - (CAST(p2.n - p1.n AS DOUBLE) * (CAST(p1.rev_c AS DOUBLE) / p1.n)
+                  / 100.0
+                  + CAST(p2.n AS DOUBLE)
+                    * (CAST(p2.rev_c AS DOUBLE) / p2.n
+                       - CAST(p1.rev_c AS DOUBLE) / p1.n) / 100.0)) < 0.1
+             AS bridge_closes
+    FROM p1 JOIN p2 USING (o_orderpriority)
+    """,
+)
+def price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume bridge — the FP&A decomposition of a revenue change
+    between two years: ΔR = Δn·p̄₁ (volume effect, at old average
+    price) + n₂·Δp̄ (price effect, at new volume), which telescopes
+    EXACTLY — the 'bridge closes' flag proves the two effects sum to
+    the total change (within float tolerance of the cent grid), the
+    property that makes the decomposition auditable rather than
+    approximate. One conditional-aggregate pass per period (count +
+    integer-cent revenue), a 5-row join, closed-form scalar math —
+    the whole analysis is two scans of pruned year slices regardless
+    of table size."""
+    o = _t(spark, sf_dir, "orders")
+
+    def period(y1: str, y2: str, tag: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(y1).cast("date"))
+                & (F.col("o_orderdate") < F.lit(y2).cast("date"))
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias(f"n{tag}"),
+                F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+                .alias(f"rev{tag}"),
+            )
+        )
+
+    p1 = period("1999-01-01", "2000-01-01", "1")
+    p2 = period("2000-01-01", "2001-01-01", "2")
+    j = p1.join(p2, "o_orderpriority")
+    avg1 = F.col("rev1").cast("double") / F.col("n1")
+    avg2 = F.col("rev2").cast("double") / F.col("n2")
+    total = (F.col("rev2") - F.col("rev1")).cast("double") / 100.0
+    vol = F.round((F.col("n2") - F.col("n1")).cast("double") * avg1 / 100.0, 2)
+    price = F.round(F.col("n2").cast("double") * (avg2 - avg1) / 100.0, 2)
+    return j.select(
+        "o_orderpriority",
+        total.alias("total_change"),
+        vol.alias("volume_effect"),
+        price.alias("price_effect"),
+        (
+            F.abs(
+                total
+                - (
+                    (F.col("n2") - F.col("n1")).cast("double") * avg1 / 100.0
+                    + F.col("n2").cast("double") * (avg2 - avg1) / 100.0
+                )
+            ) < 0.1
+        ).alias("bridge_closes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag-of-words dedup (word-order-permutation near-duplicates)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_bag_of_words",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '')), ' ')) AS bow_fp,
+             md5(array_to_string(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> ''), ' ')) AS exact_fp
+      FROM documents
+    ),
+    groups AS (
+      SELECT bow_fp,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT exact_fp) AS n_exact_variants
+      FROM toks GROUP BY bow_fp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bow_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) AS BIGINT)
+             AS n_bow_duplicates,
+           CAST(SUM(CASE WHEN n_exact_variants > 1
+                         THEN n_exact_variants - 1 ELSE 0 END) AS BIGINT)
+             AS n_order_permuted_variants
+    FROM groups
+    """,
+)
+def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup — the recipe that catches what
+    exact-hash dedup can't: documents whose WORDS are identical but
+    reordered (template reshuffles, list-order jitter, scraped tables)
+    collide on the hash of their SORTED token multiset while their
+    exact fingerprints differ. The report separates the two layers:
+    bow-level duplicates (removable under the bag policy) vs
+    order-permuted variants specifically (bow collision + exact
+    difference — the pairs ONLY this recipe finds; zero on this corpus
+    is itself the finding, and the pytest proves the detector isn't
+    blind by feeding it a constructed permuted pair). Same
+    hash-only-shuffle shape as `dedup_exact`: text never leaves the
+    map side."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(text_ops.tokens("text")), " ")).alias("bow_fp"),
+        F.md5(F.array_join(text_ops.tokens("text"), " ")).alias("exact_fp"),
+    )
+    groups = toks.groupBy("bow_fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("exact_fp").alias("n_exact_variants"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bow_groups"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_docs") > 1, F.col("n_docs") - 1).otherwise(0)
+        ).cast("bigint").alias("n_bow_duplicates"),
+        F.sum(
+            F.when(
+                F.col("n_exact_variants") > 1, F.col("n_exact_variants") - 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_order_permuted_variants"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -1331,3 +1331,48 @@ def test_phash_recovers_every_injected_twin(spark, sf_dir):
     assert twins.filter(F.col("hamming") > 2).count() == 0
     assert out.filter(F.col("id_a") >= F.col("id_b")).count() == 0
     out.unpersist()
+
+
+def test_seasonal_anomalies_are_a_tail(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["seasonal_adjusted_anomalies"](spark, sf_dir).cache()
+    n_days = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderdate").cast("date")).distinct().count()
+    )
+    n_anom = out.count()
+    assert 0 <= n_anom < 0.15 * n_days
+    assert out.filter(~F.col("is_anomaly")).count() == 0
+    out.unpersist()
+
+
+def test_price_volume_bridge_closes(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["price_volume_decomposition"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bridge_closes is True
+        assert abs(r.total_change - (r.volume_effect + r.price_effect)) < 0.1
+
+
+def test_bag_of_words_detects_constructed_permutation(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.operators import text as text_ops
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["dedup_bag_of_words"](spark, sf_dir).first()
+    assert r.n_docs == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert r.n_bow_duplicates >= r.n_order_permuted_variants >= 0
+    # the detector itself must not be blind: a constructed word
+    # permutation collides on bow_fp but not exact_fp
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fp = df.select(
+        F.md5(F.array_join(F.array_sort(text_ops.tokens("text")), " ")).alias("bow"),
+        F.md5(F.array_join(text_ops.tokens("text"), " ")).alias("exact"),
+    ).collect()
+    assert fp[0].bow == fp[1].bow and fp[0].exact != fp[1].exact
+    assert fp[0].bow != fp[2].bow
