@@ -266,6 +266,8 @@ HEADLINE = [
     "seasonal_adjusted_anomalies",
     "price_volume_decomposition",
     "dedup_bag_of_words",
+    "window_ignore_nulls_matrix",
+    "regexp_extract_all_surface",
 ]
 
 

@@ -12883,6 +12883,140 @@ def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IGNORE NULLS window-function semantics (first/last/nth over sparse data)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_ignore_nulls_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      FROM events WHERE user_id < 40
+    ),
+    w AS (
+      SELECT user_id,
+             first_value(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_nn,
+             last_value(v IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_nn,
+             nth_value(v, 2 IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_nn,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM t
+    )
+    SELECT user_id,
+           ROUND(first_nn, 2) AS first_non_null,
+           ROUND(last_nn, 2) AS last_non_null,
+           ROUND(second_nn, 2) AS second_non_null
+    FROM w WHERE rn = 1
+    """,
+)
+def window_ignore_nulls_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IGNORE NULLS window contract over sparse measurements:
+    first_value / last_value / nth_value skipping nulls — what LOCF,
+    'latest known reading', and 'second observation' analytics actually
+    need, and a place where the DEFAULT (RESPECT NULLS) silently
+    returns null and ships a broken dashboard. The frame must be the
+    full partition (the last_value default frame ends at CURRENT ROW —
+    the other classic silent bug, pinned here by using the explicit
+    UNBOUNDED frame). Both engines accept the same IGNORE NULLS
+    syntax; one row per user via the rn=1 filter. Values round on the
+    cent grid at the output."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    from pyspark.sql.window import Window
+
+    t = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "view", F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("v"),
+    )
+    full = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = t.select(
+        "user_id",
+        F.first("v", ignorenulls=True).over(full).alias("first_nn"),
+        F.last("v", ignorenulls=True).over(full).alias("last_nn"),
+        F.nth_value("v", 2, ignoreNulls=True).over(full).alias("second_nn"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("rn"),
+    )
+    return w.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.round("first_nn", 2).alias("first_non_null"),
+        F.round("last_nn", 2).alias("last_non_null"),
+        F.round("second_nn", 2).alias("second_non_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# regexp_extract_all surface (multi-match extraction in one pass)
+# ---------------------------------------------------------------------------
+
+@query(
+    "regexp_extract_all_surface",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '\\b[a-z]*(?:ss|tt|ll|ee|oo|rr)[a-z]*\\b') AS doubled,
+             regexp_extract_all(text, '\\b[st][a-z]+\\b') AS st_words
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(doubled) AS INT) AS n_doubled,
+           COALESCE(array_to_string(list_sort(list_distinct(doubled)), ','), '')
+             AS doubled_sorted,
+           CAST(len(st_words) AS INT) AS n_st_words
+    FROM ex
+    WHERE len(doubled) > 0 OR len(st_words) > 0
+    """,
+)
+def regexp_extract_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regex extraction — `regexp_extract_all` pulls EVERY
+    match into an array in one engine-side pass (the log-parsing /
+    entity-scraping primitive; a per-match UDF loop would be the slow
+    path this replaces). Patterns stay inside RE2's subset — DuckDB's
+    regex engine has NO backreferences ((.)\\1 parses in Java, fails
+    in RE2; found the hard way), so doubled letters are a
+    non-capturing alternation and both engines also disagree on the
+    DEFAULT extraction group (Spark: group 1, DuckDB: full match) —
+    idx=0 pins the full-match contract. Extracted arrays are dedup'd and sorted before
+    the string boundary (match ORDER and capture-group extraction
+    detail are engine specifics; the match SET on the full pattern is
+    the contract). Counts stay ints."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ex = d.select(
+        "doc_id",
+        # idx=0 = the FULL match: Spark defaults to capture group 1,
+        # DuckDB to group 0 — the one semantic difference in this API
+        F.regexp_extract_all(
+            "text", F.lit(r"\b[a-z]*(?:ss|tt|ll|ee|oo|rr)[a-z]*\b"), F.lit(0)
+        ).alias("doubled"),
+        F.regexp_extract_all(
+            "text", F.lit(r"\b[st][a-z]+\b"), F.lit(0)
+        ).alias("st_words"),
+    )
+    return ex.filter(
+        (F.size("doubled") > 0) | (F.size("st_words") > 0)
+    ).select(
+        "doc_id",
+        F.size("doubled").cast("int").alias("n_doubled"),
+        F.array_join(F.array_sort(F.array_distinct("doubled")), ",")
+        .alias("doubled_sorted"),
+        F.size("st_words").cast("int").alias("n_st_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

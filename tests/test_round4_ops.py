@@ -1376,3 +1376,35 @@ def test_bag_of_words_detects_constructed_permutation(spark, sf_dir):
     ).collect()
     assert fp[0].bow == fp[1].bow and fp[0].exact != fp[1].exact
     assert fp[0].bow != fp[2].bow
+
+
+def test_ignore_nulls_window_matches_groupby_derivation(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = {r.user_id: r for r in
+           QUERIES["window_ignore_nulls_matrix"](spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter("user_id < 40")
+    nn = ev.filter("event_type <> 'view'")
+    firsts = {
+        r.user_id: round(r.v, 2)
+        for r in nn.groupBy("user_id")
+        .agg(F.min_by("value", F.struct("ts", "event_id")).alias("v")).collect()
+    }
+    lasts = {
+        r.user_id: round(r.v, 2)
+        for r in nn.groupBy("user_id")
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("v")).collect()
+    }
+    for uid, r in out.items():
+        assert r.first_non_null == firsts.get(uid)
+        assert r.last_non_null == lasts.get(uid)
+
+
+def test_regexp_extract_all_counts_are_consistent(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    for r in QUERIES["regexp_extract_all_surface"](spark, sf_dir).collect():
+        n_distinct = len([x for x in r.doubled_sorted.split(",") if x])
+        assert n_distinct <= r.n_doubled
+        assert r.n_doubled >= 0 and r.n_st_words >= 0
+        assert r.n_doubled + r.n_st_words > 0
