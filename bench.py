@@ -268,6 +268,9 @@ HEADLINE = [
     "dedup_bag_of_words",
     "window_ignore_nulls_matrix",
     "regexp_extract_all_surface",
+    "label_propagation_communities",
+    "wl_node_signatures",
+    "streaming_chained_window_aggs",
 ]
 
 

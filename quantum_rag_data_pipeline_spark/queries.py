@@ -13017,6 +13017,323 @@ def regexp_extract_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Label-propagation community detection (modal-neighbor label, 2 rounds)
+# ---------------------------------------------------------------------------
+
+@query(
+    "label_propagation_communities",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    both_ AS (SELECT u AS s, v AS t FROM edges
+              UNION ALL SELECT v AS s, u AS t FROM edges),
+    nodes AS (SELECT DISTINCT s AS node FROM both_),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    v1 AS (
+      SELECT b.t AS node, l.lbl, COUNT(*) AS c
+      FROM both_ b JOIN l0 l ON l.node = b.s GROUP BY b.t, l.lbl
+    ),
+    l1 AS (
+      SELECT node,
+             9999999 - (MAX(c * 10000000 + (9999999 - lbl)) % 10000000) AS lbl
+      FROM v1 GROUP BY node
+    ),
+    v2 AS (
+      SELECT b.t AS node, l.lbl, COUNT(*) AS c
+      FROM both_ b JOIN l1 l ON l.node = b.s GROUP BY b.t, l.lbl
+    ),
+    l2 AS (
+      SELECT node,
+             9999999 - (MAX(c * 10000000 + (9999999 - lbl)) % 10000000) AS lbl
+      FROM v2 GROUP BY node
+    )
+    SELECT lbl AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY lbl
+    ORDER BY n_members DESC, community LIMIT 10
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (2 semi-synchronous
+    rounds): every node adopts its neighbors' MODAL label — the
+    community algorithm that needs no modularity optimization and runs
+    as two grouped aggregates per round (neighbor-label counts, then
+    per-node argmax). Distinct from connected components (min-label
+    finds REACHABILITY; modal-label finds DENSITY — a bridge edge
+    can't flip a whole community). The argmax is the tie-free integer
+    composite c·10^7 + (10^7-1-lbl): max count wins, smallest label
+    breaks ties, and the winning label decodes back arithmetically —
+    no engine-specific arg_max semantics in play (DETERMINISM.md rule
+    5). Top-10 communities by size."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 8)
+        .select("l_partkey")
+    )
+    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        ia.join(ib, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+    both = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).localCheckpoint(eager=False)
+    lbl = both.select(F.col("s").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(2):
+        votes = (
+            both.join(lbl.select(F.col("node").alias("s"), "lbl"), "s")
+            .groupBy(F.col("t").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lbl = votes.groupBy("node").agg(
+            (
+                9999999
+                - (
+                    F.max(F.col("c") * 10000000 + (9999999 - F.col("lbl")))
+                    % 10000000
+                )
+            ).alias("lbl")
+        ).localCheckpoint(eager=False)
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Lehman node signatures (structural-role refinement)
+# ---------------------------------------------------------------------------
+
+@query(
+    "wl_node_signatures",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    both_ AS (SELECT u AS s, v AS t FROM edges
+              UNION ALL SELECT v AS s, u AS t FROM edges),
+    deg AS (SELECT s AS node, COUNT(*) AS d FROM both_ GROUP BY s),
+    s0 AS (SELECT node, md5(CAST(d AS VARCHAR)) AS sig FROM deg),
+    n1 AS (
+      SELECT b.t AS node,
+             md5(array_to_string(list(l.sig ORDER BY l.sig), '|')) AS nbr
+      FROM both_ b JOIN s0 l ON l.node = b.s GROUP BY b.t
+    ),
+    s1 AS (
+      SELECT s0.node, md5(s0.sig || ':' || n1.nbr) AS sig
+      FROM s0 JOIN n1 USING (node)
+    ),
+    n2 AS (
+      SELECT b.t AS node,
+             md5(array_to_string(list(l.sig ORDER BY l.sig), '|')) AS nbr
+      FROM both_ b JOIN s1 l ON l.node = b.s GROUP BY b.t
+    ),
+    s2 AS (
+      SELECT s1.node, md5(s1.sig || ':' || n2.nbr) AS sig
+      FROM s1 JOIN n2 USING (node)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(DISTINCT sig) FROM s0) AS BIGINT) AS classes_r0,
+           CAST((SELECT COUNT(DISTINCT sig) FROM s1) AS BIGINT) AS classes_r1,
+           CAST(COUNT(DISTINCT sig) AS BIGINT) AS classes_r2,
+           (SELECT COUNT(DISTINCT sig) FROM s1) >=
+             (SELECT COUNT(DISTINCT sig) FROM s0)
+           AND COUNT(DISTINCT sig) >= (SELECT COUNT(DISTINCT sig) FROM s1)
+             AS refinement_monotone
+    FROM s2
+    """,
+)
+def wl_node_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman color refinement over the co-purchase graph —
+    the structural-role fingerprint behind graph-isomorphism tests and
+    GNN expressiveness bounds: each round, a node's signature becomes
+    the hash of (own signature + SORTED neighbor signatures), so nodes
+    stay same-class only while their neighborhoods look identical at
+    growing radius. Each round is one grouped sorted-concat + hash —
+    the same postings-shaped shuffle as every graph pass here, strings
+    never longer than 32 hex chars times degree. The query pins WL's
+    REFINEMENT theorem at the gate: class counts can only grow round
+    over round (refinement_monotone TRUE), with degree classes as
+    round 0. Sorted aggregation makes the neighbor multiset canonical
+    (DETERMINISM.md rule 7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 8)
+        .select("l_partkey")
+    )
+    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        ia.join(ib, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+    both = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).localCheckpoint(eager=False)
+    deg = both.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    sig = deg.select("node", F.md5(F.col("d").cast("string")).alias("sig"))
+    counts = [sig.select(F.countDistinct("sig").alias("c"))]
+    for _ in range(2):
+        nbr = (
+            both.join(sig.select(F.col("node").alias("s"), "sig"), "s")
+            .groupBy(F.col("t").alias("node"))
+            .agg(
+                F.md5(
+                    F.array_join(F.sort_array(F.collect_list("sig")), "|")
+                ).alias("nbr")
+            )
+        )
+        sig = sig.join(nbr, "node").select(
+            "node", F.md5(F.concat(F.col("sig"), F.lit(":"), F.col("nbr"))).alias("sig")
+        ).localCheckpoint(eager=False)
+        counts.append(sig.select(F.countDistinct("sig").alias("c")))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    c0 = counts[0].select(F.col("c").alias("c0"))
+    c1 = counts[1].select(F.col("c").alias("c1"))
+    c2 = counts[2].select(F.col("c").alias("c2"))
+    return (
+        n_nodes.crossJoin(F.broadcast(c0)).crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .select(
+            F.col("n").cast("bigint").alias("n_nodes"),
+            F.col("c0").cast("bigint").alias("classes_r0"),
+            F.col("c1").cast("bigint").alias("classes_r1"),
+            F.col("c2").cast("bigint").alias("classes_r2"),
+            ((F.col("c1") >= F.col("c0")) & (F.col("c2") >= F.col("c1")))
+            .alias("refinement_monotone"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chained streaming window aggregations (daily -> weekly, two stateful ops)
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_chained_window_aggs",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 2 DAY AS w FROM events),
+    weekly AS (
+      SELECT CAST(DATE '1970-01-01'
+                  + INTERVAL ((datediff('day', DATE '1970-01-01',
+                                        CAST(day AS DATE)) // 7) * 7) DAY
+                  AS TIMESTAMP) AS week_start,
+             MAX(n) AS max_daily, SUM(n) AS total, COUNT(*) AS n_days
+      FROM daily GROUP BY 1
+    )
+    SELECT week_start,
+           CAST(max_daily AS BIGINT) AS max_daily_events,
+           CAST(total AS BIGINT) AS total_events,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM weekly CROSS JOIN wm
+    WHERE week_start + INTERVAL 7 DAY <= wm.w
+    """,
+)
+def streaming_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful window aggregations in one streaming query —
+    daily counts re-aggregated into weekly rollups (max/sum/count of
+    the daily values) — the multi-grain streaming pipeline Spark
+    could not express before 3.4 (two stateful operators back to
+    back; `window_time()` turns the inner window struct back into an
+    event-time column the outer window can consume). Emission
+    composes: a week emits only when the watermark passes its end, by
+    which point every daily window inside it has closed — so emitted
+    weekly rows are COMPLETE, the property the oracle pins by deriving
+    the same closed-week set (epoch-aligned 7-day buckets, end ≤
+    max(ts) − 2d) from the batch data. The withheld tail week is the
+    append-mode contract, same as `streaming_watermark_append_
+    semantics` one grain down."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    landing = f"/tmp/spark_graft_landing/{tag}/events"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    daily = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    weekly = (
+        daily.groupBy(F.window(F.window_time("w"), "7 days").alias("ww"))
+        .agg(
+            F.max("n").alias("max_daily"),
+            F.sum("n").alias("total"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import (
+        drain_available_now,
+    )
+
+    out = drain_available_now(
+        weekly, "chained_window_aggs", output_mode="append"
+    )
+    return out.select(
+        F.col("ww.start").alias("week_start"),
+        F.col("max_daily").cast("bigint").alias("max_daily_events"),
+        F.col("total").cast("bigint").alias("total_events"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

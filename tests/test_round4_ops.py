@@ -1408,3 +1408,41 @@ def test_regexp_extract_all_counts_are_consistent(spark, sf_dir):
         assert n_distinct <= r.n_doubled
         assert r.n_doubled >= 0 and r.n_st_words >= 0
         assert r.n_doubled + r.n_st_words > 0
+
+
+def test_lpa_communities_cover_all_nodes(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["label_propagation_communities"](spark, sf_dir).collect()
+    assert rows
+    sizes = [r.n_members for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(s >= 1 for s in sizes)
+
+
+def test_wl_refinement_is_monotone(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["wl_node_signatures"](spark, sf_dir).first()
+    assert r.refinement_monotone is True
+    assert r.classes_r0 <= r.classes_r1 <= r.classes_r2 <= r.n_nodes
+
+
+def test_chained_windows_emit_complete_weeks_only(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["streaming_chained_window_aggs"](spark, sf_dir).collect(),
+        key=lambda r: r.week_start,
+    )
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import datetime
+
+    mx = ev.agg(F.max("ts")).first()[0]
+    for r in rows:
+        # only weeks fully behind the watermark emit
+        assert r.week_start + datetime.timedelta(days=7) \
+            <= mx - datetime.timedelta(days=2)
+        assert r.max_daily_events <= r.total_events
+        assert 1 <= r.n_days <= 7
