@@ -271,6 +271,8 @@ HEADLINE = [
     "label_propagation_communities",
     "wl_node_signatures",
     "streaming_chained_window_aggs",
+    "bellman_ford_bounded",
+    "strict_funnel_bounded_gaps",
 ]
 
 

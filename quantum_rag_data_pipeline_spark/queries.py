@@ -13334,6 +13334,281 @@ def streaming_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Bounded Bellman-Ford shortest paths (weighted relaxation rounds)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bellman_ford_bounded",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS co
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    wboth AS (
+      SELECT u AS s, v AS t, 1000000 // co AS w FROM edges
+      UNION ALL SELECT v, u, 1000000 // co FROM edges
+    ),
+    src AS (SELECT MIN(s) AS s0 FROM wboth),
+    d0 AS (
+      SELECT DISTINCT s AS node,
+             CASE WHEN s = src.s0 THEN CAST(0 AS BIGINT) ELSE NULL END AS dist
+      FROM wboth CROSS JOIN src
+    ),
+    d1 AS (
+      SELECT n.node,
+             LEAST(COALESCE(n.dist, 9223372036854775807),
+                   COALESCE(MIN(p.dist + e.w), 9223372036854775807)) AS dist
+      FROM d0 n
+      LEFT JOIN wboth e ON e.t = n.node
+      LEFT JOIN d0 p ON p.node = e.s AND p.dist IS NOT NULL
+      GROUP BY n.node, n.dist
+    ),
+    d1c AS (
+      SELECT node, CASE WHEN dist = 9223372036854775807 THEN NULL
+                        ELSE dist END AS dist FROM d1
+    ),
+    d2 AS (
+      SELECT n.node,
+             LEAST(COALESCE(n.dist, 9223372036854775807),
+                   COALESCE(MIN(p.dist + e.w), 9223372036854775807)) AS dist
+      FROM d1c n
+      LEFT JOIN wboth e ON e.t = n.node
+      LEFT JOIN d1c p ON p.node = e.s AND p.dist IS NOT NULL
+      GROUP BY n.node, n.dist
+    ),
+    d2c AS (
+      SELECT node, CASE WHEN dist = 9223372036854775807 THEN NULL
+                        ELSE dist END AS dist FROM d2
+    )
+    SELECT node, CAST(dist AS BIGINT) AS dist_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY dist, node) AS INT) AS rk
+    FROM d2c WHERE dist IS NOT NULL
+    ORDER BY dist, node LIMIT 20
+    """,
+)
+def bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Bellman-Ford over the WEIGHTED co-purchase graph
+    (edge cost 1e6 // co-count — strong ties are short): distances
+    relax per round as dist(v) = min(dist(v), min over in-edges of
+    dist(u) + w) — one outer-joined grouped MIN per round, the
+    message-passing shape shared with BFS but carrying WEIGHTED
+    integer distances (BFS counts hops; this finds cheapest paths,
+    and at round k the distances are exact for all ≤ k-edge paths).
+    Integer edge costs make every relaxation exact (no float adds to
+    order), and the infinity sentinel is explicit int64-max so the
+    min-fold needs no null semantics gymnastics. Two rounds from the
+    lowest-id node; 20 closest nodes out."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 8)
+        .select("l_partkey")
+    )
+    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        ia.join(ib, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    w = F.expr("1000000 div co")
+    wboth = edges.select(
+        F.col("u").alias("s"), F.col("v").alias("t"), w.alias("w")
+    ).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"), w.alias("w"))
+    ).localCheckpoint(eager=False)
+    src = wboth.agg(F.min("s").alias("s0"))
+    INF = 9223372036854775807
+    dist = (
+        wboth.select(F.col("s").alias("node")).distinct()
+        .crossJoin(F.broadcast(src))
+        .select(
+            "node",
+            F.when(F.col("node") == F.col("s0"), F.lit(0).cast("bigint"))
+            .alias("dist"),
+        )
+    )
+    for _ in range(2):
+        relax = (
+            dist.alias("n")
+            .join(wboth.alias("e"), F.col("e.t") == F.col("n.node"), "left")
+            .join(
+                dist.alias("p"),
+                (F.col("p.node") == F.col("e.s")) & F.col("p.dist").isNotNull(),
+                "left",
+            )
+            .groupBy(F.col("n.node").alias("node"), F.col("n.dist").alias("old"))
+            .agg(
+                F.least(
+                    F.coalesce(F.col("old"), F.lit(INF)),
+                    F.coalesce(F.min(F.col("p.dist") + F.col("e.w")), F.lit(INF)),
+                ).alias("dist")
+            )
+        )
+        dist = relax.select(
+            "node",
+            F.when(F.col("dist") == INF, F.lit(None).cast("bigint"))
+            .otherwise(F.col("dist")).alias("dist"),
+        ).localCheckpoint(eager=False)
+    reach = dist.filter(F.col("dist").isNotNull())
+    return (
+        reach.select(
+            "node",
+            F.col("dist").cast("bigint").alias("dist_micro"),
+            F.row_number().over(Window.orderBy("dist", "node")).cast("int")
+            .alias("rk"),
+        )
+        .orderBy("dist_micro", "node")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strict funnel with bounded step gaps (earliest-qualifying-next semantics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "strict_funnel_bounded_gaps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, v.v_ts, MIN(e.ts) AS c_ts
+      FROM v JOIN events e ON e.user_id = v.user_id
+        AND e.event_type = 'click'
+        AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+      GROUP BY v.user_id, v.v_ts
+    ),
+    p AS (
+      SELECT c.user_id, c.v_ts, c.c_ts, MIN(e.ts) AS p_ts
+      FROM c JOIN events e ON e.user_id = c.user_id
+        AND e.event_type = 'purchase'
+        AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 1 HOUR
+      GROUP BY c.user_id, c.v_ts, c.c_ts
+    )
+    SELECT 'viewed' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(NULL AS DOUBLE) AS median_gap_seconds
+    FROM v
+    UNION ALL
+    SELECT 'clicked_within_1h', COUNT(*),
+           (SELECT CAST(g AS DOUBLE) / 1000000.0 FROM (
+              SELECT epoch_us(c_ts) - epoch_us(v_ts) AS g,
+                     ROW_NUMBER() OVER (ORDER BY epoch_us(c_ts) - epoch_us(v_ts),
+                                        user_id) AS rk,
+                     COUNT(*) OVER () AS n
+              FROM c) WHERE rk = (n + 1) // 2)
+    FROM c
+    UNION ALL
+    SELECT 'purchased_within_1h_of_click', COUNT(*),
+           (SELECT CAST(g AS DOUBLE) / 1000000.0 FROM (
+              SELECT epoch_us(p_ts) - epoch_us(c_ts) AS g,
+                     ROW_NUMBER() OVER (ORDER BY epoch_us(p_ts) - epoch_us(c_ts),
+                                        user_id) AS rk,
+                     COUNT(*) OVER () AS n
+              FROM p) WHERE rk = (n + 1) // 2)
+    FROM p
+    """,
+)
+def strict_funnel_bounded_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STRICT funnel — each step must follow the previous within a
+    bounded gap (view -> click ≤ 1h -> purchase ≤ 1h), anchored at the
+    user's FIRST view and advancing to the EARLIEST qualifying next
+    event. `funnel_conversion` answers 'did the user ever do all
+    three in order'; this answers 'did the SEQUENCE happen as a
+    session-like flow' — the difference between intent attribution
+    and coincidence, and the semantics real funnel products default
+    to. Each stage is one bounded-interval join + grouped MIN
+    (earliest-qualifier is an aggregate, not a window — co-keyed on
+    user, no fan-out survives the MIN), with exact order-statistic
+    median step gaps riding along. Monotone by construction; the
+    pytest pins the stage counts against the unbounded funnel."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("v_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") > F.col("v_ts"))
+            & (F.col("cts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("cts").alias("c_ts"))
+        .localCheckpoint(eager=False)
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    p = (
+        c.join(
+            purch,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") > F.col("c_ts"))
+            & (F.col("pts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id", "v_ts", "c_ts")
+        .agg(F.min("pts").alias("p_ts"))
+        .localCheckpoint(eager=False)
+    )
+
+    def stage(df: DataFrame, name: str, gap: Column | None) -> DataFrame:
+        n = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        if gap is None:
+            return n.select(
+                F.lit(name).alias("stage"), "n_users",
+                F.lit(None).cast("double").alias("median_gap_seconds"),
+            )
+        g = df.select(gap.alias("g"), "user_id")
+        med = g.select(
+            "g",
+            F.row_number().over(Window.orderBy("g", "user_id")).alias("rk"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("nn"),
+        ).filter(F.col("rk") == F.floor((F.col("nn") + 1) / 2)).agg(
+            # agg, not select: an EMPTY stage must still yield one row
+            # (NULL median) exactly like the oracle's scalar subquery
+            (F.min("g").cast("double") / 1000000.0).alias("median_gap_seconds")
+        )
+        return n.crossJoin(F.broadcast(med)).select(
+            F.lit(name).alias("stage"), "n_users", "median_gap_seconds"
+        )
+
+    # integer microsecond gaps: ordering and median selection stay exact
+    gap_vc = F.unix_micros("c_ts") - F.unix_micros("v_ts")
+    gap_cp = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    return (
+        stage(v, "viewed", None)
+        .unionByName(stage(c, "clicked_within_1h", gap_vc))
+        .unionByName(stage(p, "purchased_within_1h_of_click", gap_cp))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -1446,3 +1446,31 @@ def test_chained_windows_emit_complete_weeks_only(spark, sf_dir):
             <= mx - datetime.timedelta(days=2)
         assert r.max_daily_events <= r.total_events
         assert 1 <= r.n_days <= 7
+
+
+def test_bellman_ford_distances_monotone_and_seeded(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["bellman_ford_bounded"](spark, sf_dir).collect(),
+        key=lambda r: r.rk,
+    )
+    assert rows
+    assert rows[0].dist_micro == 0  # the seed itself
+    dists = [r.dist_micro for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_strict_funnel_is_monotone_and_tighter_than_loose(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.stage: r for r in
+            QUERIES["strict_funnel_bounded_gaps"](spark, sf_dir).collect()}
+    v = rows["viewed"].n_users
+    c = rows["clicked_within_1h"].n_users
+    p = rows["purchased_within_1h_of_click"].n_users
+    assert v >= c >= p >= 0
+    for st in ("clicked_within_1h", "purchased_within_1h_of_click"):
+        r = rows[st]
+        if r.n_users > 0:
+            assert 0 < r.median_gap_seconds <= 3600
