@@ -273,6 +273,8 @@ HEADLINE = [
     "streaming_chained_window_aggs",
     "bellman_ford_bounded",
     "strict_funnel_bounded_gaps",
+    "user_growth_accounting",
+    "peak_concurrency_analysis",
 ]
 
 

@@ -13609,6 +13609,225 @@ def strict_funnel_bounded_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Growth accounting (new / retained / churned / resurrected users)
+# ---------------------------------------------------------------------------
+
+@query(
+    "user_growth_accounting",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(wk) AS first_wk FROM weekly GROUP BY user_id),
+    weeks AS (SELECT DISTINCT wk FROM weekly),
+    lagged AS (
+      SELECT w.wk,
+             cur.user_id AS cur_user,
+             prev.user_id AS prev_user,
+             f.first_wk
+      FROM weeks w
+      LEFT JOIN weekly cur ON cur.wk = w.wk
+      LEFT JOIN weekly prev ON prev.user_id = cur.user_id
+                            AND prev.wk = w.wk - INTERVAL 7 DAY
+      LEFT JOIN firsts f ON f.user_id = cur.user_id
+    ),
+    churn AS (
+      SELECT CAST(p.wk + INTERVAL 7 DAY AS DATE) AS wk, COUNT(*) AS n_churned
+      FROM weekly p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM weekly n
+        WHERE n.user_id = p.user_id AND n.wk = p.wk + INTERVAL 7 DAY
+      ) AND p.wk + INTERVAL 7 DAY <= (SELECT MAX(wk) FROM weeks)
+      GROUP BY p.wk
+    )
+    SELECT l.wk AS week_start,
+           CAST(SUM(CASE WHEN l.first_wk = l.wk THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN l.prev_user IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(SUM(CASE WHEN l.prev_user IS NULL AND l.first_wk < l.wk
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(MAX(c.n_churned), 0) AS BIGINT) AS n_churned
+    FROM lagged l LEFT JOIN churn c ON c.wk = l.wk
+    GROUP BY l.wk
+    """,
+)
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the four-quadrant weekly active-user ledger
+    every growth team lives by: each week's actives split into NEW
+    (first week ever), RETAINED (also active last week), RESURRECTED
+    (active before, but not last week), plus the week's CHURN (active
+    last week, gone this week) — and the identity
+    WAU(t) = new + retained + resurrected holds by construction while
+    WAU(t) − WAU(t−1) = new + resurrected − churned closes the ledger
+    (the pytest pins both). One dedup to (user, week), one self-join
+    at lag-7d, one first-week table — all co-keyed on user_id, no
+    window over the raw events at all."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct().localCheckpoint(eager=False)
+    firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = weekly.select(
+        F.col("user_id").alias("p_user"), F.col("wk").alias("p_wk")
+    )
+    lagged = (
+        weekly.join(
+            prev,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_wk") == F.date_sub(F.col("wk"), 7)),
+            "left",
+        )
+        .join(firsts, "user_id")
+    )
+    counts = lagged.groupBy(F.col("wk").alias("week_start")).agg(
+        F.sum(F.when(F.col("first_wk") == F.col("wk"), 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("p_user").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("p_user").isNull() & (F.col("first_wk") < F.col("wk")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_resurrected"),
+    )
+    nxt = weekly.select(
+        F.col("user_id").alias("n_user"), F.col("wk").alias("n_wk")
+    )
+    max_wk = weekly.agg(F.max("wk").alias("mx"))
+    churn = (
+        weekly.join(
+            nxt,
+            (F.col("n_user") == F.col("user_id"))
+            & (F.col("n_wk") == F.date_add(F.col("wk"), 7)),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.date_add(F.col("wk"), 7) <= F.col("mx"))
+        .groupBy(F.date_add(F.col("wk"), 7).alias("week_start"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return counts.join(churn, "week_start", "left").select(
+        "week_start", "n_new", "n_retained", "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint").alias("n_churned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak-concurrency analysis (interval sweep over session spans)
+# ---------------------------------------------------------------------------
+
+@query(
+    "peak_concurrency_analysis",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               AS gap_us
+      FROM events
+    ),
+    starts AS (
+      SELECT user_id, ts,
+             CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END
+               AS is_start
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id,
+             MIN(ts) AS s_ts, MAX(ts) AS e_ts
+      FROM (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM starts
+      )
+      GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT s_ts AS t, 1 AS d, user_id FROM sess
+      UNION ALL
+      SELECT e_ts, -1, user_id FROM sess
+    ),
+    swept AS (
+      SELECT t, d,
+             SUM(d) OVER (ORDER BY t, d, user_id ROWS UNBOUNDED PRECEDING)
+               AS concurrent
+      FROM deltas
+    )
+    SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+           CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+           (SELECT MIN(t) FROM swept
+            WHERE concurrent = (SELECT MAX(concurrent) FROM swept))
+             AS first_peak_at
+    FROM swept
+    """,
+)
+def peak_concurrency_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency — how many user sessions were open AT ONCE, and
+    when the first peak happened: the interval-sweep algorithm
+    (sessions become +1/−1 boundary events, a running sum over the
+    time-ordered boundary stream IS the concurrency curve, its max the
+    capacity-planning number). Sessions come from the standard 30-min
+    gaps-and-islands; the sweep's ordering is made TOTAL with
+    (t, delta, user) — ends sort before starts at the same instant
+    (delta −1 < +1), the convention that decides whether back-to-back
+    sessions count as overlapping, pinned rather than left to chance.
+    The boundary stream is 2 rows per session — the sweep's global
+    running sum runs over session-scale, not event-scale, data."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    wuser = Window.partitionBy("user_id").orderBy("ts")
+    starts = ev.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(wuser).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wuser))
+                > 1800000000
+            ), 1,
+        ).otherwise(0).alias("is_start"),
+    )
+    sess = (
+        starts.withColumn(
+            "sid",
+            F.sum("is_start").over(wuser.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+        .localCheckpoint(eager=False)
+    )
+    deltas = sess.select(
+        F.col("s_ts").alias("t"), F.lit(1).alias("d"), "user_id"
+    ).unionByName(
+        sess.select(F.col("e_ts").alias("t"), F.lit(-1).alias("d"), "user_id")
+    )
+    sweep = Window.orderBy("t", "d", "user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = deltas.select(
+        "t", F.sum("d").over(sweep).alias("concurrent")
+    ).localCheckpoint(eager=False)
+    peak = swept.agg(F.max("concurrent").alias("pk"))
+    first_at = (
+        swept.crossJoin(F.broadcast(peak))
+        .filter(F.col("concurrent") == F.col("pk"))
+        .agg(F.min("t").alias("first_peak_at"))
+    )
+    n_sess = sess.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    return (
+        n_sess.crossJoin(F.broadcast(peak)).crossJoin(F.broadcast(first_at))
+        .select(
+            "n_sessions",
+            F.col("pk").cast("bigint").alias("peak_concurrent"),
+            "first_peak_at",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

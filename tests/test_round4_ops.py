@@ -1474,3 +1474,32 @@ def test_strict_funnel_is_monotone_and_tighter_than_loose(spark, sf_dir):
         r = rows[st]
         if r.n_users > 0:
             assert 0 < r.median_gap_seconds <= 3600
+
+
+def test_growth_accounting_ledger_closes(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["user_growth_accounting"](spark, sf_dir).collect(),
+        key=lambda r: r.week_start,
+    )
+    assert rows
+    wau = [r.n_new + r.n_retained + r.n_resurrected for r in rows]
+    # WAU(t) - WAU(t-1) = new + resurrected - churned for every interior week
+    for prev_wau, r, cur_wau in zip(wau, rows[1:], wau[1:]):
+        assert cur_wau - prev_wau == r.n_new + r.n_resurrected - r.n_churned
+    # first week: everyone is new
+    assert rows[0].n_retained == 0 and rows[0].n_resurrected == 0
+
+
+def test_peak_concurrency_bounds(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["peak_concurrency_analysis"](spark, sf_dir).first()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert 1 <= r.peak_concurrent <= n_users
+    assert r.n_sessions >= n_users  # every user has at least one session
+    assert r.first_peak_at is not None
