@@ -275,6 +275,7 @@ HEADLINE = [
     "strict_funnel_bounded_gaps",
     "user_growth_accounting",
     "peak_concurrency_analysis",
+    "pareto_skyline_2d",
 ]
 
 

@@ -13828,6 +13828,83 @@ def peak_concurrency_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 2-D Pareto skyline in one window pass (dominance without the n² join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pareto_skyline_2d",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS pc,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS ed
+      FROM orders
+    ),
+    swept AS (
+      SELECT o_orderkey, pc, ed,
+             MAX(ed) OVER (ORDER BY pc DESC
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_ed_higher_price
+      FROM pts
+    ),
+    sky AS (
+      SELECT o_orderkey, pc, ed FROM swept
+      WHERE best_ed_higher_price IS NULL OR ed > best_ed_higher_price
+    )
+    SELECT o_orderkey,
+           CAST(pc AS DOUBLE) / 100.0 AS price,
+           CAST(DATE '1970-01-01' + INTERVAL (ed) DAY AS DATE) AS order_day,
+           CAST((SELECT COUNT(*) FROM sky) AS BIGINT) AS skyline_size
+    FROM sky
+    ORDER BY pc DESC, o_orderkey LIMIT 25
+    """,
+)
+def pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto SKYLINE (maximal-vector) operator — orders no other
+    order beats on BOTH price and recency — computed the way that
+    scales: sort by price (integer cents) and keep a row iff its date
+    beats the running max date over all STRICTLY higher-priced rows —
+    a single calendar-exact RANGE window (1 PRECEDING on the cent
+    grid excludes price ties, so equal-price rows can't dominate each
+    other), turning the textbook O(n²) dominance self-join into one
+    sort. This is the classic skyline query from the DB literature
+    (Börzsönyi et al.) as a window idiom; ties and strictness are
+    pinned by integer grids on both axes. Top-25 of the frontier by
+    price, with the full frontier size riding along."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    pts = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("pc"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("ed"),
+    )
+    w = Window.orderBy(F.col("pc").desc()).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    swept = pts.withColumn("best", F.max("ed").over(w))
+    sky = swept.filter(
+        F.col("best").isNull() | (F.col("ed") > F.col("best"))
+    ).localCheckpoint(eager=False)
+    size = sky.agg(F.count(F.lit(1)).cast("bigint").alias("skyline_size"))
+    return (
+        sky.crossJoin(F.broadcast(size))
+        .select(
+            "o_orderkey",
+            (F.col("pc").cast("double") / 100.0).alias("price"),
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("ed").cast("int"))
+            .alias("order_day"),
+            "skyline_size",
+        )
+        .orderBy(F.col("price").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

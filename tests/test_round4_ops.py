@@ -1503,3 +1503,21 @@ def test_peak_concurrency_bounds(spark, sf_dir):
     assert 1 <= r.peak_concurrent <= n_users
     assert r.n_sessions >= n_users  # every user has at least one session
     assert r.first_peak_at is not None
+
+
+def test_skyline_is_an_antichain(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["pareto_skyline_2d"](spark, sf_dir).collect()
+    assert rows
+    assert rows[0].skyline_size >= len(rows) > 0
+    # no frontier point dominates another (>= on both axes, > on one)
+    for a in rows:
+        for b in rows:
+            if a.o_orderkey == b.o_orderkey:
+                continue
+            dominates = (
+                a.price >= b.price and a.order_day >= b.order_day
+                and (a.price > b.price or a.order_day > b.order_day)
+            )
+            assert not dominates, (a, b)
