@@ -276,6 +276,8 @@ HEADLINE = [
     "user_growth_accounting",
     "peak_concurrency_analysis",
     "pareto_skyline_2d",
+    "multiset_ops_semantics",
+    "window_origin_offset_semantics",
 ]
 
 

@@ -13905,6 +13905,103 @@ def pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multiset semantics: INTERSECT ALL / EXCEPT ALL vs their DISTINCT twins
+# ---------------------------------------------------------------------------
+
+@query(
+    "multiset_ops_semantics",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '2-HIGH')
+    SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect_distinct', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_distinct', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    """,
+)
+def multiset_ops_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG vs SET operation semantics, quantified: INTERSECT ALL keeps
+    min(multiplicity) copies per key and EXCEPT ALL subtracts
+    multiplicities — while the DISTINCT forms collapse to membership.
+    The gap between the two answers IS the duplicate structure of the
+    inputs, and picking the wrong form is a classic silent-wrong-count
+    bug (e.g. 'orders in both priority tiers' needs ALL; 'customers in
+    both' needs DISTINCT). Spark's intersectAll/exceptAll implement
+    the SQL-standard bag semantics with a counted hash aggregate —
+    same shuffle shape as distinct, no row explosion."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def count_of(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("op"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+
+    return (
+        count_of(a.intersectAll(b), "intersect_all")
+        .unionByName(count_of(a.intersect(b), "intersect_distinct"))
+        .unionByName(count_of(a.exceptAll(b), "except_all"))
+        .unionByName(count_of(a.subtract(b), "except_distinct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window startTime offset (business-day alignment semantics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_origin_offset_semantics",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(date_trunc('day', ts - INTERVAL 6 HOUR) + INTERVAL 6 HOUR
+                  AS TIMESTAMP) AS win_start,
+             value
+      FROM events
+    )
+    SELECT win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM w GROUP BY win_start
+    """,
+)
+def window_origin_offset_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows with a non-midnight ORIGIN — `window(ts, '1
+    day', '1 day', '6 hours')` buckets events into 6am-to-6am
+    'business days', the alignment ops teams actually report on (a
+    midnight cut splits every night shift in half). The startTime
+    parameter shifts the epoch-aligned window grid; the oracle derives
+    the identical bucketing arithmetically (truncate the 6h-shifted
+    timestamp, shift back) — pinning that Spark's window origin math
+    is exactly the textbook floor((t - origin)/width) and not an
+    engine quirk. Counts and integer-cent sums per business day."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day", "1 day", "6 hours").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0).cast("bigint"))
+            .cast("bigint").alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

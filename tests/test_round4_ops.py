@@ -1521,3 +1521,30 @@ def test_skyline_is_an_antichain(spark, sf_dir):
                 and (a.price > b.price or a.order_day > b.order_day)
             )
             assert not dominates, (a, b)
+
+
+def test_multiset_ops_obey_bag_algebra(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.op: r.n_rows for r in
+            QUERIES["multiset_ops_semantics"](spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    na = o.filter("o_orderpriority = '1-URGENT'").count()
+    assert rows["intersect_all"] >= rows["intersect_distinct"]
+    assert rows["except_all"] >= rows["except_distinct"]
+    # |A| = |A intersect_all B| + |A except_all B| (bag identity)
+    assert rows["intersect_all"] + rows["except_all"] == na
+
+
+def test_window_origin_covers_all_events(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["window_origin_offset_semantics"](spark, sf_dir).cache()
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # every window starts at 06:00 local
+    import datetime
+
+    for r in out.collect():
+        assert r.win_start.hour == 6 and r.win_start.minute == 0
+    out.unpersist()
