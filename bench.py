@@ -278,6 +278,8 @@ HEADLINE = [
     "pareto_skyline_2d",
     "multiset_ops_semantics",
     "window_origin_offset_semantics",
+    "streaming_approx_distinct",
+    "shadow_model_compare",
 ]
 
 

@@ -14002,6 +14002,150 @@ def window_origin_offset_semantics(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Approximate distinct users in a STREAMING aggregation (sketches + state)
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS stream_estimate_within_5pct,
+           TRUE AS stream_equals_batch_estimate
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregation INSIDE a streaming query: per-type
+    approx_count_distinct over the event stream (complete mode — the
+    HLL± state lives in the state store and merges per micro-batch).
+    The estimate must (a) match the BATCH estimate on identical data
+    bit-for-bit — HLL merge is max-based, so batch vs micro-batch
+    accumulation order is immaterial, the same mergeability contract
+    `hll_sketch_mergeability` pins for the Datasketches variant — and
+    (b) land within 5% of the exact count. Both pins ride as booleans
+    (the estimate itself is engine-internal); the exact count is the
+    oracle's replay. This is the DAU-dashboard shape: distinct-count
+    state in O(sketch) bytes per key, not O(users)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    landing = f"/tmp/spark_graft_landing/{tag}/events"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    agg = stream.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("est")
+    )
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import (
+        drain_available_now,
+    )
+
+    streamed = drain_available_now(
+        agg, "stream_approx_distinct", output_mode="complete"
+    ).select(F.col("event_type"), F.col("est").alias("stream_est"))
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("batch_est"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    return streamed.join(batch, "event_type").select(
+        "event_type", "exact_users",
+        (
+            F.abs(F.col("stream_est") - F.col("exact_users"))
+            / F.col("exact_users") <= 0.05
+        ).alias("stream_estimate_within_5pct"),
+        (F.col("stream_est") == F.col("batch_est"))
+        .alias("stream_equals_batch_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shadow-model comparison (old vs candidate scorer on identical traffic)
+# ---------------------------------------------------------------------------
+
+@query(
+    "shadow_model_compare",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             ROUND(n_chars / 1000.0, 6) AS x1,
+             ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+                   / CAST(n_chars AS DOUBLE), 6) AS x2
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(-0.2 + 0.5 * x1 + 1.0 * x2, 6) AS z_old,
+             ROUND(-0.4 + 0.3 * x1 + 1.6 * x2, 6) AS z_new
+      FROM feats
+    ),
+    decided AS (
+      SELECT doc_id, z_old > 0 AS keep_old, z_new > 0 AS keep_new FROM scored
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep_old THEN 1 ELSE 0 END) AS BIGINT) AS kept_old,
+           CAST(SUM(CASE WHEN keep_new THEN 1 ELSE 0 END) AS BIGINT) AS kept_new,
+           CAST(SUM(CASE WHEN keep_old AND NOT keep_new THEN 1 ELSE 0 END)
+                AS BIGINT) AS newly_dropped,
+           CAST(SUM(CASE WHEN keep_new AND NOT keep_old THEN 1 ELSE 0 END)
+                AS BIGINT) AS newly_kept,
+           ROUND(CAST(SUM(CASE WHEN keep_old <> keep_new THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS decision_flip_rate
+    FROM decided
+    """,
+)
+def shadow_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHADOW DEPLOYMENT comparison — the MLOps gate before swapping a
+    quality model: the candidate scorer runs on identical traffic next
+    to the incumbent, and what matters is not offline accuracy but the
+    DECISION DIFF — how many documents flip keep/drop, split by
+    direction (newly_dropped is the risk; newly_kept is the recall
+    claim). Both scorers are fixed-weight linear models over the same
+    feature projection (one scan computes both — shadow evaluation is
+    free when scoring is columnar), thresholded at zero so no sigmoid
+    enters the replay. The flip rate is the number that decides
+    whether the rollout needs a human review of the disagreement
+    sample."""
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.round(F.col("n_chars") / 1000.0, 6).alias("x1"),
+        F.round(
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+            / F.col("n_chars").cast("double"), 6,
+        ).alias("x2"),
+    )
+    scored = feats.select(
+        "doc_id",
+        (F.round(-0.2 + 0.5 * F.col("x1") + 1.0 * F.col("x2"), 6) > 0)
+        .alias("keep_old"),
+        (F.round(-0.4 + 0.3 * F.col("x1") + 1.6 * F.col("x2"), 6) > 0)
+        .alias("keep_new"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("keep_old"), 1).otherwise(0)).cast("bigint")
+        .alias("kept_old"),
+        F.sum(F.when(F.col("keep_new"), 1).otherwise(0)).cast("bigint")
+        .alias("kept_new"),
+        F.sum(F.when(F.col("keep_old") & ~F.col("keep_new"), 1).otherwise(0))
+        .cast("bigint").alias("newly_dropped"),
+        F.sum(F.when(F.col("keep_new") & ~F.col("keep_old"), 1).otherwise(0))
+        .cast("bigint").alias("newly_kept"),
+        F.round(
+            F.sum(
+                F.when(F.col("keep_old") != F.col("keep_new"), 1).otherwise(0)
+            ).cast("double") / F.count(F.lit(1)), 6,
+        ).alias("decision_flip_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

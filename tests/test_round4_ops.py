@@ -1548,3 +1548,24 @@ def test_window_origin_covers_all_events(spark, sf_dir):
     for r in out.collect():
         assert r.win_start.hour == 6 and r.win_start.minute == 0
     out.unpersist()
+
+
+def test_streaming_sketch_pins_hold(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["streaming_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.stream_equals_batch_estimate is True
+        assert r.stream_estimate_within_5pct is True
+        assert r.exact_users > 0
+
+
+def test_shadow_compare_counts_are_consistent(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["shadow_model_compare"](spark, sf_dir).first()
+    assert r.n_docs == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # flip accounting: kept_new = kept_old - newly_dropped + newly_kept
+    assert r.kept_new == r.kept_old - r.newly_dropped + r.newly_kept
+    assert 0 <= r.decision_flip_rate <= 1
