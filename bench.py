@@ -280,6 +280,8 @@ HEADLINE = [
     "window_origin_offset_semantics",
     "streaming_approx_distinct",
     "shadow_model_compare",
+    "business_days_latency",
+    "stemming_vocab_reduction",
 ]
 
 

@@ -14146,6 +14146,149 @@ def shadow_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Business-day latency (closed-form weekday arithmetic, no calendar table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "business_days_latency",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    base AS (
+      SELECT o.o_orderpriority,
+             datediff('day', DATE '1970-01-05', CAST(o.o_orderdate AS DATE)) AS e1,
+             datediff('day', DATE '1970-01-05', lc.first_ship) AS e2
+      FROM orders o JOIN lc ON lc.l_orderkey = o.o_orderkey
+    ),
+    bd AS (
+      SELECT o_orderpriority,
+             (5 * (e2 // 7) + LEAST(e2 % 7, 5))
+             - (5 * (e1 // 7) + LEAST(e1 % 7, 5)) AS bdays
+      FROM base
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(bdays) AS DOUBLE) / COUNT(*), 4) AS avg_business_days,
+           CAST(SUM(CASE WHEN bdays BETWEEN 0 AND 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_20bd
+    FROM bd GROUP BY o_orderpriority
+    """,
+)
+def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship latency in BUSINESS days — the SLA unit
+    contracts are written in — via the closed-form weekday identity:
+    with e = days since a Monday epoch (1970-01-05), the count of
+    weekdays before e is f(e) = 5·(e div 7) + min(e mod 7, 5), and
+    business days between two dates is just f(e₂) − f(e₁) — pure
+    integer arithmetic, NO calendar dimension table, no explode, no
+    join — which at 100 TB is the difference between a projection and
+    a billion-row calendar join. (Holidays DO need a table — that's
+    `delivery_completeness_audit`'s spine; weekends never do.) Rollup
+    by priority with a 20-business-day SLA count."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lc = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+    )
+    monday = F.lit("1970-01-05").cast("date")
+    base = o.join(lc, o["o_orderkey"] == lc["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate").cast("date"), monday).alias("e1"),
+        F.datediff(F.col("first_ship"), monday).alias("e2"),
+    )
+
+    def f(e: str) -> Column:
+        return 5 * F.expr(f"{e} div 7") + F.least(F.expr(f"{e} % 7"), F.lit(5))
+
+    bd = base.select(
+        "o_orderpriority", (f("e2") - f("e1")).alias("bdays")
+    )
+    return bd.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("bdays").cast("double") / F.count(F.lit(1)), 4)
+        .alias("avg_business_days"),
+        F.sum(F.when(F.col("bdays").between(0, 20), 1).otherwise(0))
+        .cast("bigint").alias("n_within_20bd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-stripping normalization (stemming-lite vocabulary compression)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stemming_vocab_reduction",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t <> '')) AS w
+      FROM documents WHERE lang = 'en'
+    ),
+    stemmed AS (
+      SELECT w,
+             CASE
+               WHEN LENGTH(w) > 5 AND w LIKE '%ing' THEN LEFT(w, LENGTH(w) - 3)
+               WHEN LENGTH(w) > 4 AND w LIKE '%ed' THEN LEFT(w, LENGTH(w) - 2)
+               WHEN LENGTH(w) > 3 AND w LIKE '%es' THEN LEFT(w, LENGTH(w) - 2)
+               WHEN LENGTH(w) > 3 AND w LIKE '%s' AND w NOT LIKE '%ss'
+                 THEN LEFT(w, LENGTH(w) - 1)
+               ELSE w
+             END AS stem
+      FROM toks
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_raw,
+           CAST(COUNT(DISTINCT stem) AS BIGINT) AS vocab_stemmed,
+           ROUND(1.0 - CAST(COUNT(DISTINCT stem) AS DOUBLE)
+                       / COUNT(DISTINCT w), 6) AS vocab_reduction,
+           CAST(SUM(CASE WHEN stem <> w THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tokens_changed
+    FROM stemmed
+    """,
+)
+def stemming_vocab_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-stripping normalization (Porter step-1 lite: -ing/-ed/
+    -es/-s with length guards and the -ss exception) and its effect on
+    vocabulary size — the classic IR trade: smaller vocab = denser
+    postings and better term recall, at the cost of conflations. The
+    rules are pure CASE/LIKE column expressions inside codegen (a UDF
+    stemmer would be the 10-100x-slower path for what is string
+    suffix logic), and the report quantifies exactly what the
+    normalization bought: raw vs stemmed vocabulary, reduction ratio,
+    and how many token OCCURRENCES were touched. Feeds the same
+    tokenizer the BM25/TF-IDF family uses, so the reduction number is
+    directly actionable there."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = d.select(F.explode(text_ops.tokens("text")).alias("w"))
+    ln = F.length("w")
+    stem = (
+        F.when(
+            (ln > 5) & F.col("w").endswith("ing"), F.expr("LEFT(w, LENGTH(w) - 3)")
+        )
+        .when((ln > 4) & F.col("w").endswith("ed"), F.expr("LEFT(w, LENGTH(w) - 2)"))
+        .when((ln > 3) & F.col("w").endswith("es"), F.expr("LEFT(w, LENGTH(w) - 2)"))
+        .when(
+            (ln > 3) & F.col("w").endswith("s") & ~F.col("w").endswith("ss"),
+            F.expr("LEFT(w, LENGTH(w) - 1)"),
+        )
+        .otherwise(F.col("w"))
+    )
+    stemmed = toks.select("w", stem.alias("stem"))
+    return stemmed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("w").cast("bigint").alias("vocab_raw"),
+        F.countDistinct("stem").cast("bigint").alias("vocab_stemmed"),
+        F.round(
+            1.0 - F.countDistinct("stem").cast("double") / F.countDistinct("w"), 6
+        ).alias("vocab_reduction"),
+        F.sum(F.when(F.col("stem") != F.col("w"), 1).otherwise(0))
+        .cast("bigint").alias("n_tokens_changed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -1569,3 +1569,32 @@ def test_shadow_compare_counts_are_consistent(spark, sf_dir):
     # flip accounting: kept_new = kept_old - newly_dropped + newly_kept
     assert r.kept_new == r.kept_old - r.newly_dropped + r.newly_kept
     assert 0 <= r.decision_flip_rate <= 1
+
+
+def test_business_days_never_exceed_calendar_days(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.operators import text as _  # noqa: F401
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["business_days_latency"](spark, sf_dir).collect()
+    assert rows
+    # closed-form sanity on a known pair: Mon 1970-01-05 -> Mon 1970-01-12
+    # is exactly 5 business days
+    from pyspark.sql import functions as FF
+
+    probe = spark.sql("""
+        SELECT (5 * (d2 div 7) + LEAST(d2 % 7, 5))
+             - (5 * (d1 div 7) + LEAST(d1 % 7, 5)) AS bd
+        FROM (SELECT 0 AS d1, 7 AS d2)
+    """).first()
+    assert probe.bd == 5
+    for r in rows:
+        assert 0 <= r.n_within_20bd <= r.n_orders
+
+
+def test_stemming_reduces_vocab_without_losing_tokens(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["stemming_vocab_reduction"](spark, sf_dir).first()
+    assert r.vocab_stemmed <= r.vocab_raw
+    assert 0 <= r.vocab_reduction < 1
+    assert 0 <= r.n_tokens_changed <= r.n_tokens
