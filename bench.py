@@ -282,6 +282,8 @@ HEADLINE = [
     "shadow_model_compare",
     "business_days_latency",
     "stemming_vocab_reduction",
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_volume",
 ]
 
 

@@ -14289,6 +14289,138 @@ def stemming_vocab_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q1 pricing summary (the canonical wide-aggregate scan)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))
+                          * CAST(ROUND(100 - 100 * l_discount) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))
+                          * CAST(ROUND(100 - 100 * l_discount) AS BIGINT)
+                          * CAST(ROUND(100 + 100 * l_tax) AS BIGINT))
+                      AS DOUBLE) / 10000.0, 2) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(ROUND(100 * l_discount) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 100.0, 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 — THE aggregate benchmark query: one pruned scan, a
+    2-key hash aggregate computing seven measures including the
+    compound disc_price = price·(1−disc) and charge =
+    price·(1−disc)·(1+tax). Every compound lands on an exact grid:
+    discount and tax are 2-dp rates, so (100−100·disc) and
+    (100+100·tax) are exact int64 percents, the products stay in
+    DECIMAL, and one final division restores scale — the decimal-grid
+    treatment of the query the spec defines with exact-numeric
+    arithmetic. Map-side partials carry 7 accumulators per group,
+    4 groups total; this is the pure whole-stage-codegen throughput
+    test of the corpus."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("date")
+    )
+    disc_pct = F.round(100 - 100 * F.col("l_discount")).cast("bigint")
+    tax_pct = F.round(100 + 100 * F.col("l_tax")).cast("bigint")
+    dec_price = F.col("l_extendedprice").cast("decimal(30,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double"), 2)
+        .alias("sum_qty"),
+        F.round(F.sum(dec_price).cast("double"), 2).alias("sum_base_price"),
+        F.round(F.sum(dec_price * disc_pct).cast("double") / 100.0, 2)
+        .alias("sum_disc_price"),
+        F.round(
+            F.sum(dec_price * disc_pct * tax_pct).cast("double") / 10000.0, 2
+        ).alias("sum_charge"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double")
+            / F.count(F.lit(1)), 4,
+        ).alias("avg_qty"),
+        F.round(
+            F.sum(F.round(100 * F.col("l_discount")).cast("bigint")).cast("double")
+            / F.count(F.lit(1)) / 100.0, 4,
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 large-volume customers (HAVING-subquery semi-join plan)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q18_large_volume",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           ROUND(CAST(o.o_totalprice AS DOUBLE), 2) AS o_totalprice,
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) — the HAVING-subquery plan:
+    the qualifying order set is itself an aggregate (orders whose
+    total line quantity exceeds the threshold), consumed as an IN
+    predicate that Catalyst turns into a LEFT SEMI join — aggregate
+    feeding semi-join feeding the 3-way join, the pattern that
+    separates optimizers that decorrelate from those that re-execute.
+    The quantity threshold runs on the decimal grid both times it's
+    computed (once to qualify, once to report). Top-20 by order
+    value."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    qualified = o.join(big, o["o_orderkey"] == F.col("big_key"), "left_semi")
+    return (
+        c.join(qualified, qualified["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == qualified["o_orderkey"])
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double"), 2
+            ).alias("total_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

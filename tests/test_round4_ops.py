@@ -1598,3 +1598,29 @@ def test_stemming_reduces_vocab_without_losing_tokens(spark, sf_dir):
     assert r.vocab_stemmed <= r.vocab_raw
     assert 0 <= r.vocab_reduction < 1
     assert 0 <= r.n_tokens_changed <= r.n_tokens
+
+
+def test_tpch_q1_accounting_identities(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["tpch_q1_pricing_summary"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.count_order for r in rows)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("date"))
+    assert total == li.count()
+    for r in rows:
+        # discounting lowers price; tax raises it back above disc price
+        assert r.sum_disc_price <= r.sum_base_price
+        assert r.sum_charge >= r.sum_disc_price
+        assert 0 <= r.avg_disc <= 0.2
+
+
+def test_tpch_q18_every_order_exceeds_threshold(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["tpch_q18_large_volume"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.total_qty > 150
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
