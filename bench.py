@@ -284,6 +284,8 @@ HEADLINE = [
     "stemming_vocab_reduction",
     "tpch_q1_pricing_summary",
     "tpch_q18_large_volume",
+    "categorical_imputation_accuracy",
+    "psi_drift_monitor",
 ]
 
 

@@ -14421,6 +14421,186 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Categorical imputation with measured holdout accuracy (data repair)
+# ---------------------------------------------------------------------------
+
+@query(
+    "categorical_imputation_accuracy",
+    oracle="""
+    WITH masked AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             (c_custkey * 2654435761 % 4294967296) % 10 = 0 AS is_masked
+      FROM customer
+    ),
+    modal AS (
+      SELECT c_nationkey, c_mktsegment AS modal_segment
+      FROM (
+        SELECT c_nationkey, c_mktsegment,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY COUNT(*) DESC, c_mktsegment) AS rk
+        FROM masked WHERE NOT is_masked
+        GROUP BY c_nationkey, c_mktsegment
+      ) WHERE rk = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN m.c_mktsegment = md.modal_segment
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN m.c_mktsegment = md.modal_segment
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS imputation_accuracy,
+           ROUND(1.0 / (SELECT COUNT(DISTINCT c_mktsegment) FROM customer), 6)
+             AS random_baseline
+    FROM masked m JOIN modal md USING (c_nationkey)
+    WHERE m.is_masked
+    """,
+)
+def categorical_imputation_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data repair with MEASURED quality: a deterministic 10% of
+    customers have their market segment 'masked', the remaining 90%
+    train a modal imputer per nation (the groupwise-mode fill every
+    cleaning pipeline reaches for), and because the masked truth is
+    known, the query reports actual imputation ACCURACY against the
+    1/k random baseline — the honest version of imputation, where the
+    fill rule ships with its measured error instead of silently
+    fabricating data. The mode is a count + deterministic-rank window
+    over the nation-segment aggregate (25x5 rows); the holdout join
+    broadcasts it. Same evaluate-your-cleaner discipline as
+    `conformal_interval_coverage` on the numeric side."""
+    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window
+
+    masked = c.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        (((F.col("c_custkey") * 2654435761) % 4294967296) % 10 == 0)
+        .alias("is_masked"),
+    )
+    modal = (
+        masked.filter(~F.col("is_masked"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_nationkey", "c_mktsegment",
+            F.row_number().over(
+                Window.partitionBy("c_nationkey")
+                .orderBy(F.col("n").desc(), "c_mktsegment")
+            ).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("modal_segment"))
+    )
+    k = c.agg(F.countDistinct("c_mktsegment").alias("k"))
+    holdout = masked.filter(F.col("is_masked")).join(
+        F.broadcast(modal), "c_nationkey"
+    )
+    return holdout.crossJoin(F.broadcast(k)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_masked"),
+        F.sum(
+            F.when(F.col("c_mktsegment") == F.col("modal_segment"), 1).otherwise(0)
+        ).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("c_mktsegment") == F.col("modal_segment"), 1).otherwise(0)
+            ).cast("double") / F.count(F.lit(1)), 6,
+        ).alias("imputation_accuracy"),
+        F.round(F.lit(1.0) / F.first("k"), 6).alias("random_baseline"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift monitor (population stability index between two periods)
+# ---------------------------------------------------------------------------
+
+@query(
+    "psi_drift_monitor",
+    oracle="""
+    WITH mx AS (
+      -- integer-microsecond midpoint: DuckDB interval/2 halves the day
+      -- and sub-day components separately (lossy); epoch math is exact
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    binned AS (
+      SELECT CASE WHEN epoch_us(ts) < mx.mid_us THEN 'ref' ELSE 'cur' END AS period,
+             LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT))) AS bin
+      FROM events CROSS JOIN mx
+    ),
+    cnt AS (
+      SELECT bin,
+             SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) + 1 AS cr,
+             SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) + 1 AS cc
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(cc) AS BIGINT) AS nc FROM cnt
+    ),
+    terms AS (
+      SELECT CAST(ROUND(
+               (CAST(c.cr AS DOUBLE) / t.nr - CAST(c.cc AS DOUBLE) / t.nc)
+               * ln(CAST(c.cr * t.nc AS DOUBLE) / (c.cc * CAST(t.nr AS BIGINT)))
+               * 1000000.0) AS BIGINT) AS psi6
+      FROM cnt c CROSS JOIN tot t
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cnt) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(psi6) AS DOUBLE) / 1000000.0, 6) AS psi,
+           CAST(SUM(psi6) AS DOUBLE) / 1000000.0 < 0.1 AS stable_population
+    FROM terms
+    """,
+)
+def psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the model-monitoring metric credit
+    risk and MLOps teams alert on: PSI = Σ (p_ref − p_cur)·ln(p_ref /
+    p_cur) over value bins, comparing the first half of the event
+    stream against the second (PSI < 0.1 = stable, > 0.25 = retrain).
+    Laplace +1 on every bin count keeps empty bins finite — and keeps
+    the ln argument a RATIO OF EXACT INTEGERS (cr·nc / cc·nr), the
+    DETERMINISM.md rule-3 treatment, with terms summed in integer
+    micro-units. Two conditional-count aggregates over fixed
+    value-range bins — at 100 TB this is one pass, and the bins (not
+    quantiles) are deliberate: fixed bins make PSI comparable across
+    monitoring runs."""
+    ev = _t(spark, sf_dir, "events")
+    # midpoint in exact microseconds (interval arithmetic differs across
+    # engines; integer epoch math doesn't)
+    mx = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+            .cast("bigint")
+        ).alias("mid")
+    )
+    binned = ev.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("ts") < F.col("mid"), "ref").otherwise("cur").alias("period"),
+        F.least(
+            F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / 10.0).cast("int"))
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("bin").agg(
+        (F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)) + 1).alias("cr"),
+        (F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)) + 1).alias("cc"),
+    )
+    tot = cnt.agg(
+        F.sum("cr").cast("bigint").alias("nr"), F.sum("cc").cast("bigint").alias("nc")
+    )
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (
+                F.col("cr").cast("double") / F.col("nr")
+                - F.col("cc").cast("double") / F.col("nc")
+            )
+            * F.log(
+                (F.col("cr") * F.col("nc")).cast("double")
+                / (F.col("cc") * F.col("nr").cast("bigint"))
+            )
+            * 1000000.0
+        ).cast("bigint").alias("psi6")
+    )
+    n_bins = cnt.agg(F.count(F.lit(1)).cast("bigint").alias("n_bins"))
+    return terms.agg(
+        F.round(F.sum("psi6").cast("double") / 1000000.0, 6).alias("psi"),
+        (F.sum("psi6").cast("double") / 1000000.0 < 0.1).alias("stable_population"),
+    ).crossJoin(F.broadcast(n_bins)).select("n_bins", "psi", "stable_population")
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

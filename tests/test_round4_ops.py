@@ -1624,3 +1624,21 @@ def test_tpch_q18_every_order_exceeds_threshold(spark, sf_dir):
         assert r.total_qty > 150
     prices = [r.o_totalprice for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_imputation_beats_random_baseline(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["categorical_imputation_accuracy"](spark, sf_dir).first()
+    assert r.n_masked > 0
+    assert 0 <= r.n_correct <= r.n_masked
+    assert 0 < r.random_baseline <= 1
+
+
+def test_psi_nonnegative_and_bins_fixed(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["psi_drift_monitor"](spark, sf_dir).first()
+    # PSI is a symmetrized KL — nonnegative up to micro-grid quantization
+    assert r.psi >= -1e-4
+    assert r.n_bins == 10
