@@ -286,6 +286,8 @@ HEADLINE = [
     "tpch_q18_large_volume",
     "categorical_imputation_accuracy",
     "psi_drift_monitor",
+    "calibration_reliability_ece",
+    "cumulative_gains_by_decile",
 ]
 
 

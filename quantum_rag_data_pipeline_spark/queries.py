@@ -14601,6 +14601,210 @@ def psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Calibration reliability + expected calibration error (ECE)
+# ---------------------------------------------------------------------------
+
+@query(
+    "calibration_reliability_ece",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             ROUND(0.5 + 0.5 * z / (1.0 + ABS(z)), 6) AS p
+      FROM (
+        SELECT lang,
+               ROUND(-1.2 + 0.9 * ROUND(n_chars / 1000.0, 6)
+                     + 2.0 * ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+                                   / CAST(n_chars AS DOUBLE), 6), 6) AS z
+        FROM documents
+      )
+    ),
+    binned AS (
+      SELECT LEAST(9, CAST(FLOOR(p * 10) AS INT)) AS bin, y, p FROM scored
+    ),
+    bins AS (
+      SELECT bin, COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             SUM(CAST(ROUND(p * 1000000.0) AS BIGINT)) AS p6_sum
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM bins)
+    SELECT CAST(b.bin AS INT) AS bin,
+           CAST(b.n AS BIGINT) AS n_docs,
+           ROUND(CAST(b.p6_sum AS DOUBLE) / 1000000.0 / b.n, 6) AS avg_predicted,
+           ROUND(CAST(b.n_pos AS DOUBLE) / b.n, 6) AS observed_rate,
+           ROUND(CAST(SUM(ABS(x.p6_sum - x.n_pos * 1000000) ) AS DOUBLE)
+                 / 1000000.0 / t.nt, 6) AS ece
+    FROM bins b
+    CROSS JOIN tot t
+    CROSS JOIN bins x
+    GROUP BY b.bin, b.n, b.n_pos, b.p6_sum, t.nt
+    """,
+)
+def calibration_reliability_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model CALIBRATION audit — the reliability diagram plus expected
+    calibration error: a fixed rational-sigmoid scorer predicts
+    P(lang=en), predictions bucket into 10 probability bins, and each
+    bin compares its AVERAGE PREDICTED probability with the OBSERVED
+    positive rate; ECE is the prediction-weighted absolute gap. A
+    model can have great AUC and terrible calibration — and it's the
+    calibrated probability that downstream thresholds, bidding, and
+    expected-loss math consume, which is why monitoring plots THIS
+    curve. One scan bins and aggregates; the ECE total rides along on
+    every row via a self-cross of the tiny bin table. Probabilities
+    sum in integer micro-units; the sigmoid is the IEEE-rational one
+    from `logreg_gd_steps` (no transcendentals)."""
+    d = _t(spark, sf_dir, "documents")
+    z = F.round(
+        -1.2
+        + 0.9 * F.round(F.col("n_chars") / 1000.0, 6)
+        + 2.0
+        * F.round(
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+            / F.col("n_chars").cast("double"), 6,
+        ), 6,
+    )
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.round(0.5 + 0.5 * z / (1.0 + F.abs(z)), 6).alias("p"),
+    )
+    binned = scored.select(
+        F.least(F.lit(9), F.floor(F.col("p") * 10).cast("int")).alias("bin"),
+        "y", "p",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(F.round(F.col("p") * 1000000.0).cast("bigint")).alias("p6_sum"),
+    ).localCheckpoint(eager=False)
+    tot = bins.agg(F.sum("n").cast("bigint").alias("nt"))
+    ece = (
+        bins.agg(
+            F.sum(F.abs(F.col("p6_sum") - F.col("n_pos") * 1000000)).alias("gap6")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("gap6").cast("double") / 1000000.0 / F.col("nt"), 6
+            ).alias("ece")
+        )
+    )
+    return bins.crossJoin(F.broadcast(ece)).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("p6_sum").cast("double") / 1000000.0 / F.col("n"), 6)
+        .alias("avg_predicted"),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+        .alias("observed_rate"),
+        "ece",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains by score decile (the targeting-model lift chart)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cumulative_gains_by_decile",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             ROUND(-1.2 + 0.9 * ROUND(n_chars / 1000.0, 6)
+                   + 2.0 * ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+                                 / CAST(n_chars AS DOUBLE), 6), 6) AS z,
+             doc_id
+      FROM documents
+    ),
+    ranked AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY z DESC, doc_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM scored
+    ),
+    deciled AS (
+      SELECT LEAST(9, ((rk - 1) * 10) // n) AS decile, y FROM ranked
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM deciled GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p, CAST(SUM(n_docs) AS BIGINT) AS n
+            FROM per)
+    SELECT CAST(pr.decile AS INT) AS decile,
+           CAST(pr.n_docs AS BIGINT) AS n_docs,
+           CAST(pr.n_pos AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(pr2.n_pos) AS DOUBLE) / t.p, 6) AS cumulative_gain,
+           ROUND((CAST(pr.n_pos AS DOUBLE) / pr.n_docs)
+                 / (CAST(t.p AS DOUBLE) / t.n), 6) AS lift
+    FROM per pr
+    JOIN per pr2 ON pr2.decile <= pr.decile
+    CROSS JOIN tot t
+    GROUP BY pr.decile, pr.n_docs, pr.n_pos, t.p, t.n
+    """,
+)
+def cumulative_gains_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GAINS/LIFT chart — how targeting models earn their keep:
+    rank the population by model score, cut into deciles, and report
+    each decile's share of all positives captured cumulatively (gain)
+    plus its positive-rate multiple over random (lift). 'Top decile
+    captures 30% of positives at 3x lift' is the sentence that sells
+    a model to a marketing team; a model whose decile-1 lift ~ 1 is
+    dead on arrival regardless of AUC. Global ranks come from a
+    deterministic (score, id) total order; the cumulative sums run
+    over the 10-row decile table, not the population. Same fixed
+    scorer as the calibration query — the two views of one model."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    z = F.round(
+        -1.2
+        + 0.9 * F.round(F.col("n_chars") / 1000.0, 6)
+        + 2.0
+        * F.round(
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+            / F.col("n_chars").cast("double"), 6,
+        ), 6,
+    )
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        z.alias("z"), "doc_id",
+    )
+    ranked = scored.select(
+        "y",
+        F.row_number().over(Window.orderBy(F.col("z").desc(), "doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    deciled = ranked.select(
+        F.least(F.lit(9), F.expr("((rk - 1) * 10) div n").cast("int")).alias("decile"),
+        "y",
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    ).localCheckpoint(eager=False)
+    tot = per.agg(
+        F.sum("n_pos").cast("bigint").alias("p"),
+        F.sum("n_docs").cast("bigint").alias("n"),
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.round(
+                F.sum("n_pos").over(cum).cast("double") / F.col("p"), 6
+            ).alias("cumulative_gain"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n_docs"))
+                / (F.col("p").cast("double") / F.col("n")), 6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

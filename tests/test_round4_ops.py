@@ -1642,3 +1642,35 @@ def test_psi_nonnegative_and_bins_fixed(spark, sf_dir):
     # PSI is a symmetrized KL — nonnegative up to micro-grid quantization
     assert r.psi >= -1e-4
     assert r.n_bins == 10
+
+
+def test_calibration_bins_and_ece_consistent(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["calibration_reliability_ece"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_docs for r in rows)
+    assert total == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    ece = rows[0].ece
+    assert all(abs(r.ece - ece) < 1e-9 for r in rows)
+    # ECE is the weighted mean of per-bin |pred - obs| gaps
+    manual = sum(
+        abs(r.avg_predicted - r.observed_rate) * r.n_docs for r in rows
+    ) / total
+    assert abs(manual - ece) < 1e-4
+    for r in rows:
+        assert 0 <= r.avg_predicted <= 1 and 0 <= r.observed_rate <= 1
+
+
+def test_gains_curve_is_monotone_to_one(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["cumulative_gains_by_decile"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    gains = [r.cumulative_gain for r in rows]
+    assert gains == sorted(gains)
+    assert abs(gains[-1] - 1.0) < 1e-9
+    total = sum(r.n_docs for r in rows)
+    assert total == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
