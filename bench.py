@@ -288,6 +288,8 @@ HEADLINE = [
     "psi_drift_monitor",
     "calibration_reliability_ece",
     "cumulative_gains_by_decile",
+    "auc_exact_rank_sum",
+    "role_playing_date_dims",
 ]
 
 

@@ -14805,6 +14805,159 @@ def cumulative_gains_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact AUC by rank-sum (Mann-Whitney U with tie-correct average ranks)
+# ---------------------------------------------------------------------------
+
+@query(
+    "auc_exact_rank_sum",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             ROUND(-1.2 + 0.9 * ROUND(n_chars / 1000.0, 6)
+                   + 2.0 * ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+                                 / CAST(n_chars AS DOUBLE), 6), 6) AS z
+      FROM documents
+    ),
+    grp AS (
+      SELECT z, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS cpos FROM scored GROUP BY z
+    ),
+    cum AS (
+      SELECT z, c, cpos,
+             COALESCE(SUM(c) OVER (ORDER BY z
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS before
+      FROM grp
+    ),
+    u AS (
+      SELECT CAST(SUM(cpos * (2 * before + c + 1)) AS BIGINT) AS two_ranksum,
+             CAST(SUM(cpos) AS BIGINT) AS np,
+             CAST(SUM(c - cpos) AS BIGINT) AS nn
+      FROM cum
+    )
+    SELECT np AS n_positives, nn AS n_negatives,
+           ROUND((CAST(two_ranksum AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1))
+                 / (2.0 * np * nn), 6) AS auc,
+           (CAST(two_ranksum AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1))
+             / (2.0 * np * nn) > 0.5 AS better_than_random
+    FROM u
+    """,
+)
+def auc_exact_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT AUC via the Mann-Whitney rank-sum identity — AUC =
+    (R₊ − n₊(n₊+1)/2) / (n₊·n₋), with TIE-CORRECT average ranks
+    (tied scores share the mean of their rank span — skipping this
+    overstates AUC on any discretized score). The scalable form:
+    group by distinct score (the tie groups), one running sum over
+    the score-ordered group table for ranks-before, then a single
+    integer dot product — 2·R₊ = Σ c₊·(2·before + c + 1) stays in
+    exact int64, so the only float is the final ratio. No per-pair
+    comparison ever happens (the naive AUC is O(n₊·n₋) pairs); the
+    rank identity is why AUC scales. Completes the eval suite with
+    `calibration_reliability_ece` and `cumulative_gains_by_decile` —
+    discrimination, calibration, and business lift of one model."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    z = F.round(
+        -1.2
+        + 0.9 * F.round(F.col("n_chars") / 1000.0, 6)
+        + 2.0
+        * F.round(
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+            / F.col("n_chars").cast("double"), 6,
+        ), 6,
+    )
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"), z.alias("z")
+    )
+    grp = scored.groupBy("z").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").cast("bigint").alias("cpos")
+    )
+    cum = grp.select(
+        "z", "c", "cpos",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("z").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("before"),
+    )
+    u = cum.agg(
+        F.sum(F.col("cpos") * (2 * F.col("before") + F.col("c") + 1))
+        .cast("bigint").alias("two_ranksum"),
+        F.sum("cpos").cast("bigint").alias("np"),
+        F.sum(F.col("c") - F.col("cpos")).cast("bigint").alias("nn"),
+    )
+    auc = (
+        F.col("two_ranksum").cast("double")
+        - F.col("np").cast("double") * (F.col("np") + 1)
+    ) / (2.0 * F.col("np") * F.col("nn"))
+    return u.select(
+        F.col("np").alias("n_positives"),
+        F.col("nn").alias("n_negatives"),
+        F.round(auc, 6).alias("auc"),
+        (auc > 0.5).alias("better_than_random"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Role-playing date dimensions (order-month x ship-month matrix)
+# ---------------------------------------------------------------------------
+
+@query(
+    "role_playing_date_dims",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE)
+             AS order_month,
+           CAST(date_trunc('month', lc.first_ship) AS DATE) AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders o JOIN lc ON lc.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= DATE '2001-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def role_playing_date_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLE-PLAYING dimensions — the same calendar serving two roles in
+    one fact: every order lands in BOTH its order-month and its (first)
+    ship-month, and the cross-matrix of the two is the classic
+    bookings-vs-fulfillment lag report ('January bookings shipped in
+    March' is a supply-chain alarm). In a star schema this is the date
+    dimension joined twice under different roles; with Spark's
+    date_trunc the roles are projections, no dimension table needed —
+    but the GROUPING shape (two time keys from one row) is exactly the
+    role-playing pattern. One co-keyed join to attach first-ship, one
+    2-key aggregate; decimal revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("date")
+    )
+    lc = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+    )
+    return (
+        o.join(lc, o["o_orderkey"] == lc["l_orderkey"])
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+            .alias("order_month"),
+            F.date_trunc("month", F.col("first_ship")).cast("date")
+            .alias("ship_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

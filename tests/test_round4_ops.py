@@ -1674,3 +1674,45 @@ def test_gains_curve_is_monotone_to_one(spark, sf_dir):
     assert abs(gains[-1] - 1.0) < 1e-9
     total = sum(r.n_docs for r in rows)
     assert total == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def test_auc_matches_naive_pair_count(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["auc_exact_rank_sum"](spark, sf_dir).first()
+    assert 0 <= r.auc <= 1
+    # verify against the O(n_pos*n_neg) definition locally (tiny sf)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    import math
+
+    pts = []
+    for row in d:
+        x1 = round(row.n_chars / 1000.0, 6)
+        x2 = round((len(row.text) - len(row.text.replace(" ", ""))) / row.n_chars, 6)
+        z = round(-1.2 + 0.9 * x1 + 2.0 * x2, 6)
+        pts.append((1 if row.lang == "en" else 0, z))
+    pos = [z for y, z in pts if y == 1]
+    neg = [z for y, z in pts if y == 0]
+    wins = sum(
+        1.0 if zp > zn else (0.5 if zp == zn else 0.0)
+        for zp in pos for zn in neg
+    )
+    naive = wins / (len(pos) * len(neg))
+    assert math.isclose(r.auc, naive, abs_tol=1e-5)
+    assert r.n_positives == len(pos) and r.n_negatives == len(neg)
+
+
+def test_role_playing_ship_month_never_precedes_data_range(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["role_playing_date_dims"](spark, sf_dir).cache()
+    total = out.agg(F.sum("n_orders")).first()[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with_lines = o.join(
+        li.select("l_orderkey").distinct(),
+        o["o_orderkey"] == F.col("l_orderkey"),
+    ).count()
+    assert total == with_lines
+    out.unpersist()
