@@ -290,6 +290,8 @@ HEADLINE = [
     "cumulative_gains_by_decile",
     "auc_exact_rank_sum",
     "role_playing_date_dims",
+    "interval_overlap_join",
+    "recsys_coverage_diversity",
 ]
 
 

@@ -14958,6 +14958,230 @@ def role_playing_date_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval-overlap join (session spans x promo windows)
+# ---------------------------------------------------------------------------
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               AS gap_us
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, MIN(ts) AS s_ts, MAX(ts) AS e_ts,
+             SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS v_cents
+      FROM (
+        SELECT user_id, ts, value,
+               SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+      )
+      GROUP BY user_id, sid
+    ),
+    promos AS (
+      SELECT * FROM (VALUES
+        ('week1_flash', TIMESTAMP '2024-01-03 00:00:00',
+                        TIMESTAMP '2024-01-05 00:00:00'),
+        ('mid_month',   TIMESTAMP '2024-01-14 12:00:00',
+                        TIMESTAMP '2024-01-16 12:00:00'),
+        ('month_end',   TIMESTAMP '2024-01-27 00:00:00',
+                        TIMESTAMP '2024-01-31 00:00:00')
+      ) AS t(promo, p_start, p_end)
+    )
+    SELECT p.promo,
+           CAST(COUNT(*) AS BIGINT) AS n_overlapping_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(s.v_cents) AS DOUBLE) / 100.0 AS session_value
+    FROM sess s JOIN promos p
+      ON s.s_ts < p.p_end AND p.p_start < s.e_ts
+    GROUP BY p.promo
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join — sessions (gaps-and-islands
+    spans) matched to promo windows by the canonical overlap predicate
+    s.start < p.end AND p.start < s.end (half-open, the formulation
+    that gets adjacency right without case analysis) — the next step
+    up from point-in-interval (`scd2_point_in_time_join`) and band
+    predicates (`band_join_price_tiers`). The promo side is a literal
+    broadcast, so this plans as a nested-loop over 3 windows — at real
+    scale with many windows both sides bucket by coarse time so only
+    same-bucket(±1) spans meet, but the PREDICATE is the contract this
+    query pins. Per-promo: overlapping sessions, distinct users, and
+    the overlapping sessions' value in integer cents."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    wuser = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        ev.select(
+            "user_id", "ts", "value",
+            F.when(
+                F.lag("ts").over(wuser).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wuser))
+                    > 1800000000
+                ), 1,
+            ).otherwise(0).alias("is_start"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_start").over(wuser.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"),
+            F.sum(F.round(F.col("value") * 100.0).cast("bigint")).alias("v_cents"),
+        )
+    )
+    promos = spark.createDataFrame(
+        [
+            ("week1_flash", "2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+            ("mid_month", "2024-01-14 12:00:00", "2024-01-16 12:00:00"),
+            ("month_end", "2024-01-27 00:00:00", "2024-01-31 00:00:00"),
+        ],
+        "promo string, p_start string, p_end string",
+    ).select(
+        "promo",
+        F.col("p_start").cast("timestamp").alias("p_start"),
+        F.col("p_end").cast("timestamp").alias("p_end"),
+    )
+    j = sess.join(
+        F.broadcast(promos),
+        (F.col("s_ts") < F.col("p_end")) & (F.col("p_start") < F.col("e_ts")),
+    )
+    return j.groupBy("promo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlapping_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        (F.sum("v_cents").cast("double") / 100.0).alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recommender list metrics: catalog coverage and intra-list diversity
+# ---------------------------------------------------------------------------
+
+@query(
+    "recsys_coverage_diversity",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id, c.v,
+             ROUND(list_dot_product(q.qv, c.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND(list_dot_product(q.qv, c.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) DESC, c.vec_id)
+               AS rk
+      FROM q CROSS JOIN corpus c
+    ),
+    lists AS (SELECT query_id, vec_id, v FROM scored WHERE rk <= 5),
+    pairs AS (
+      SELECT a.query_id,
+             CAST(ROUND((1.0 - list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0) AS BIGINT)
+               AS dist6
+      FROM lists a JOIN lists b
+        ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+    ),
+    cov AS (
+      SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_recommended FROM lists
+    ),
+    cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_catalog FROM corpus)
+    SELECT cov.n_recommended, cat.n_catalog,
+           ROUND(CAST(cov.n_recommended AS DOUBLE) / cat.n_catalog, 6)
+             AS catalog_coverage,
+           ROUND(CAST(SUM(p.dist6) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+             AS intra_list_diversity
+    FROM pairs p CROSS JOIN cov CROSS JOIN cat
+    GROUP BY cov.n_recommended, cat.n_catalog
+    """,
+)
+def recsys_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender-list quality BEYOND relevance: CATALOG COVERAGE
+    (what fraction of the catalog ever gets recommended across the
+    query set — low coverage = popularity collapse, the classic recsys
+    failure) and INTRA-LIST DIVERSITY (mean pairwise cosine DISTANCE
+    within each top-5 list — all-near-duplicate lists score ~0). Both
+    run off the same brute-force top-5 the retrieval family produces:
+    coverage is one distinct-count over the recommendation lists;
+    diversity is a per-list pairwise join of 5-element lists (10 pairs
+    per query — list-scale, never corpus-scale). Distances sum in
+    integer micro-units. These are the metrics that catch a 'better
+    nDCG' model quietly recommending the same 50 items to everyone."""
+    e = _t(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= 10).select("vec_id", F.col("embedding").alias("v"))
+    cos = F.round(
+        sim_ops.dot(F.col("qv"), F.col("v"), 64)
+        / (
+            F.sqrt(sim_ops.dot(F.col("qv"), F.col("qv"), 64))
+            * F.sqrt(sim_ops.dot(F.col("v"), F.col("v"), 64))
+        ), 6,
+    )
+    scored = F.broadcast(q).crossJoin(corpus).select(
+        "query_id", "vec_id", "v", cos.alias("cos")
+    )
+    lists = scored.select(
+        "query_id", "vec_id", "v",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+        ).alias("rk"),
+    ).filter(F.col("rk") <= 5).localCheckpoint(eager=False)
+    a = lists.select("query_id", F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = lists.select("query_id", F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    dist6 = F.round(
+        (
+            1.0
+            - sim_ops.dot(F.col("va"), F.col("vb"), 64)
+            / (
+                F.sqrt(sim_ops.dot(F.col("va"), F.col("va"), 64))
+                * F.sqrt(sim_ops.dot(F.col("vb"), F.col("vb"), 64))
+            )
+        ) * 1000000.0
+    ).cast("bigint")
+    pairs = a.join(b, "query_id").filter(F.col("ia") < F.col("ib")).select(
+        dist6.alias("dist6")
+    )
+    cov = lists.agg(F.countDistinct("vec_id").cast("bigint").alias("n_recommended"))
+    cat = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("n_catalog"))
+    return (
+        pairs.agg(
+            F.round(
+                F.sum("dist6").cast("double") / 1000000.0 / F.count(F.lit(1)), 6
+            ).alias("intra_list_diversity")
+        )
+        .crossJoin(F.broadcast(cov)).crossJoin(F.broadcast(cat))
+        .select(
+            "n_recommended", "n_catalog",
+            F.round(
+                F.col("n_recommended").cast("double") / F.col("n_catalog"), 6
+            ).alias("catalog_coverage"),
+            "intra_list_diversity",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

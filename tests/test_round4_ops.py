@@ -1716,3 +1716,23 @@ def test_role_playing_ship_month_never_precedes_data_range(spark, sf_dir):
     ).count()
     assert total == with_lines
     out.unpersist()
+
+
+def test_interval_overlap_counts_bounded_by_sessions(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["interval_overlap_join"](spark, sf_dir).collect()
+    assert {r.promo for r in rows} <= {"week1_flash", "mid_month", "month_end"}
+    for r in rows:
+        assert r.n_users <= r.n_overlapping_sessions
+        assert r.session_value >= 0
+
+
+def test_recsys_metrics_in_valid_ranges(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["recsys_coverage_diversity"](spark, sf_dir).first()
+    assert 0 < r.catalog_coverage <= 1
+    # 10 queries x top-5 bounds distinct recommendations
+    assert 1 <= r.n_recommended <= 50
+    assert 0 <= r.intra_list_diversity <= 2.0 + 1e-6
