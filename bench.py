@@ -292,6 +292,7 @@ HEADLINE = [
     "role_playing_date_dims",
     "interval_overlap_join",
     "recsys_coverage_diversity",
+    "kcore_decomposition_bounded",
 ]
 
 

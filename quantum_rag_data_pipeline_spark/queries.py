@@ -15182,6 +15182,115 @@ def recsys_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bounded k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+@query(
+    "kcore_decomposition_bounded",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    b0 AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges),
+    k1 AS (  -- peel round 1: keep nodes with degree >= 4
+      SELECT s FROM b0 GROUP BY s HAVING COUNT(*) >= 4
+    ),
+    b1 AS (
+      SELECT b.s, b.t FROM b0 b
+      JOIN k1 x ON x.s = b.s JOIN k1 y ON y.s = b.t
+    ),
+    k2 AS (
+      SELECT s FROM b1 GROUP BY s HAVING COUNT(*) >= 4
+    ),
+    b2 AS (
+      SELECT b.s, b.t FROM b1 b
+      JOIN k2 x ON x.s = b.s JOIN k2 y ON y.s = b.t
+    ),
+    k3 AS (
+      SELECT s FROM b2 GROUP BY s HAVING COUNT(*) >= 4
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT s) FROM b0) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM k1) AS BIGINT) AS after_round1,
+           CAST((SELECT COUNT(*) FROM k2) AS BIGINT) AS after_round2,
+           CAST(COUNT(*) AS BIGINT) AS after_round3,
+           (SELECT COUNT(*) FROM k1) >= (SELECT COUNT(*) FROM k2)
+             AND (SELECT COUNT(*) FROM k2) >= COUNT(*) AS peeling_monotone
+    FROM k3
+    """,
+)
+def kcore_decomposition_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-CORE decomposition (k=4): iteratively PEEL nodes whose
+    degree falls below k — removing a node lowers its neighbors'
+    degrees, so peeling cascades — until (here, for 3 rounds toward)
+    the fixpoint where everyone remaining has ≥ k neighbors INSIDE
+    the core. The core is the load-bearing subgraph community and
+    centrality prune to; peeling is also THE preprocessing that
+    shrinks graphs before quadratic algorithms. Each round is one
+    degree aggregate + two semi-join-shaped edge filters — the same
+    message-passing shuffle as BFS/LPA, and survivor counts are
+    monotone non-increasing (pinned). Per-round
+    localCheckpoint keeps lineage flat."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("_s"))
+        .filter(F.col("_s") >= 8)
+        .select("l_partkey")
+    )
+    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        ia.join(ib, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+    b = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).localCheckpoint(eager=False)
+    n_nodes = b.agg(F.countDistinct("s").cast("bigint").alias("n_nodes"))
+    survivors = []
+    for _ in range(3):
+        keep = b.groupBy("s").agg(F.count(F.lit(1)).alias("d")).filter(
+            F.col("d") >= 4
+        ).select("s")
+        b = (
+            b.join(keep, "s")
+            .join(keep.select(F.col("s").alias("t")), "t")
+            .localCheckpoint(eager=False)
+        )
+        survivors.append(keep.agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    r1 = survivors[0].select(F.col("c").alias("after_round1"))
+    r2 = survivors[1].select(F.col("c").alias("after_round2"))
+    r3 = survivors[2].select(F.col("c").alias("after_round3"))
+    return (
+        n_nodes.crossJoin(F.broadcast(r1)).crossJoin(F.broadcast(r2))
+        .crossJoin(F.broadcast(r3))
+        .select(
+            "n_nodes", "after_round1", "after_round2", "after_round3",
+            (
+                (F.col("after_round1") >= F.col("after_round2"))
+                & (F.col("after_round2") >= F.col("after_round3"))
+            ).alias("peeling_monotone"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -1736,3 +1736,11 @@ def test_recsys_metrics_in_valid_ranges(spark, sf_dir):
     # 10 queries x top-5 bounds distinct recommendations
     assert 1 <= r.n_recommended <= 50
     assert 0 <= r.intra_list_diversity <= 2.0 + 1e-6
+
+
+def test_kcore_peeling_monotone(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["kcore_decomposition_bounded"](spark, sf_dir).first()
+    assert r.peeling_monotone is True
+    assert r.n_nodes >= r.after_round1 >= r.after_round2 >= r.after_round3 >= 0
