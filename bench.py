@@ -293,6 +293,7 @@ HEADLINE = [
     "interval_overlap_join",
     "recsys_coverage_diversity",
     "kcore_decomposition_bounded",
+    "topk_rank_churn",
 ]
 
 

@@ -15291,6 +15291,85 @@ def kcore_decomposition_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Top-K rank churn (list stability between periods)
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_rank_churn",
+    oracle="""
+    WITH p1 AS (
+      SELECT o_custkey, ROW_NUMBER() OVER (
+               ORDER BY SUM(CAST(o_totalprice AS DECIMAL(30,2))) DESC, o_custkey)
+             AS rk
+      FROM orders
+      WHERE o_orderdate >= DATE '1999-01-01' AND o_orderdate < DATE '2000-01-01'
+      GROUP BY o_custkey
+    ),
+    p2 AS (
+      SELECT o_custkey, ROW_NUMBER() OVER (
+               ORDER BY SUM(CAST(o_totalprice AS DECIMAL(30,2))) DESC, o_custkey)
+             AS rk
+      FROM orders
+      WHERE o_orderdate >= DATE '2000-01-01' AND o_orderdate < DATE '2001-01-01'
+      GROUP BY o_custkey
+    ),
+    t1 AS (SELECT o_custkey FROM p1 WHERE rk <= 20),
+    t2 AS (SELECT o_custkey FROM p2 WHERE rk <= 20),
+    inter AS (SELECT COUNT(*) AS c FROM t1 JOIN t2 USING (o_custkey))
+    SELECT CAST(20 AS INT) AS k,
+           CAST(i.c AS BIGINT) AS n_stayed,
+           CAST(20 - i.c AS BIGINT) AS n_entered,
+           CAST(20 - i.c AS BIGINT) AS n_dropped,
+           ROUND(CAST(i.c AS DOUBLE) / (40 - i.c), 6) AS jaccard_stability
+    FROM inter i
+    """,
+)
+def topk_rank_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard CHURN — how much the top-20 customer list turned
+    over between two years: stayers, entrants, dropouts, and the
+    Jaccard stability of the two lists. Every recurring 'top accounts'
+    report needs this companion number — a list that churns 50% per
+    period is noise, not signal, and rank-stability is also the cheap
+    canary for upstream data swaps (a sudden 0 overlap usually means
+    a broken feed, not a market event). Two windowed top-20s over
+    yearly aggregates (deterministic (revenue, key) order), one join
+    on the 20-row lists. Entered == dropped by construction at fixed
+    k — the report prints both because real dashboards do."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    def topk(y1: str, y2: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(y1).cast("date"))
+                & (F.col("o_orderdate") < F.lit(y2).cast("date"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
+            .select(
+                "o_custkey",
+                F.row_number().over(
+                    Window.orderBy(F.col("rev").desc(), "o_custkey")
+                ).alias("rk"),
+            )
+            .filter(F.col("rk") <= 20)
+            .select("o_custkey")
+        )
+
+    t1 = topk("1999-01-01", "2000-01-01")
+    t2 = topk("2000-01-01", "2001-01-01")
+    inter = t1.join(t2, "o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    return inter.select(
+        F.lit(20).cast("int").alias("k"),
+        F.col("c").cast("bigint").alias("n_stayed"),
+        (20 - F.col("c")).cast("bigint").alias("n_entered"),
+        (20 - F.col("c")).cast("bigint").alias("n_dropped"),
+        F.round(F.col("c").cast("double") / (40 - F.col("c")), 6)
+        .alias("jaccard_stability"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

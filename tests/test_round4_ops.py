@@ -1744,3 +1744,12 @@ def test_kcore_peeling_monotone(spark, sf_dir):
     r = QUERIES["kcore_decomposition_bounded"](spark, sf_dir).first()
     assert r.peeling_monotone is True
     assert r.n_nodes >= r.after_round1 >= r.after_round2 >= r.after_round3 >= 0
+
+
+def test_rank_churn_accounting(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["topk_rank_churn"](spark, sf_dir).first()
+    assert r.n_stayed + r.n_entered == r.k
+    assert r.n_entered == r.n_dropped
+    assert 0 <= r.jaccard_stability <= 1
