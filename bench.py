@@ -294,6 +294,8 @@ HEADLINE = [
     "recsys_coverage_diversity",
     "kcore_decomposition_bounded",
     "topk_rank_churn",
+    "pseudonymization_bijective",
+    "dau_mau_stickiness",
 ]
 
 

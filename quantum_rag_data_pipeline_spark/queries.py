@@ -15370,6 +15370,142 @@ def topk_rank_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bijective pseudonymization (join-preserving, collision-free by algebra)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pseudonymization_bijective",
+    oracle="""
+    WITH pseudo AS (
+      SELECT user_id,
+             (user_id * 2654435761 + 40503) % 4294967296 AS pid,
+             event_type
+      FROM events
+    ),
+    per_orig AS (
+      SELECT user_id, COUNT(*) AS c FROM pseudo GROUP BY user_id
+    ),
+    per_pid AS (
+      SELECT pid, COUNT(*) AS c FROM pseudo GROUP BY pid
+    )
+    SELECT CAST((SELECT COUNT(*) FROM per_orig) AS BIGINT) AS n_users,
+           CAST((SELECT COUNT(*) FROM per_pid) AS BIGINT) AS n_pseudonyms,
+           (SELECT COUNT(*) FROM per_orig) = (SELECT COUNT(*) FROM per_pid)
+             AS no_collisions,
+           (SELECT COUNT(*) FROM (
+              SELECT c FROM per_orig ORDER BY c, user_id
+            ) a POSITIONAL JOIN (
+              SELECT c FROM per_pid ORDER BY c, pid
+            ) b WHERE a.c <> b.c) = 0 AS count_profile_preserved
+    """,
+)
+def pseudonymization_bijective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-preserving PSEUDONYMIZATION — the GDPR-grade id swap that
+    keeps analytics working: user ids map through an affine transform
+    with an ODD multiplier mod 2^32, which is algebraically BIJECTIVE
+    (odd numbers are units in Z/2^32), so collisions are impossible by
+    construction — not 'unlikely' like a truncated hash — and every
+    join/groupBy on the pseudonym returns exactly the original
+    cardinalities. The query proves both properties at the gate:
+    distinct pseudonyms == distinct users, and the sorted per-key
+    count profiles are identical (the multiset of group sizes
+    survives the rename). One projection plus two count aggregates;
+    the mapping itself is a codegen'd expression, free at any scale.
+    (Pseudonymization, not anonymization: the transform inverts with
+    the modular inverse — pair with `k_anonymity_audit` for release
+    decisions.)"""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    pseudo = ev.select(
+        "user_id",
+        ((F.col("user_id") * 2654435761 + 40503) % 4294967296).alias("pid"),
+    )
+    per_orig = pseudo.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    per_pid = pseudo.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    n_users = per_orig.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    n_pids = per_pid.agg(F.count(F.lit(1)).cast("bigint").alias("n_pseudonyms"))
+    oa = per_orig.select(
+        "c", F.row_number().over(Window.orderBy("c", "user_id")).alias("rk")
+    )
+    ob = per_pid.select(
+        F.col("c").alias("c2"), F.row_number().over(Window.orderBy("c", "pid")).alias("rk")
+    )
+    profile = oa.join(ob, "rk").agg(
+        (F.sum(F.when(F.col("c") != F.col("c2"), 1).otherwise(0)) == 0)
+        .alias("count_profile_preserved")
+    )
+    return (
+        n_users.crossJoin(F.broadcast(n_pids)).crossJoin(F.broadcast(profile))
+        .select(
+            "n_users", "n_pseudonyms",
+            (F.col("n_users") == F.col("n_pseudonyms")).alias("no_collisions"),
+            "count_profile_preserved",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness (the engagement ratio)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    mau AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT d.month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*), 4) AS avg_dau,
+           CAST(MAX(m.mau) AS BIGINT) AS mau,
+           ROUND(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / MAX(m.mau), 6)
+             AS stickiness
+    FROM dau d JOIN mau m ON m.month = d.month
+    GROUP BY d.month
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — the engagement ratio product teams report
+    beside the growth-accounting ledger: average daily actives over
+    monthly actives, 1.0 meaning every monthly user shows up every
+    day. Two distinct-count aggregates at different grains (the
+    month grain is NOT the sum of day grains — distinct doesn't
+    decompose, which is exactly why both must be computed and why
+    approx sketches (`streaming_approx_distinct`) matter at scale),
+    joined on month. Integer counts; one final ratio."""
+    ev = _t(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.sum("dau").cast("double") / F.count(F.lit(1)), 4)
+            .alias("avg_dau"),
+            F.max("mau").cast("bigint").alias("mau"),
+            F.round(
+                F.sum("dau").cast("double") / F.count(F.lit(1)) / F.max("mau"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

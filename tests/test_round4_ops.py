@@ -1753,3 +1753,27 @@ def test_rank_churn_accounting(spark, sf_dir):
     assert r.n_stayed + r.n_entered == r.k
     assert r.n_entered == r.n_dropped
     assert 0 <= r.jaccard_stability <= 1
+
+
+def test_pseudonymization_is_bijective_and_invertible(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["pseudonymization_bijective"](spark, sf_dir).first()
+    assert r.no_collisions is True
+    assert r.count_profile_preserved is True
+    # the modular inverse of the odd multiplier recovers the original id
+    A, M = 2654435761, 4294967296
+    inv = pow(A, -1, M)
+    uid = 12345
+    pid = (uid * A + 40503) % M
+    assert ((pid - 40503) * inv) % M == uid
+
+
+def test_stickiness_bounded_by_one(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["dau_mau_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.stickiness <= 1.0 + 1e-9
+        assert r.avg_dau <= r.mau
