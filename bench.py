@@ -296,6 +296,8 @@ HEADLINE = [
     "topk_rank_churn",
     "pseudonymization_bijective",
     "dau_mau_stickiness",
+    "latency_percentile_slo",
+    "negative_sampling_implicit",
 ]
 
 

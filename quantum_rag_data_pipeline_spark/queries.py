@@ -15506,6 +15506,184 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Latency percentile SLO report (exact order-statistic p50/p90/p99)
+# ---------------------------------------------------------------------------
+
+@query(
+    "latency_percentile_slo",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS pri,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS days,
+             l.l_orderkey, l.l_linenumber
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT pri, days,
+             ROW_NUMBER() OVER (PARTITION BY pri
+                                ORDER BY days, l_orderkey, l_linenumber) AS rk,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM lat
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MIN(CASE WHEN rk = (n + 1) // 2 THEN days END) AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN rk = CEIL(0.90 * n) THEN days END) AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN rk = CEIL(0.99 * n) THEN days END) AS BIGINT) AS p99
+    FROM ranked GROUP BY pri
+    """,
+)
+def latency_percentile_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The latency SLO report — p50/p90/p99 order-to-ship days per
+    priority tier, the numbers an operations SLA is written against —
+    with EXACT order-statistic percentiles (rank = ceil(q·n), total
+    order tie-broken by line identity; DETERMINISM.md rule 4, no
+    engine interpolation in play). Per-tier rank windows partition by
+    priority so no global sort happens; the three percentiles come out
+    of ONE ranked pass via conditional MIN — not three separate
+    quantile calls, the difference between one shuffle and three. The
+    tail percentiles (p99 tail) are exactly what GK sketches
+    (`quantile_sketch_bounds`) approximate when n makes exact ranks
+    expensive — this is the exact-tier of that trade."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    lat = o.join(li, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+        "l_orderkey", "l_linenumber",
+    )
+    ranked = lat.select(
+        "pri", "days",
+        F.row_number().over(
+            Window.partitionBy("pri").orderBy("days", "l_orderkey", "l_linenumber")
+        ).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("pri")).alias("n"),
+    )
+    return ranked.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        F.min(
+            F.when(F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("days"))
+        ).cast("bigint").alias("p50"),
+        F.min(
+            F.when(F.col("rk") == F.ceil(0.90 * F.col("n")), F.col("days"))
+        ).cast("bigint").alias("p90"),
+        F.min(
+            F.when(F.col("rk") == F.ceil(0.99 * F.col("n")), F.col("days"))
+        ).cast("bigint").alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for implicit-feedback training
+# ---------------------------------------------------------------------------
+
+@query(
+    "negative_sampling_implicit",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT l.l_orderkey % 100 AS u, l.l_partkey AS item
+      FROM lineitem l WHERE l.l_partkey < 500
+    ),
+    items AS (SELECT DISTINCT item FROM pos),
+    n_items AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni FROM items),
+    ranked_items AS (
+      SELECT item, ROW_NUMBER() OVER (ORDER BY item) - 1 AS idx FROM items
+    ),
+    draws AS (
+      SELECT p.u, p.item AS pos_item, k.k,
+             ((p.u * 1000003 + p.item * 31 + k.k) * 2654435761 % 4294967296)
+               % n_items.ni AS idx
+      FROM pos p
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k
+      CROSS JOIN n_items
+    ),
+    cand AS (
+      SELECT d.u, d.pos_item, ri.item AS neg_item
+      FROM draws d JOIN ranked_items ri ON ri.idx = d.idx
+    ),
+    clean AS (
+      SELECT c.u, c.pos_item, c.neg_item FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.item = c.neg_item
+      )
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pos) AS BIGINT) AS n_positives,
+           CAST((SELECT COUNT(*) FROM draws) AS BIGINT) AS n_drawn,
+           CAST(COUNT(*) AS BIGINT) AS n_clean_negatives,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM draws), 6)
+             AS acceptance_rate
+    FROM clean
+    """,
+)
+def negative_sampling_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE SAMPLING for implicit-feedback training — the data-prep
+    step every two-tower/matrix-factorization recommender needs:
+    each (user, item) positive draws 3 candidate negatives from the
+    item catalog by deterministic hash (index into the ranked item
+    table — uniform over the catalog, reproducible under repartition,
+    DETERMINISM.md rule 6), then ACCIDENTAL POSITIVES are removed with
+    an anti-join against the interaction table — the correctness step
+    naive samplers skip, silently training on false negatives. The
+    report carries the acceptance rate (drawn -> clean), which is also
+    the diagnostic for catalogs where positives are so dense uniform
+    sampling stops working. Shuffles: one distinct, one idx equi-join
+    against the broadcast ranked catalog, one anti-join on (u, item)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    pos = (
+        li.filter(F.col("l_partkey") < 500)
+        .select(
+            (F.col("l_orderkey") % 100).alias("u"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    items = pos.select("item").distinct()
+    ranked_items = items.select(
+        "item", (F.row_number().over(Window.orderBy("item")) - 1).alias("idx")
+    )
+    n_items = items.agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    ks = spark.range(0, 3).select(F.col("id").alias("k"))
+    draws = (
+        pos.crossJoin(F.broadcast(ks)).crossJoin(F.broadcast(n_items))
+        .select(
+            "u", F.col("item").alias("pos_item"),
+            (
+                (
+                    (F.col("u") * 1000003 + F.col("item") * 31 + F.col("k"))
+                    * 2654435761
+                ) % 4294967296 % F.col("ni")
+            ).alias("idx"),
+        )
+    )
+    cand = draws.join(F.broadcast(ranked_items), "idx").select(
+        "u", "pos_item", F.col("item").alias("neg_item")
+    )
+    clean = cand.join(
+        pos.select("u", F.col("item").alias("neg_item")),
+        ["u", "neg_item"], "left_anti",
+    )
+    n_pos = pos.agg(F.count(F.lit(1)).cast("bigint").alias("n_positives"))
+    n_drawn = draws.agg(F.count(F.lit(1)).cast("bigint").alias("n_drawn"))
+    return (
+        clean.agg(F.count(F.lit(1)).cast("bigint").alias("n_clean_negatives"))
+        .crossJoin(F.broadcast(n_pos)).crossJoin(F.broadcast(n_drawn))
+        .select(
+            "n_positives", "n_drawn", "n_clean_negatives",
+            F.round(
+                F.col("n_clean_negatives").cast("double") / F.col("n_drawn"), 6
+            ).alias("acceptance_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -1777,3 +1777,22 @@ def test_stickiness_bounded_by_one(spark, sf_dir):
     for r in rows:
         assert 0 < r.stickiness <= 1.0 + 1e-9
         assert r.avg_dau <= r.mau
+
+
+def test_latency_percentiles_ordered(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["latency_percentile_slo"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.p50 <= r.p90 <= r.p99
+        assert r.n_lines > 0
+
+
+def test_negative_samples_never_collide_with_positives(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["negative_sampling_implicit"](spark, sf_dir).first()
+    assert r.n_drawn == 3 * r.n_positives
+    assert 0 < r.n_clean_negatives <= r.n_drawn
+    assert 0 < r.acceptance_rate <= 1
