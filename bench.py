@@ -298,6 +298,8 @@ HEADLINE = [
     "dau_mau_stickiness",
     "latency_percentile_slo",
     "negative_sampling_implicit",
+    "abc_inventory_classification",
+    "sample_size_power_calc",
 ]
 
 

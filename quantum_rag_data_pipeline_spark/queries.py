@@ -15684,6 +15684,170 @@ def negative_sampling_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ABC inventory classification (cumulative-revenue Pareto classes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "abc_inventory_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+    ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN cum * 100 <= t.t * 80 THEN 'A'
+                  WHEN cum * 100 <= t.t * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM ranked CROSS JOIN tot t
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / MAX(t2.t), 6) AS revenue_share
+    FROM classed CROSS JOIN tot t2
+    GROUP BY abc_class
+    """,
+)
+def abc_inventory_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC analysis — the supply-chain Pareto classification: parts
+    ranked by revenue, class A until 80% of cumulative revenue, B to
+    95%, C the tail — deciding which items get tight stock control
+    (A), periodic review (B), or bulk treatment (C). The cumulative
+    boundary test runs as INTEGER cross-multiplication
+    (cum·100 ≤ total·80 — no ratio, no float drift at the class
+    boundary), and the running sum orders by the deterministic
+    (revenue, key) total order. One grouped pass for part revenue,
+    one global ordered window over the PART aggregate (part-level
+    cardinality, not lineitem), one 3-row rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("bigint")).alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    ranked = rev.select(
+        "l_partkey", "cents",
+        F.sum("cents").over(
+            Window.orderBy(F.col("cents").desc(), "l_partkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C").alias("abc_class"),
+        "cents", "t",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("cents").cast("double") / F.max("t"), 6)
+        .alias("revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-size / power calculation (closed-form, from observed arms)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sample_size_power_calc",
+    oracle="""
+    WITH arms AS (
+      SELECT
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN event_type = 'view' AND value > 50 THEN 1 ELSE 0 END) AS c1,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2,
+        SUM(CASE WHEN event_type = 'click' AND value > 50 THEN 1 ELSE 0 END) AS c2
+      FROM events
+    ),
+    rates AS (
+      SELECT n1, n2,
+             ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+             ROUND(CAST(c2 AS DOUBLE) / n2, 6) AS p2
+      FROM arms
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_control, CAST(n2 AS BIGINT) AS n_treatment,
+           p1, p2,
+           ROUND(p2 - p1, 6) AS observed_effect,
+           CAST(CEIL(
+             (1.959964 * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+              + 0.841621 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             * (1.959964 * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+                + 0.841621 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             / ((p2 - p1) * (p2 - p1))
+           ) AS BIGINT) AS n_required_per_arm,
+           n1 >= CEIL(
+             (1.959964 * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+              + 0.841621 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             * (1.959964 * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+                + 0.841621 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             / ((p2 - p1) * (p2 - p1))
+           ) AS adequately_powered
+    FROM rates
+    """,
+)
+def sample_size_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B SAMPLE-SIZE calculation — the question every experiment
+    review asks first: at the observed conversion rates, how many
+    subjects per arm does 80% power at α=0.05 require, and did this
+    test have them? The classic two-proportion formula
+    n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))² / (p₂−p₁)² with the
+    normal quantiles as exact literals (1.959964, 0.841621) — pure
+    IEEE arithmetic on the 1-row sufficient statistics, replayed
+    identically. An underpowered 'significant' result is the most
+    common way A/B programs fool themselves; `ab_test_welch` gives
+    the verdict, this query audits whether the verdict was earned."""
+    ev = _t(spark, sf_dir, "events")
+    arms = ev.agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when((F.col("event_type") == "view") & (F.col("value") > 50), 1)
+            .otherwise(0)
+        ).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when((F.col("event_type") == "click") & (F.col("value") > 50), 1)
+            .otherwise(0)
+        ).alias("c2"),
+    )
+    rates = arms.select(
+        "n1", "n2",
+        F.round(F.col("c1").cast("double") / F.col("n1"), 6).alias("p1"),
+        F.round(F.col("c2").cast("double") / F.col("n2"), 6).alias("p2"),
+    )
+    pbar = (F.col("p1") + F.col("p2")) / 2
+    term = (
+        F.lit(1.959964) * F.sqrt(2 * pbar * (1 - pbar))
+        + F.lit(0.841621)
+        * F.sqrt(
+            F.col("p1") * (1 - F.col("p1")) + F.col("p2") * (1 - F.col("p2"))
+        )
+    )
+    n_req = F.ceil(
+        term * term / ((F.col("p2") - F.col("p1")) * (F.col("p2") - F.col("p1")))
+    )
+    return rates.select(
+        F.col("n1").alias("n_control"),
+        F.col("n2").alias("n_treatment"),
+        "p1", "p2",
+        F.round(F.col("p2") - F.col("p1"), 6).alias("observed_effect"),
+        n_req.cast("bigint").alias("n_required_per_arm"),
+        (F.col("n1") >= n_req).alias("adequately_powered"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -1796,3 +1796,27 @@ def test_negative_samples_never_collide_with_positives(spark, sf_dir):
     assert r.n_drawn == 3 * r.n_positives
     assert 0 < r.n_clean_negatives <= r.n_drawn
     assert 0 < r.acceptance_rate <= 1
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = {r.abc_class: r for r in
+            QUERIES["abc_inventory_classification"](spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    total_share = sum(r.revenue_share for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-4
+    # Pareto shape: class A has fewer parts per revenue dollar than C
+    if "C" in rows:
+        a, c = rows["A"], rows["C"]
+        assert a.revenue / max(a.n_parts, 1) > c.revenue / max(c.n_parts, 1)
+
+
+def test_power_calc_scales_with_effect(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["sample_size_power_calc"](spark, sf_dir).first()
+    assert r.n_required_per_arm > 0
+    # closed-form sanity: tiny observed effects need huge samples
+    if abs(r.observed_effect) < 0.02:
+        assert r.n_required_per_arm > 1000
