@@ -300,6 +300,8 @@ HEADLINE = [
     "negative_sampling_implicit",
     "abc_inventory_classification",
     "sample_size_power_calc",
+    "segment_uplift_report",
+    "id_sequence_gap_audit",
 ]
 
 

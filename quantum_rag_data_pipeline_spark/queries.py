@@ -15848,6 +15848,142 @@ def sample_size_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Segment uplift report (heterogeneous treatment effects, hash-assigned)
+# ---------------------------------------------------------------------------
+
+@query(
+    "segment_uplift_report",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             ((o.o_custkey * 2654435761 + 283521) % 4294967296) % 2 AS treated,
+             CASE WHEN o.o_totalprice > 250000 THEN 1 ELSE 0 END AS converted
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+           CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+           ROUND(CAST(SUM(CASE WHEN treated = 1 THEN converted ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END), 6) AS rate_treated,
+           ROUND(CAST(SUM(CASE WHEN treated = 0 THEN converted ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END), 6) AS rate_control,
+           ROUND(CAST(SUM(CASE WHEN treated = 1 THEN converted ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+                 - CAST(SUM(CASE WHEN treated = 0 THEN converted ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END), 6) AS uplift
+    FROM base GROUP BY segment
+    """,
+)
+def segment_uplift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effects — UPLIFT per customer segment,
+    not just the average: the same hash-assigned arms as
+    `matched_cohort_rank_pairing`, conversion compared treated-vs-
+    control WITHIN each market segment — the report that finds the
+    segment where a treatment actually works (or backfires) while the
+    overall average hides it, Simpson's paradox being the standing
+    hazard this slicing exists to catch. With a null treatment (pure
+    hash split) the uplifts hover near zero — which doubles as the
+    A/A-test sanity every experimentation platform runs before real
+    traffic. One join, one conditional-aggregate pass; all the rates
+    come from the same shuffled segment groups."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        (((F.col("o_custkey") * 2654435761 + 283521) % 4294967296) % 2)
+        .alias("treated"),
+        F.when(F.col("o_totalprice") > 250000, 1).otherwise(0).alias("converted"),
+    )
+    t = F.col("treated") == 1
+    rate_t = (
+        F.sum(F.when(t, F.col("converted")).otherwise(0)).cast("double")
+        / F.sum(F.when(t, 1).otherwise(0))
+    )
+    rate_c = (
+        F.sum(F.when(~t, F.col("converted")).otherwise(0)).cast("double")
+        / F.sum(F.when(~t, 1).otherwise(0))
+    )
+    return base.groupBy("segment").agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("n_treated"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("bigint").alias("n_control"),
+        F.round(rate_t, 6).alias("rate_treated"),
+        F.round(rate_c, 6).alias("rate_control"),
+        F.round(rate_t - rate_c, 6).alias("uplift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Id-sequence gap audit (ingest-completeness integrity check)
+# ---------------------------------------------------------------------------
+
+@query(
+    "id_sequence_gap_audit",
+    oracle="""
+    WITH s AS (
+      SELECT event_id,
+             event_id - LAG(event_id) OVER (ORDER BY event_id) AS step
+      FROM events
+    ),
+    stats AS (
+      SELECT CAST(MIN(event_id) AS BIGINT) AS min_id,
+             CAST(MAX(event_id) AS BIGINT) AS max_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+      FROM events
+    )
+    SELECT st.min_id, st.max_id, st.n_rows,
+           CAST(st.max_id - st.min_id + 1 - st.n_distinct AS BIGINT)
+             AS n_missing_ids,
+           CAST(st.n_rows - st.n_distinct AS BIGINT) AS n_duplicate_ids,
+           CAST((SELECT COUNT(*) FROM s WHERE step > 1) AS BIGINT) AS n_gap_runs,
+           st.max_id - st.min_id + 1 = st.n_distinct AND st.n_rows = st.n_distinct
+             AS sequence_complete
+    FROM stats st
+    """,
+)
+def id_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit over an id column that SHOULD be
+    dense — the ingest integrity check that catches dropped batches
+    (missing-id runs) and replayed batches (duplicate ids) in one
+    pass: missing = (max − min + 1) − distinct (pure arithmetic, no
+    spine join), duplicates = rows − distinct, and the number of gap
+    RUNS (not just missing count — 1000 ids missing in one run is a
+    dropped file; in 1000 runs it's a filter bug) from one ordered
+    LAG pass. The global window runs over ids only — at 100 TB the
+    arithmetic identities need only MIN/MAX/COUNT partials, and the
+    gap-run scan is the single detail that needs the sort."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    s = ev.select(
+        "event_id",
+        (F.col("event_id") - F.lag("event_id").over(Window.orderBy("event_id")))
+        .alias("step"),
+    )
+    gap_runs = s.filter(F.col("step") > 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gap_runs")
+    )
+    stats = ev.agg(
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
+    )
+    return stats.crossJoin(F.broadcast(gap_runs)).select(
+        "min_id", "max_id", "n_rows",
+        (F.col("max_id") - F.col("min_id") + 1 - F.col("n_distinct"))
+        .cast("bigint").alias("n_missing_ids"),
+        (F.col("n_rows") - F.col("n_distinct")).cast("bigint")
+        .alias("n_duplicate_ids"),
+        "n_gap_runs",
+        (
+            (F.col("max_id") - F.col("min_id") + 1 == F.col("n_distinct"))
+            & (F.col("n_rows") == F.col("n_distinct"))
+        ).alias("sequence_complete"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -1820,3 +1820,27 @@ def test_power_calc_scales_with_effect(spark, sf_dir):
     # closed-form sanity: tiny observed effects need huge samples
     if abs(r.observed_effect) < 0.02:
         assert r.n_required_per_arm > 1000
+
+
+def test_uplift_near_zero_under_null_treatment(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["segment_uplift_report"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # A/A sanity: a pure hash split should produce small uplifts
+        assert abs(r.uplift) < 0.25
+        assert r.n_treated > 0 and r.n_control > 0
+        assert abs(r.uplift - (r.rate_treated - r.rate_control)) < 1e-9
+
+
+def test_id_sequence_audit_matches_direct_counts(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["id_sequence_gap_audit"](spark, sf_dir).first()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert r.n_rows == ev.count()
+    assert r.n_missing_ids >= 0 and r.n_duplicate_ids >= 0
+    assert r.n_gap_runs <= r.n_missing_ids or r.n_missing_ids == 0
+    if r.sequence_complete:
+        assert r.n_missing_ids == 0 and r.n_duplicate_ids == 0
