@@ -1828,10 +1828,12 @@ def test_uplift_near_zero_under_null_treatment(spark, sf_dir):
     rows = QUERIES["segment_uplift_report"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        # A/A sanity: a pure hash split should produce small uplifts
-        assert abs(r.uplift) < 0.25
         assert r.n_treated > 0 and r.n_control > 0
         assert abs(r.uplift - (r.rate_treated - r.rate_control)) < 1e-9
+        # A/A sanity only where the arms are big enough for the CLT:
+        # tiny sf0.001 segments legitimately swing wide
+        if min(r.n_treated, r.n_control) >= 200:
+            assert abs(r.uplift) < 0.25
 
 
 def test_id_sequence_audit_matches_direct_counts(spark, sf_dir):
