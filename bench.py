@@ -302,6 +302,8 @@ HEADLINE = [
     "sample_size_power_calc",
     "segment_uplift_report",
     "id_sequence_gap_audit",
+    "decayed_popularity_ranking",
+    "funnel_window_sensitivity",
 ]
 
 

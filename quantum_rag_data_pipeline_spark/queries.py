@@ -15984,6 +15984,163 @@ def id_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-decayed popularity ranking (exact dyadic half-life weights)
+# ---------------------------------------------------------------------------
+
+@query(
+    "decayed_popularity_ranking",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS end_day FROM orders),
+    w AS (
+      SELECT l.l_partkey,
+             LEAST(19, datediff('day', CAST(o.o_orderdate AS DATE), mx.end_day)
+                       // 28) AS half_lives
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      CROSS JOIN mx
+    ),
+    scored AS (
+      SELECT l_partkey,
+             CAST(SUM(1048576 // (1 << half_lives)) AS BIGINT) AS score_u,
+             COUNT(*) AS n_sales
+      FROM w GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(score_u AS DOUBLE) / 1048576.0 AS decayed_score,
+           CAST(n_sales AS BIGINT) AS n_lifetime_sales,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, l_partkey) AS INT) AS rk
+    FROM scored
+    ORDER BY score_u DESC, l_partkey LIMIT 15
+    """,
+)
+def decayed_popularity_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRENDING ranking — popularity with a 28-day half-life, so a part
+    selling hard THIS month outranks an all-time best-seller that went
+    quiet: each sale contributes 2^-h where h = age in half-lives.
+    The decay is EXACT dyadic arithmetic — 2^20 integer units halved
+    by bit-shift per elapsed half-life (capped at 19, beyond which the
+    weight is sub-unit noise) — no pow(), no transcendental replay
+    risk, and the per-item reduce is an int64 sum, fully partial-
+    aggregable (the decisive property: exponential decay against a
+    FIXED reference time is a plain weighted sum; only decay-to-'now'
+    needs state). Top-15 trending parts with lifetime counts shown
+    for contrast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("end_day"))
+    w = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "l_partkey",
+            F.least(
+                F.lit(19),
+                F.expr(
+                    "datediff(end_day, CAST(o_orderdate AS DATE)) div 28"
+                ),
+            ).alias("half_lives"),
+        )
+    )
+    scored = w.groupBy("l_partkey").agg(
+        F.sum(F.expr("1048576 div shiftleft(1, half_lives)"))
+        .cast("bigint").alias("score_u"),
+        F.count(F.lit(1)).alias("n_sales"),
+    )
+    return (
+        scored.select(
+            "l_partkey",
+            (F.col("score_u").cast("double") / 1048576.0).alias("decayed_score"),
+            F.col("n_sales").cast("bigint").alias("n_lifetime_sales"),
+            F.row_number().over(
+                Window.orderBy(F.col("score_u").desc(), "l_partkey")
+            ).cast("int").alias("rk"),
+        )
+        .orderBy(F.col("decayed_score").desc(), "l_partkey")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel window-sensitivity sweep (3 conversion windows in one pass)
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel_window_sensitivity",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    firstc AS (
+      SELECT v.user_id,
+             MIN(e.ts) AS c_ts
+      FROM v JOIN events e ON e.user_id = v.user_id
+        AND e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY v.user_id
+    ),
+    gaps AS (
+      SELECT f.user_id,
+             epoch_us(f.c_ts) - epoch_us(v.v_ts) AS gap_us
+      FROM firstc f JOIN v USING (user_id)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+           CAST(SUM(CASE WHEN gap_us <= 900000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS converted_15m,
+           CAST(SUM(CASE WHEN gap_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS converted_1h,
+           CAST(SUM(CASE WHEN gap_us <= 21600000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS converted_6h,
+           CAST(COUNT(*) AS BIGINT) AS converted_ever
+    FROM gaps
+    """,
+)
+def funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window SENSITIVITY — the analysis that should precede
+    any funnel definition: view -> first-click conversion counted
+    under 15-minute, 1-hour, and 6-hour attribution windows
+    simultaneously, from ONE pass (the gap to first click is computed
+    once; the three windows are conditional counts over it — a
+    parameter sweep as conditional aggregation, not three pipeline
+    runs). If the 15m and 6h numbers tell different stories, the
+    窓幅 is doing the storytelling — this query makes that visible
+    before anyone standardizes on a number. Monotone by construction
+    across windows (pinned in the pytest); integer-microsecond gaps."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("v_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    firstc = (
+        v.join(
+            clicks,
+            (F.col("cu") == F.col("user_id")) & (F.col("cts") > F.col("v_ts")),
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("cts").alias("c_ts"))
+    )
+    gaps = firstc.select(
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us")
+    )
+    n_viewers = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewers"))
+    return gaps.agg(
+        F.sum(F.when(F.col("gap_us") <= 900000000, 1).otherwise(0))
+        .cast("bigint").alias("converted_15m"),
+        F.sum(F.when(F.col("gap_us") <= 3600000000, 1).otherwise(0))
+        .cast("bigint").alias("converted_1h"),
+        F.sum(F.when(F.col("gap_us") <= 21600000000, 1).otherwise(0))
+        .cast("bigint").alias("converted_6h"),
+        F.count(F.lit(1)).cast("bigint").alias("converted_ever"),
+    ).crossJoin(F.broadcast(n_viewers)).select(
+        "n_viewers", "converted_15m", "converted_1h", "converted_6h",
+        "converted_ever",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -1847,3 +1847,23 @@ def test_id_sequence_audit_matches_direct_counts(spark, sf_dir):
     assert r.n_gap_runs <= r.n_missing_ids or r.n_missing_ids == 0
     if r.sequence_complete:
         assert r.n_missing_ids == 0 and r.n_duplicate_ids == 0
+
+
+def test_decayed_ranking_top15_sorted_and_bounded(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["decayed_popularity_ranking"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    scores = [r.decayed_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # decayed weight per sale is at most 1
+        assert r.decayed_score <= r.n_lifetime_sales + 1e-9
+
+
+def test_funnel_windows_are_monotone(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["funnel_window_sensitivity"](spark, sf_dir).first()
+    assert r.converted_15m <= r.converted_1h <= r.converted_6h <= r.converted_ever
+    assert r.converted_ever <= r.n_viewers
