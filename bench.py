@@ -304,6 +304,8 @@ HEADLINE = [
     "id_sequence_gap_audit",
     "decayed_popularity_ranking",
     "funnel_window_sensitivity",
+    "action_trigram_paths",
+    "item_debut_velocity",
 ]
 
 

@@ -16141,6 +16141,145 @@ def funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Action trigram paths (3-step behavioral sequences)
+# ---------------------------------------------------------------------------
+
+@query(
+    "action_trigram_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER w AS prev1,
+             LAG(event_type, 2) OVER w AS prev2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT prev2 || '>' || prev1 || '>' || event_type AS path,
+             user_id
+      FROM seq WHERE prev2 IS NOT NULL
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tri GROUP BY path
+    ORDER BY n_occurrences DESC, path LIMIT 15
+    """,
+)
+def action_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral PATH mining at trigram depth — the most common
+    3-step action sequences across users, one level deeper than the
+    Markov transition matrix (`markov_transition_matrix` sees
+    pairs; real funnels live in longer motifs like
+    view>click>purchase vs view>click>view). Two LAGs over the
+    per-user event-time order turn every event into the trigram it
+    completes — sequence order is DATA (ts, event_id total order),
+    never partition order — and the rollup counts both occurrences
+    and distinct users carrying the path (a path 1 user loops 500
+    times is not a product insight). Top-15, deterministically
+    tie-broken."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    tri = seq.filter(F.col("prev2").isNotNull()).select(
+        F.concat_ws(">", "prev2", "prev1", "event_type").alias("path"),
+        "user_id",
+    )
+    return (
+        tri.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item debut velocity (cold-start cohort report)
+# ---------------------------------------------------------------------------
+
+@query(
+    "item_debut_velocity",
+    oracle="""
+    WITH sales AS (
+      SELECT l.l_partkey, CAST(o.o_orderdate AS DATE) AS day
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    debut AS (
+      SELECT l_partkey, MIN(day) AS first_day FROM sales GROUP BY l_partkey
+    ),
+    early AS (
+      SELECT d.l_partkey,
+             CAST(date_trunc('month', d.first_day) AS DATE) AS debut_month,
+             COUNT(*) AS first28_sales
+      FROM debut d JOIN sales s
+        ON s.l_partkey = d.l_partkey
+       AND s.day < d.first_day + INTERVAL 28 DAY
+      GROUP BY d.l_partkey, d.first_day
+    )
+    SELECT debut_month,
+           CAST(COUNT(*) AS BIGINT) AS n_new_items,
+           ROUND(CAST(SUM(first28_sales) AS DOUBLE) / COUNT(*), 4)
+             AS avg_first28_sales,
+           CAST(MAX(first28_sales) AS BIGINT) AS best_debut
+    FROM early
+    WHERE debut_month >= DATE '1995-03-01'
+    GROUP BY debut_month
+    """,
+)
+def item_debut_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLD-START velocity — how fast newly-introduced items sell in
+    their first 28 days, cohorted by debut month: the merchandising
+    report that separates a weak launch month from weak launches, and
+    the ground truth a cold-start recommender is evaluated against.
+    Debut = MIN(sale day) per item (one grouped pass), early sales =
+    a self-join of the sales table bounded to the item's first 28
+    days (co-keyed on partkey — the bounded-interval family's shape).
+    The first partial month of the corpus is trimmed because its
+    'debuts' are just the dataset boundary — the left-censoring trap
+    every debut analysis must dodge."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sales = li.join(o, o["o_orderkey"] == li["l_orderkey"]).select(
+        "l_partkey", F.col("o_orderdate").cast("date").alias("day")
+    ).localCheckpoint(eager=False)
+    debut = sales.groupBy("l_partkey").agg(F.min("day").alias("first_day"))
+    s2 = sales.select(F.col("l_partkey").alias("pk"), F.col("day").alias("s_day"))
+    early = (
+        debut.join(
+            s2,
+            (F.col("pk") == F.col("l_partkey"))
+            & (F.col("s_day") < F.date_add(F.col("first_day"), 28)),
+        )
+        .groupBy("l_partkey", "first_day")
+        .agg(F.count(F.lit(1)).alias("first28_sales"))
+    )
+    return (
+        early.select(
+            F.date_trunc("month", "first_day").cast("date").alias("debut_month"),
+            "first28_sales",
+        )
+        .filter(F.col("debut_month") >= F.lit("1995-03-01").cast("date"))
+        .groupBy("debut_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new_items"),
+            F.round(
+                F.sum("first28_sales").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_first28_sales"),
+            F.max("first28_sales").cast("bigint").alias("best_debut"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

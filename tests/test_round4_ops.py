@@ -1867,3 +1867,29 @@ def test_funnel_windows_are_monotone(spark, sf_dir):
     r = QUERIES["funnel_window_sensitivity"](spark, sf_dir).first()
     assert r.converted_15m <= r.converted_1h <= r.converted_6h <= r.converted_ever
     assert r.converted_ever <= r.n_viewers
+
+
+def test_trigram_paths_have_three_steps(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["action_trigram_paths"](spark, sf_dir).collect()
+    assert rows
+    types = {
+        r.event_type
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type").distinct().collect()
+    }
+    for r in rows:
+        steps = r.path.split(">")
+        assert len(steps) == 3 and set(steps) <= types
+        assert r.n_users <= r.n_occurrences
+
+
+def test_debut_velocity_bounded_by_28_days(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["item_debut_velocity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_new_items > 0
+        assert 1 <= r.avg_first28_sales <= r.best_debut
