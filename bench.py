@@ -306,6 +306,8 @@ HEADLINE = [
     "funnel_window_sensitivity",
     "action_trigram_paths",
     "item_debut_velocity",
+    "dn_retention_curve",
+    "session_abandonment_rate",
 ]
 
 

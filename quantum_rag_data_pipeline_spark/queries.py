@@ -16280,6 +16280,190 @@ def item_debut_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Day-N retention curve (D1/D7/D14 bounded-horizon retention)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dn_retention_curve",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(day) AS d0 FROM days GROUP BY user_id),
+    mx AS (SELECT MAX(day) AS end_day FROM days),
+    eligible AS (
+      SELECT f.user_id, f.d0,
+             f.d0 + INTERVAL 1 DAY <= mx.end_day AS e1,
+             f.d0 + INTERVAL 7 DAY <= mx.end_day AS e7,
+             f.d0 + INTERVAL 14 DAY <= mx.end_day AS e14
+      FROM firsts f CROSS JOIN mx
+    ),
+    flags AS (
+      SELECT e.user_id, e.e1, e.e7, e.e14,
+             MAX(CASE WHEN d.day = e.d0 + INTERVAL 1 DAY THEN 1 ELSE 0 END) AS r1,
+             MAX(CASE WHEN d.day = e.d0 + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS r7,
+             MAX(CASE WHEN d.day = e.d0 + INTERVAL 14 DAY THEN 1 ELSE 0 END) AS r14
+      FROM eligible e JOIN days d ON d.user_id = e.user_id
+      GROUP BY e.user_id, e.e1, e.e7, e.e14
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CASE WHEN e1 THEN r1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN e1 THEN 1 ELSE 0 END), 6) AS d1_retention,
+           ROUND(CAST(SUM(CASE WHEN e7 THEN r7 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN e7 THEN 1 ELSE 0 END), 6) AS d7_retention,
+           ROUND(CAST(SUM(CASE WHEN e14 THEN r14 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN e14 THEN 1 ELSE 0 END), 6) AS d14_retention
+    FROM flags
+    """,
+)
+def dn_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Day-N retention curve — D1/D7/D14 exact-day retention from
+    each user's first active day, THE growth metric — with the
+    eligibility correction naive versions skip: a user whose D14
+    hasn't arrived yet must be excluded from the D14 DENOMINATOR, not
+    counted as churned (right-censoring again — Kaplan-Meier's lesson
+    applied to the retention table). One dedup to (user, day), one
+    first-day aggregate, one co-keyed join computing all three flags
+    in a single pass with per-horizon eligible denominators. Exact-day
+    (not rolling-window) retention, the stricter convention."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct() \
+        .localCheckpoint(eager=False)
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("d0"))
+    mx = days.agg(F.max("day").alias("end_day"))
+    eligible = firsts.crossJoin(F.broadcast(mx)).select(
+        "user_id", "d0",
+        (F.date_add(F.col("d0"), 1) <= F.col("end_day")).alias("e1"),
+        (F.date_add(F.col("d0"), 7) <= F.col("end_day")).alias("e7"),
+        (F.date_add(F.col("d0"), 14) <= F.col("end_day")).alias("e14"),
+    )
+    d2 = days.select(F.col("user_id").alias("du"), F.col("day").alias("d_day"))
+    flags = (
+        eligible.join(d2, F.col("du") == F.col("user_id"))
+        .groupBy("user_id", "e1", "e7", "e14")
+        .agg(
+            F.max(
+                F.when(F.col("d_day") == F.date_add(F.col("d0"), 1), 1).otherwise(0)
+            ).alias("r1"),
+            F.max(
+                F.when(F.col("d_day") == F.date_add(F.col("d0"), 7), 1).otherwise(0)
+            ).alias("r7"),
+            F.max(
+                F.when(F.col("d_day") == F.date_add(F.col("d0"), 14), 1).otherwise(0)
+            ).alias("r14"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.when(F.col("e1"), F.col("r1")).otherwise(0)).cast("double")
+            / F.sum(F.when(F.col("e1"), 1).otherwise(0)), 6,
+        ).alias("d1_retention"),
+        F.round(
+            F.sum(F.when(F.col("e7"), F.col("r7")).otherwise(0)).cast("double")
+            / F.sum(F.when(F.col("e7"), 1).otherwise(0)), 6,
+        ).alias("d7_retention"),
+        F.round(
+            F.sum(F.when(F.col("e14"), F.col("r14")).otherwise(0)).cast("double")
+            / F.sum(F.when(F.col("e14"), 1).otherwise(0)), 6,
+        ).alias("d14_retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session abandonment rate (outcome classification per session)
+# ---------------------------------------------------------------------------
+
+@query(
+    "session_abandonment_rate",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               AS gap_us
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(MIN(ts) AS DATE) AS day,
+             MAX(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+               AS browsed,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+      FROM (
+        SELECT user_id, ts, event_type,
+               SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+      )
+      GROUP BY user_id, sid
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN browsed = 1 AND bought = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_abandoned,
+           ROUND(CAST(SUM(CASE WHEN browsed = 1 AND bought = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN browsed = 1 THEN 1 ELSE 0 END), 6)
+             AS abandonment_rate
+    FROM sess GROUP BY day
+    """,
+)
+def session_abandonment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session ABANDONMENT — the daily share of browsing sessions
+    (contains a view or click) that end without a purchase: the
+    conversion team's primary leak metric, computed at the SESSION
+    grain the way checkout analytics define it (user-grain
+    'did they ever buy' hides same-day recovery; event-grain counts
+    double). Reuses the 30-minute gaps-and-islands sessionizer, then
+    one outcome flag per session and a per-day rollup with the
+    browsing-session denominator (a purchase-only session — deep link,
+    re-order — is neither abandoned nor counted). Same session
+    substrate as `peak_concurrency_analysis` and
+    `interval_overlap_join`."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    wuser = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        ev.select(
+            "user_id", "ts", "event_type",
+            F.when(
+                F.lag("ts").over(wuser).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wuser))
+                    > 1800000000
+                ), 1,
+            ).otherwise(0).alias("is_start"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_start").over(wuser.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").cast("date").alias("day"),
+            F.max(
+                F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+            ).alias("browsed"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("bought"),
+        )
+    )
+    abandoned = F.when((F.col("browsed") == 1) & (F.col("bought") == 0), 1).otherwise(0)
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(abandoned).cast("bigint").alias("n_abandoned"),
+        F.round(
+            F.sum(abandoned).cast("double")
+            / F.sum(F.when(F.col("browsed") == 1, 1).otherwise(0)), 6,
+        ).alias("abandonment_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

@@ -1893,3 +1893,25 @@ def test_debut_velocity_bounded_by_28_days(spark, sf_dir):
     for r in rows:
         assert r.n_new_items > 0
         assert 1 <= r.avg_first28_sales <= r.best_debut
+
+
+def test_retention_rates_in_unit_interval(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["dn_retention_curve"](spark, sf_dir).first()
+    assert r.n_users == (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    for v in (r.d1_retention, r.d7_retention, r.d14_retention):
+        assert v is None or 0 <= v <= 1
+
+
+def test_abandonment_rate_bounds(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["session_abandonment_rate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_abandoned <= r.n_sessions
+        assert r.abandonment_rate is None or 0 <= r.abandonment_rate <= 1
