@@ -308,6 +308,8 @@ HEADLINE = [
     "item_debut_velocity",
     "dn_retention_curve",
     "session_abandonment_rate",
+    "slo_burn_rate_multiwindow",
+    "littles_law_identity",
 ]
 
 

@@ -16464,6 +16464,179 @@ def session_abandonment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multiwindow SLO burn-rate alerts (SRE error-budget policy)
+# ---------------------------------------------------------------------------
+
+@query(
+    "slo_burn_rate_multiwindow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) AS n,
+             SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS errs
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT day, n, errs,
+             SUM(errs) OVER w1 AS e1, SUM(n) OVER w1 AS n1,
+             SUM(errs) OVER w7 AS e7, SUM(n) OVER w7 AS n7
+      FROM daily
+      WINDOW w1 AS (ORDER BY day RANGE BETWEEN INTERVAL 0 DAY PRECEDING
+                                          AND CURRENT ROW),
+             w7 AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                          AND CURRENT ROW)
+    )
+    SELECT day,
+           ROUND(CAST(e1 AS DOUBLE) / n1 / 0.10, 4) AS burn_1d,
+           ROUND(CAST(e7 AS DOUBLE) / n7 / 0.10, 4) AS burn_7d,
+           (CAST(e1 AS DOUBLE) / n1 / 0.10 > 1.0
+            AND CAST(e7 AS DOUBLE) / n7 / 0.10 > 1.0) AS page_alert
+    FROM win
+    """,
+)
+def slo_burn_rate_multiwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRE MULTIWINDOW burn-rate alert (error budget policy): with
+    a 10% error-rate SLO, burn rate = observed-rate / budget-rate over
+    a short (1d) AND a long (7d) window, and the page fires only when
+    BOTH exceed 1x — the short window gives fast detection, the long
+    window stops a 5-minute blip from paging at 3am (the flapping
+    problem single-window alerts have). 'Errors' here are the
+    low-value event proxy; the windows are calendar-exact RANGE frames
+    over the daily rollup (gap-correct like
+    `range_frame_trailing_revenue`), integer counts until the final
+    two ratios. One row per day with both burn rates and the paging
+    decision — the table an alert rule evaluates."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < 10, 1).otherwise(0)).alias("errs"),
+    )
+    ed = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w1 = Window.orderBy(ed).rangeBetween(0, 0)
+    w7 = Window.orderBy(ed).rangeBetween(-6, 0)
+    win = daily.select(
+        "day",
+        F.sum("errs").over(w1).alias("e1"), F.sum("n").over(w1).alias("n1"),
+        F.sum("errs").over(w7).alias("e7"), F.sum("n").over(w7).alias("n7"),
+    )
+    b1 = F.col("e1").cast("double") / F.col("n1") / 0.10
+    b7 = F.col("e7").cast("double") / F.col("n7") / 0.10
+    return win.select(
+        "day",
+        F.round(b1, 4).alias("burn_1d"),
+        F.round(b7, 4).alias("burn_7d"),
+        ((b1 > 1.0) & (b7 > 1.0)).alias("page_alert"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Little's law identity (L = lambda x W, pinned exactly on session data)
+# ---------------------------------------------------------------------------
+
+@query(
+    "littles_law_identity",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               AS gap_us
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+      FROM (
+        SELECT user_id, ts,
+               SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+      ) GROUP BY user_id, sid
+    ),
+    horizon AS (
+      SELECT MIN(s_us) AS t0, MAX(e_us) AS t1 FROM sess
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(e_us - s_us) AS BIGINT) AS total_busy_us
+      FROM sess
+    )
+    SELECT a.n_sessions,
+           ROUND(CAST(a.total_busy_us AS DOUBLE) / (h.t1 - h.t0), 6)
+             AS avg_concurrency_L,
+           ROUND(CAST(a.n_sessions AS DOUBLE) / (h.t1 - h.t0) * 1000000.0, 9)
+             AS arrival_rate_per_sec,
+           ROUND(CAST(a.total_busy_us AS DOUBLE) / a.n_sessions / 1000000.0, 4)
+             AS avg_duration_sec_W,
+           ABS(CAST(a.total_busy_us AS DOUBLE) / (h.t1 - h.t0)
+               - CAST(a.n_sessions AS DOUBLE) / (h.t1 - h.t0)
+                 * (CAST(a.total_busy_us AS DOUBLE) / a.n_sessions)) < 1e-9
+             AS littles_law_holds
+    FROM agg a CROSS JOIN horizon h
+    """,
+)
+def littles_law_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITTLE'S LAW on the session data — L = λ·W (time-average
+    concurrency = arrival rate x average duration), the queueing
+    identity capacity planning rests on: here L is total busy
+    session-seconds over the horizon, λ is sessions per second, W is
+    mean session duration, and the identity holds EXACTLY by algebra
+    (both sides reduce to Σdur/T — the pinned boolean proves the
+    pipeline computes each quantity consistently, the way
+    `incremental_agg_maintenance` pins its merge). Why it matters:
+    any TWO of (L, λ, W) give the third — measure arrivals and
+    durations, get concurrency (peak sizing, cf.
+    `peak_concurrency_analysis` for the max rather than the mean)
+    without ever sampling state. Integer-microsecond sums end to
+    end; three scalars and a 1-row report."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    wuser = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        ev.select(
+            "user_id", "ts",
+            F.when(
+                F.lag("ts").over(wuser).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wuser))
+                    > 1800000000
+                ), 1,
+            ).otherwise(0).alias("is_start"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_start").over(wuser.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    horizon = sess.agg(F.min("s_us").alias("t0"), F.max("e_us").alias("t1"))
+    agg = sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.col("e_us") - F.col("s_us")).cast("bigint").alias("total_busy_us"),
+    )
+    j = agg.crossJoin(F.broadcast(horizon))
+    L = F.col("total_busy_us").cast("double") / (F.col("t1") - F.col("t0"))
+    lam = F.col("n_sessions").cast("double") / (F.col("t1") - F.col("t0"))
+    W = F.col("total_busy_us").cast("double") / F.col("n_sessions")
+    return j.select(
+        "n_sessions",
+        F.round(L, 6).alias("avg_concurrency_L"),
+        F.round(lam * 1000000.0, 9).alias("arrival_rate_per_sec"),
+        F.round(W / 1000000.0, 4).alias("avg_duration_sec_W"),
+        (F.abs(L - lam * W) < 1e-9).alias("littles_law_holds"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently

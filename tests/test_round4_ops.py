@@ -1915,3 +1915,25 @@ def test_abandonment_rate_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_abandoned <= r.n_sessions
         assert r.abandonment_rate is None or 0 <= r.abandonment_rate <= 1
+
+
+def test_burn_rate_alert_requires_both_windows(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["slo_burn_rate_multiwindow"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.burn_1d >= 0 and r.burn_7d >= 0
+        if r.page_alert:
+            assert r.burn_1d > 1.0 and r.burn_7d > 1.0
+
+
+def test_littles_law_pinned(spark, sf_dir):
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    r = QUERIES["littles_law_identity"](spark, sf_dir).first()
+    assert r.littles_law_holds is True
+    assert r.avg_concurrency_L > 0
+    # cross-check L against the independent product of rounded outputs
+    assert abs(r.avg_concurrency_L
+               - r.arrival_rate_per_sec * r.avg_duration_sec_W) < 0.01
