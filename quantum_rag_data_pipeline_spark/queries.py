@@ -16637,6 +16637,159 @@ def littles_law_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Probabilistic record linkage — Fellegi-Sunter scoring over blocked pairs
+# ---------------------------------------------------------------------------
+
+# Agreement/disagreement weights log2(m/u) / log2((1-m)/(1-u)) for the three
+# compared fields, precomputed once so Spark and DuckDB share the exact same
+# double literals (runtime log() in two engines can differ in the last ulp).
+_FS_W = {
+    "name": (8.891784, -4.31904),     # m=0.95, u=0.002
+    "bal": (5.491853, -3.292782),     # m=0.90, u=0.02
+    "seg": (1.847997, -2.906891),     # m=0.90, u=0.25
+}
+
+@query(
+    "record_linkage_fellegi_sunter",
+    oracle=f"""
+    WITH a AS (
+      SELECT c_custkey AS a_id, UPPER(c_name) AS a_name, c_nationkey AS nk,
+             c_mktsegment AS a_seg, c_acctbal AS a_bal
+      FROM customer
+    ),
+    b AS (
+      SELECT c_custkey + 1000000 AS b_id, c_custkey AS b_true,
+             UPPER(c_name) AS b_name, c_nationkey AS nk,
+             CASE WHEN c_custkey % 5 = 0 THEN 'CORRUPTED' ELSE c_mktsegment END AS b_seg,
+             ROUND(c_acctbal) AS b_bal
+      FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    scored AS (
+      SELECT a.a_id, b.b_id, b.b_true,
+             (CASE WHEN a.a_name = b.b_name THEN {_FS_W['name'][0]!r} ELSE {_FS_W['name'][1]!r} END
+              + CASE WHEN ABS(a.a_bal - b.b_bal) <= 0.5 THEN {_FS_W['bal'][0]!r} ELSE {_FS_W['bal'][1]!r} END
+              + CASE WHEN a.a_seg = b.b_seg THEN {_FS_W['seg'][0]!r} ELSE {_FS_W['seg'][1]!r} END) AS score
+      FROM a JOIN b ON SUBSTR(a.a_name, LENGTH(a.a_name) - 2, 3)
+                     = SUBSTR(b.b_name, LENGTH(b.b_name) - 2, 3)
+    ),
+    classified AS (
+      SELECT CASE WHEN score > 12.0 THEN 'match'
+                  WHEN score > 0.0 THEN 'possible'
+                  ELSE 'non_match' END AS decision,
+             (a_id = b_true) AS is_true
+      FROM scored
+    )
+    SELECT decision,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs
+    FROM classified GROUP BY decision
+    """,
+)
+def record_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBABILISTIC RECORD LINKAGE (Fellegi-Sunter 1969), the standard
+    model behind entity-resolution engines like Splink: file B is a
+    deterministic 'messy re-entry' of the customer file (ids shifted,
+    balances rounded, every 5th segment corrupted, a third of rows
+    absent), candidate pairs are BLOCKED on (nationkey, name-prefix) so
+    the pair space is linear-ish rather than |A|x|B|, and each pair
+    scores a sum of per-field log2(m/u) agreement weights — agreement
+    on a high-discriminating field (name, u=0.002) earns +8.9 while
+    agreement on a 4-value segment (u=0.25) earns only +1.8; the
+    classic match/possible/non-match thresholds partition the scores.
+    Weights are shared double LITERALS (no runtime log) and the
+    three-term sum is fixed-order, so Spark and the oracle agree
+    bitwise. Blocking is the 100 TB story: the equi-join on the
+    name's last-3-digit suffix (1k blocks, each O(n/1k) a side)
+    is a plain shuffle-hash join — never a cartesian — and scales
+    with block-size skew, not corpus size; suffix blocks also admit
+    REAL non-matching candidates (key 123 vs 1123), so all three
+    decision bands are exercised.
+    Output: per-decision pair counts plus how many are TRUE links
+    (B row derived from that exact A row) — the precision/recall
+    table a linkage tuner reads."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.upper("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_acctbal").alias("a_bal"),
+    )
+    b = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        (F.col("c_custkey") + 1000000).alias("b_id"),
+        F.col("c_custkey").alias("b_true"),
+        F.upper("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("nk"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CORRUPTED"))
+        .otherwise(F.col("c_mktsegment")).alias("b_seg"),
+        F.round("c_acctbal").alias("b_bal"),
+    )
+    pairs = a.join(b, F.substring(a["a_name"], -3, 3) == F.substring(b["b_name"], -3, 3))
+    wn, wb, ws = _FS_W["name"], _FS_W["bal"], _FS_W["seg"]
+    score = (
+        F.when(F.col("a_name") == F.col("b_name"), F.lit(wn[0])).otherwise(F.lit(wn[1]))
+        + F.when(F.abs(F.col("a_bal") - F.col("b_bal")) <= 0.5, F.lit(wb[0])).otherwise(F.lit(wb[1]))
+        + F.when(F.col("a_seg") == F.col("b_seg"), F.lit(ws[0])).otherwise(F.lit(ws[1]))
+    )
+    classified = pairs.select(
+        F.when(score > 12.0, F.lit("match"))
+        .when(score > 0.0, F.lit("possible"))
+        .otherwise(F.lit("non_match")).alias("decision"),
+        (F.col("a_id") == F.col("b_true")).alias("is_true"),
+    )
+    return classified.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("n_true_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — the privacy check one step past k-anonymity
+# ---------------------------------------------------------------------------
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS k_size,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT)) AS l_distinct
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, k_size, l_distinct,
+           (k_size >= 5) AS meets_k5,
+           (l_distinct >= 3) AS meets_l3
+    FROM classes
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY (Machanavajjhala 2007) — the audit one step past
+    `k_anonymity_audit`: k-anonymity stops re-identification but not
+    ATTRIBUTE disclosure (a class of 50 people all sharing one salary
+    band leaks the band without naming anyone), so each equivalence
+    class over the quasi-identifiers (nation, segment) must also carry
+    >= l DISTINCT values of the sensitive attribute (balance band,
+    2k-wide). One hash aggregate with COUNT DISTINCT inside — Spark
+    runs it as a two-phase partial/final expand, no second shuffle.
+    Output: every equivalence class with its k, its l, and both
+    compliance flags — the release-readiness table a privacy review
+    signs off on."""
+    cust = _t(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 2000.0).cast("bigint")
+        ).alias("l_distinct"),
+    )
+    return classes.select(
+        "c_nationkey", "c_mktsegment", "k_size", "l_distinct",
+        (F.col("k_size") >= 5).alias("meets_k5"),
+        (F.col("l_distinct") >= 3).alias("meets_l3"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
