@@ -16790,6 +16790,376 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mutual information between two categorical views of the event stream
+# ---------------------------------------------------------------------------
+
+@query(
+    "mutual_information_features",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS x, CAST(FLOOR(value / 50.0) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    joint AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy FROM base GROUP BY x, y),
+    mx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM joint GROUP BY x),
+    my AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM joint GROUP BY y),
+    tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM joint),
+    mi_terms AS (
+      SELECT CAST(ROUND(j.cxy * ln(CAST(j.cxy * t.n AS DOUBLE) / (mx.cx * my.cy))
+                        * 1000000.0) AS BIGINT) AS t6
+      FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot t
+    ),
+    hx_terms AS (
+      SELECT CAST(ROUND(cx * ln(CAST(t.n AS DOUBLE) / cx) * 1000000.0) AS BIGINT) AS t6
+      FROM mx CROSS JOIN tot t
+    ),
+    hy_terms AS (
+      SELECT CAST(ROUND(cy * ln(CAST(t.n AS DOUBLE) / cy) * 1000000.0) AS BIGINT) AS t6
+      FROM my CROSS JOIN tot t
+    )
+    SELECT t.n AS n_events,
+           ROUND(CAST((SELECT SUM(t6) FROM mi_terms) AS DOUBLE) / 1000000.0 / t.n, 6) AS mi_nats,
+           ROUND(CAST((SELECT SUM(t6) FROM hx_terms) AS DOUBLE) / 1000000.0 / t.n, 6) AS h_x,
+           ROUND(CAST((SELECT SUM(t6) FROM hy_terms) AS DOUBLE) / 1000000.0 / t.n, 6) AS h_y,
+           ROUND((CAST((SELECT SUM(t6) FROM mi_terms) AS DOUBLE) / 1000000.0 / t.n)
+                 / SQRT((CAST((SELECT SUM(t6) FROM hx_terms) AS DOUBLE) / 1000000.0 / t.n)
+                        * (CAST((SELECT SUM(t6) FROM hy_terms) AS DOUBLE) / 1000000.0 / t.n)), 6)
+             AS nmi_sqrt
+    FROM tot t
+    """,
+)
+def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between event_type and the 50-wide value band
+    — the model-free dependence measure feature selection ranks
+    candidate features by (I(X;Y)=0 iff independent; unlike Pearson it
+    sees any relationship, not just linear). Everything stays in exact
+    integer counts until the log: each term feeds ln() a RATIO OF
+    INT64 PRODUCTS (cxy*N)/(cx*cy) so both engines call libm on the
+    identical double, per-term results round to integer MICRO-NATS,
+    and the final sums are order-independent integer adds (the
+    `kl_divergence_langs` replay-exactness recipe). Also emits the
+    marginal entropies and the sqrt-normalized NMI (the [0,1]
+    clustering-comparison form). Joint table is |X|x|Y| (~50 cells) —
+    the aggregate is partial-aggregable and the joins are broadcast-
+    sized at any corpus scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        F.col("event_type").alias("x"),
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("y"),
+    )
+    joint = base.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+    joint = joint.localCheckpoint(eager=False)
+    mx = joint.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("cxy").cast("bigint").alias("cy"))
+    tot = joint.agg(F.sum("cxy").cast("bigint").alias("n"))
+    mi6 = (
+        joint.join(F.broadcast(mx), "x").join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("cxy")
+                * F.log((F.col("cxy") * F.col("n")).cast("double") / (F.col("cx") * F.col("cy")))
+                * 1000000.0
+            ).cast("bigint").alias("t6")
+        )
+        .agg(F.sum("t6").alias("mi6"))
+    )
+    hx6 = (
+        mx.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("cx") * F.log(F.col("n").cast("double") / F.col("cx")) * 1000000.0
+            ).cast("bigint").alias("t6")
+        )
+        .agg(F.sum("t6").alias("hx6"))
+    )
+    hy6 = (
+        my.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("cy") * F.log(F.col("n").cast("double") / F.col("cy")) * 1000000.0
+            ).cast("bigint").alias("t6")
+        )
+        .agg(F.sum("t6").alias("hy6"))
+    )
+    j = tot.crossJoin(F.broadcast(mi6)).crossJoin(F.broadcast(hx6)).crossJoin(F.broadcast(hy6))
+    mi = F.col("mi6").cast("double") / 1000000.0 / F.col("n")
+    hx = F.col("hx6").cast("double") / 1000000.0 / F.col("n")
+    hy = F.col("hy6").cast("double") / 1000000.0 / F.col("n")
+    return j.select(
+        F.col("n").alias("n_events"),
+        F.round(mi, 6).alias("mi_nats"),
+        F.round(hx, 6).alias("h_x"),
+        F.round(hy, 6).alias("h_y"),
+        F.round(mi / F.sqrt(hx * hy), 6).alias("nmi_sqrt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation per market segment (integer Σd² formula)
+# ---------------------------------------------------------------------------
+
+@query(
+    "spearman_rank_correlation",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderkey AS k,
+             o.o_totalprice AS price, c.c_acctbal AS bal
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+      SELECT seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY price, k) AS rp,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY bal, k) AS rb
+      FROM j
+    ),
+    agg AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((rp - rb) * (rp - rb)) AS BIGINT) AS sum_d2
+      FROM ranked GROUP BY seg
+    )
+    SELECT seg, n, sum_d2,
+           ROUND(1.0 - 6.0 * sum_d2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0)), 6)
+             AS spearman_rho
+    FROM agg
+    """,
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN'S RHO between order price and the customer's account
+    balance, per market segment — the robust (monotonic, not linear)
+    correlation; Pearson on RANKS, computed via the exact integer
+    Σd² identity rho = 1 - 6Σd²/(n(n²-1)) so the whole pipeline is
+    integer arithmetic until one final division (no mean-centering,
+    no float accumulation order to disagree on). Ranks are dense
+    per-segment windows — PARTITIONED, so no single-partition global
+    sort (the `global_id_assignment` scale rule); ties broken by
+    orderkey for a well-defined permutation. At 100 TB the segment
+    partitioning is the parallelism unit; a global variant would
+    range-partition the sort the way `zorder_layout_key` does.
+    Output: one row per segment with n, Σd², and rho."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window
+
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    ranked = j.select(
+        "seg",
+        F.row_number().over(Window.partitionBy("seg").orderBy("price", "k")).alias("rp"),
+        F.row_number().over(Window.partitionBy("seg").orderBy("bal", "k")).alias("rb"),
+    )
+    agg = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("rp") - F.col("rb")) * (F.col("rp") - F.col("rb")))
+        .cast("bigint").alias("sum_d2"),
+    )
+    rho = 1.0 - 6.0 * F.col("sum_d2") / (
+        F.col("n").cast("double") * (F.col("n").cast("double") * F.col("n") - 1.0)
+    )
+    return agg.select("seg", "n", "sum_d2", F.round(rho, 6).alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test + Cramér's V over the event contingency table
+# ---------------------------------------------------------------------------
+
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS x, CAST(FLOOR(value / 50.0) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    joint AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY x, y),
+    mx AS (SELECT x, CAST(SUM(o) AS BIGINT) AS cx FROM joint GROUP BY x),
+    my AS (SELECT y, CAST(SUM(o) AS BIGINT) AS cy FROM joint GROUP BY y),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST((SELECT COUNT(*) FROM mx) AS BIGINT) AS kx,
+             CAST((SELECT COUNT(*) FROM my) AS BIGINT) AS ky
+      FROM joint
+    ),
+    cells AS (
+      SELECT CAST(ROUND(
+               CAST(j.o * t.n - mx.cx * my.cy AS DOUBLE)
+               * CAST(j.o * t.n - mx.cx * my.cy AS DOUBLE)
+               / CAST(t.n * mx.cx * my.cy AS DOUBLE) * 1000000.0
+             ) AS BIGINT) AS t6
+      FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot t
+    )
+    SELECT t.n AS n_events,
+           (t.kx - 1) * (t.ky - 1) AS dof,
+           ROUND(CAST((SELECT SUM(t6) FROM cells) AS DOUBLE) / 1000000.0, 4) AS chi2,
+           ROUND(CAST((SELECT SUM(t6) FROM cells) AS DOUBLE) / 1000000.0
+                 / ((t.kx - 1) * (t.ky - 1)), 4) AS chi2_per_dof,
+           ROUND(SQRT(CAST((SELECT SUM(t6) FROM cells) AS DOUBLE) / 1000000.0
+                      / (t.n * CASE WHEN t.kx < t.ky THEN t.kx - 1 ELSE t.ky - 1 END)), 6)
+             AS cramers_v
+    FROM tot t
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEARSON'S CHI-SQUARE test of independence on the (event_type x
+    value-band) contingency table, plus CRAMÉR'S V — the [0,1] effect
+    size that, unlike the raw statistic, doesn't grow with n (the A/B
+    platform's guard against 'significant but trivial'). The identity
+    used keeps everything exactly replayable: (o-e)²/e is rewritten as
+    d²/(n·cx·cy) with d = o·n - cx·cy an EXACT int64 (never squared in
+    integer space — d² would overflow at sf0.1; the square happens in
+    IEEE double where +-*/ are bit-identical across engines), each
+    cell micro-rounds to int, the sum is order-free integer addition.
+    Contingency table is |X|x|Y| (~50 cells) from one partial-agg pass
+    over the fact table; marginal joins are broadcast at any scale.
+    Output: n, degrees of freedom, chi2, chi2/dof, Cramér's V."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        F.col("event_type").alias("x"),
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("y"),
+    )
+    joint = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    ).localCheckpoint(eager=False)
+    mx = joint.groupBy("x").agg(F.sum("o").cast("bigint").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("o").cast("bigint").alias("cy"))
+    kx = mx.agg(F.count(F.lit(1)).cast("bigint").alias("kx"))
+    ky = my.agg(F.count(F.lit(1)).cast("bigint").alias("ky"))
+    tot = (
+        joint.agg(F.sum("o").cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(kx)).crossJoin(F.broadcast(ky))
+    )
+    d = (F.col("o") * F.col("n") - F.col("cx") * F.col("cy")).cast("double")
+    cells6 = (
+        joint.join(F.broadcast(mx), "x").join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                d * d / (F.col("n") * F.col("cx") * F.col("cy")).cast("double")
+                * 1000000.0
+            ).cast("bigint").alias("t6")
+        )
+        .agg(F.sum("t6").alias("s6"))
+    )
+    j = tot.crossJoin(F.broadcast(cells6))
+    chi2 = F.col("s6").cast("double") / 1000000.0
+    dof = (F.col("kx") - 1) * (F.col("ky") - 1)
+    mindim = F.when(F.col("kx") < F.col("ky"), F.col("kx") - 1).otherwise(F.col("ky") - 1)
+    return j.select(
+        F.col("n").alias("n_events"),
+        dof.alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(chi2 / dof, 4).alias("chi2_per_dof"),
+        F.round(F.sqrt(chi2 / (F.col("n") * mindim)), 6).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump — exact best Gini split via cumulative bucket counts
+# ---------------------------------------------------------------------------
+
+@query(
+    "decision_stump_best_split",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL
+    ),
+    buckets AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM base GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket,
+             SUM(n) OVER (ORDER BY bucket) AS nl,
+             SUM(p) OVER (ORDER BY bucket) AS pl,
+             (SELECT SUM(n) FROM buckets) AS nt,
+             (SELECT SUM(p) FROM buckets) AS pt
+      FROM buckets
+    ),
+    cand AS (
+      SELECT CAST((bucket + 1) * 10.0 AS DOUBLE) AS threshold,
+             CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
+             CAST(pl AS BIGINT) AS pos_left, CAST(pt - pl AS BIGINT) AS pos_right,
+             CAST(ROUND(
+               (2.0 * pl * (nl - pl) / CAST(nl AS DOUBLE)
+                + 2.0 * (pt - pl) * ((nt - nl) - (pt - pl)) / CAST(nt - nl AS DOUBLE))
+               / CAST(nt AS DOUBLE) * 1000000.0) AS BIGINT) AS gini6
+      FROM cum WHERE nl < nt
+    )
+    SELECT threshold, n_left, n_right, pos_left, pos_right,
+           ROUND(CAST(gini6 AS DOUBLE) / 1000000.0, 6) AS weighted_gini
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (ORDER BY gini6, threshold) = 1
+    """,
+)
+def decision_stump_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION STUMP learning — the exact best binary split of `value`
+    for predicting click events by weighted GINI IMPURITY, the inner
+    loop of every tree ensemble (XGBoost/LightGBM grow trees from
+    exactly this histogram-of-buckets + cumulative-scan shape). One
+    partial-agg pass builds the (bucket, count, positives) histogram
+    (~50 rows), a single ordered prefix-scan turns it into every
+    candidate split's left/right class counts SIMULTANEOUSLY (the
+    cumulative trick that makes split-finding O(buckets) not
+    O(buckets x rows)), and binary Gini is computed as 2p(1-p) scaled
+    to micro-units for a tie-free integer argmin. The window is over
+    the ~50-row histogram, not the fact table — single-partition is
+    FINE there (histogram size is fixed by bucketing, independent of
+    corpus scale). Output: the winning threshold with its split
+    counts and impurity — the stump a boosting round would commit."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    from pyspark.sql.window import Window
+
+    base = ev.select(
+        F.floor(F.col("value") / 10.0).cast("bigint").alias("bucket"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("pos"),
+    )
+    buckets = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    ).localCheckpoint(eager=False)
+    tot = buckets.agg(
+        F.sum("n").cast("bigint").alias("nt"), F.sum("p").cast("bigint").alias("pt")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.select(
+        "bucket",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("p").over(w).alias("pl"),
+    ).crossJoin(F.broadcast(tot))
+    nl, pl = F.col("nl"), F.col("pl")
+    nr, pr = F.col("nt") - nl, F.col("pt") - pl
+    gini6 = F.round(
+        (
+            2.0 * pl * (nl - pl) / nl.cast("double")
+            + 2.0 * pr * (nr - pr) / nr.cast("double")
+        )
+        / F.col("nt").cast("double")
+        * 1000000.0
+    ).cast("bigint")
+    cand = cum.filter(nl < F.col("nt")).select(
+        ((F.col("bucket") + 1) * 10.0).alias("threshold"),
+        nl.cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        pl.cast("bigint").alias("pos_left"),
+        pr.cast("bigint").alias("pos_right"),
+        gini6.alias("gini6"),
+    )
+    best = cand.withColumn(
+        "rn", F.row_number().over(Window.orderBy("gini6", "threshold"))
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "threshold", "n_left", "n_right", "pos_left", "pos_right",
+        F.round(F.col("gini6").cast("double") / 1000000.0, 6).alias("weighted_gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
