@@ -17160,6 +17160,247 @@ def decision_stump_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Brown's double exponential smoothing — level+trend forecast, window-only
+# ---------------------------------------------------------------------------
+
+# Truncated geometric kernel (alpha=0.3, 12 taps; tail mass 0.7^12 < 1.4%),
+# literal constants shared by both engines — same rationale as _EWMA_W.
+_SES_W = [0.3 * 0.7 ** j for j in range(12)]
+_SES_RAT = 0.3 / 0.7  # alpha/(1-alpha), inlined as one double literal
+
+
+def _ses_unroll(col: str) -> str:
+    """SQL for the truncated, presence-normalized smoothing of `col`
+    (lag-unroll over the day-ordered series — no recursion)."""
+    num = " + ".join(
+        f"COALESCE({w!r} * l{j}_{col}, 0.0)" if j else f"{w!r} * {col}"
+        for j, w in enumerate(_SES_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN l{j}_{col} IS NULL THEN 0.0 ELSE {w!r} END" if j else f"{w!r}"
+        for j, w in enumerate(_SES_W)
+    )
+    return f"({num}) / ({den})"
+
+
+@query(
+    "holt_brown_double_smoothing",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    lag1 AS (
+      SELECT day, y,
+             {" ".join(f"LAG(y, {j}) OVER (ORDER BY day) AS l{j}_y," for j in range(1, 12))}
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    s1t AS (SELECT day, rn, n, {_ses_unroll("y")} AS s1 FROM lag1),
+    lag2 AS (
+      SELECT day, rn, n, s1,
+             {" ".join(f"LAG(s1, {j}) OVER (ORDER BY day) AS l{j}_s1," for j in range(1, 12))}
+             1 AS _pad
+      FROM s1t
+    ),
+    s2t AS (SELECT day, rn, n, s1, {_ses_unroll("s1")} AS s2 FROM lag2)
+    SELECT day AS last_day,
+           ROUND(s1, 6) AS s1, ROUND(s2, 6) AS s2,
+           ROUND(2.0 * s1 - s2, 6) AS level,
+           ROUND({_SES_RAT!r} * (s1 - s2), 6) AS trend,
+           ROUND((2.0 * s1 - s2) + 1.0 * ({_SES_RAT!r} * (s1 - s2)), 6) AS forecast_h1,
+           ROUND((2.0 * s1 - s2) + 7.0 * ({_SES_RAT!r} * (s1 - s2)), 6) AS forecast_h7
+    FROM s2t WHERE rn = n
+    """,
+)
+def holt_brown_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN'S DOUBLE EXPONENTIAL SMOOTHING over the daily event-count
+    series — the classic level+trend forecaster (S1 = smoothed series,
+    S2 = smoothed S1; level = 2S1-S2, trend = α/(1-α)·(S1-S2), h-step
+    forecast = level + h·trend). The sequential recurrence is recast
+    as TWO truncated-kernel window passes (12 taps, presence-
+    normalized — the `ewma_event_smoothing` trick squared), so Spark
+    runs it as two ordered windows over the ~30-row DAILY ROLLUP, not
+    an iteration, and not over the raw fact table — the single-
+    partition window is bounded by calendar days, independent of
+    corpus scale. Kernel weights and α/(1-α) are shared double
+    literals; y is an exact integer count, so both engines replay the
+    identical IEEE arithmetic. Output: the final day's S1/S2, level,
+    trend, and the 1-day / 7-day-ahead forecasts — the capacity
+    number a planner reads tomorrow morning."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    w = Window.orderBy("day")
+
+    def smooth(col: str):
+        lags = [F.col(col)] + [F.lag(col, j).over(w) for j in range(1, 12)]
+        num = F.lit(_SES_W[0]) * lags[0]
+        den = F.lit(_SES_W[0])
+        for j in range(1, 12):
+            num = num + F.coalesce(F.lit(_SES_W[j]) * lags[j], F.lit(0.0))
+            den = den + F.when(lags[j].isNull(), F.lit(0.0)).otherwise(F.lit(_SES_W[j]))
+        return num / den
+
+    s1t = daily.select(
+        "day", "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+        smooth("y").alias("s1"),
+    )
+    s2t = s1t.select("day", "rn", "n", "s1", smooth("s1").alias("s2"))
+    level = 2.0 * F.col("s1") - F.col("s2")
+    trend = F.lit(_SES_RAT) * (F.col("s1") - F.col("s2"))
+    return s2t.filter(F.col("rn") == F.col("n")).select(
+        F.col("day").alias("last_day"),
+        F.round("s1", 6).alias("s1"),
+        F.round("s2", 6).alias("s2"),
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(level + 1.0 * trend, 6).alias("forecast_h1"),
+        F.round(level + 7.0 * trend, 6).alias("forecast_h7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking — greedy maximal marginal relevance, unrolled
+# ---------------------------------------------------------------------------
+
+_MMR_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _mmr_oracle(k: int = 5) -> str:
+    head = f"""
+    WITH qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS vec FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS (
+      SELECT vec_id, vec, rel FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec,
+               {_MMR_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.vec")} AS rel
+        FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
+      ) ORDER BY rel DESC, vec_id LIMIT 12
+    ),
+    pair AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {_MMR_COS.format(a="a.vec", b="b.vec")} AS cos
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (SELECT vec_id, rel, 0.7 * rel AS mmr
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1)"""
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+    st{i} AS (
+      SELECT c.vec_id, c.rel, 0.7 * c.rel - 0.3 * MAX(p.cos) AS mmr
+      FROM cand c JOIN pair p ON p.ia = c.vec_id
+                             AND p.ib IN (SELECT vec_id FROM sel{i - 1})
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      GROUP BY c.vec_id, c.rel
+    ),
+    s{i} AS (SELECT vec_id, rel, mmr FROM st{i} ORDER BY mmr DESC, vec_id LIMIT 1),
+    sel{i} AS (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i})""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, vec_id, rel, mmr FROM s{i}" for i in range(1, k + 1)
+    )
+    return (
+        head + "".join(steps)
+        + f"""
+    SELECT CAST(step AS BIGINT) AS step, vec_id,
+           ROUND(rel, 6) AS relevance, ROUND(mmr, 6) AS mmr_score
+    FROM ({union})
+    """
+    )
+
+
+@query("mmr_diversified_rerank", oracle=_mmr_oracle())
+def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein 1998) — the
+    diversity reranker RAG context builders run after ANN retrieval:
+    greedily pick argmax of λ·rel(d,q) - (1-λ)·max_{s∈S} sim(d,s),
+    λ=0.7, so each next document is relevant to the query but NOT
+    redundant with what's already selected (the failure mode
+    `rag_context_assembly` inherits when top-k returns five copies of
+    the same paragraph). Greedy selection is inherently sequential in
+    k but NOT in the data: the candidate pool is a top-12 TakeOrdered
+    over the corpus-wide relevance scan (distributed, per-partition
+    heaps), the 12x12 sim matrix is one tiny self-join, and the 5
+    unrolled selection steps run over pool-sized frames — the oracle
+    unrolls the identical greedy loop in SQL. All scores are IEEE
+    double compositions of sequential dots (bit-identical across
+    engines, cf. `knn_graph_mutual`). Output: the 5 picks in
+    selection order with relevance and MMR score — watch redundant
+    near-duplicates of pick 1 fall below diverse picks."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    qv = e.filter(F.col("vec_id") == 0).select(vec.alias("qvec"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            vec.alias("vec"),
+            sim_ops.cosine(vec, F.col("qvec")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(12)
+        .localCheckpoint(eager=False)
+    )
+    c2 = cand.select(
+        F.col("vec_id").alias("ib"), F.col("vec").alias("vec_b")
+    )
+    pair = (
+        cand.join(F.broadcast(c2), F.col("vec_id") != F.col("ib"))
+        .select(
+            F.col("vec_id").alias("ia"), "ib",
+            sim_ops.cosine(F.col("vec"), F.col("vec_b")).alias("cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    picked = (
+        cand.orderBy(F.desc("rel"), "vec_id").limit(1)
+        .select(F.lit(1).alias("step"), "vec_id", "rel", (0.7 * F.col("rel")).alias("mmr"))
+    )
+    for i in range(2, 6):
+        sel_ids = picked.select("vec_id")
+        scored = (
+            cand.join(sel_ids.withColumnRenamed("vec_id", "_s"), F.col("vec_id") == F.col("_s"), "left_anti")
+            .join(pair, F.col("vec_id") == F.col("ia"))
+            .join(
+                F.broadcast(sel_ids.withColumnRenamed("vec_id", "_sel")),
+                F.col("ib") == F.col("_sel"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("cos").alias("max_sim"))
+            .select(
+                "vec_id", "rel",
+                (0.7 * F.col("rel") - 0.3 * F.col("max_sim")).alias("mmr"),
+            )
+        )
+        nxt = scored.orderBy(F.desc("mmr"), "vec_id").limit(1).select(
+            F.lit(i).alias("step"), "vec_id", "rel", "mmr"
+        )
+        picked = picked.unionByName(nxt).localCheckpoint(eager=False)
+    return picked.select(
+        F.col("step").cast("bigint").alias("step"), "vec_id",
+        F.round("rel", 6).alias("relevance"),
+        F.round("mmr", 6).alias("mmr_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
