@@ -17401,6 +17401,240 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (train/test split, integer
+# micro-nat log-weights so scoring is order-free and replay-exact)
+# ---------------------------------------------------------------------------
+
+@query(
+    "naive_bayes_lang_classifier",
+    oracle="""
+    WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+    test  AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+    ttr AS (
+      SELECT lang, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      t -> t <> '')) AS term
+      FROM train
+    ),
+    cws AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c FROM ttr GROUP BY lang, term),
+    ns  AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_s FROM cws GROUP BY lang),
+    vocab AS (SELECT DISTINCT term FROM cws),
+    vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    prior AS (
+      SELECT lang, CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+                                  / (SELECT COUNT(*) FROM train)) * 1000000.0)
+                        AS BIGINT) AS prior6
+      FROM train GROUP BY lang
+    ),
+    grid AS (
+      SELECT v.term, s.lang,
+             CAST(ROUND(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                           / (s.n_s + (SELECT v FROM vsize))) * 1000000.0)
+                  AS BIGINT) AS w6
+      FROM vocab v CROSS JOIN ns s
+      LEFT JOIN cws c ON c.term = v.term AND c.lang = s.lang
+    ),
+    tte AS (
+      SELECT doc_id, lang AS true_lang,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t <> '')) AS term
+      FROM test
+    ),
+    dterm AS (SELECT doc_id, true_lang, term, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tte GROUP BY doc_id, true_lang, term),
+    scores AS (
+      SELECT d.doc_id, d.true_lang, g.lang,
+             p.prior6 + CAST(SUM(d.c * g.w6) AS BIGINT) AS score6
+      FROM dterm d JOIN grid g ON g.term = d.term
+      JOIN prior p ON p.lang = g.lang
+      GROUP BY d.doc_id, d.true_lang, g.lang, p.prior6
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang
+      FROM scores
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score6 DESC, lang ASC) = 1
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+)
+def naive_bayes_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTINOMIAL NAIVE BAYES trained on the even-id half of the
+    corpus and scored on the odd half — the generative counterpart to
+    the heuristic `text_lang_id_confusion`: log P(lang) + Σ c_w·log
+    P(w|lang) with add-1 smoothing over the train vocabulary (OOV test
+    tokens ignored, the standard multinomial convention). Every log
+    weight feeds ln() a RATIO OF EXACT INTEGERS and lands on the
+    integer MICRO-NAT grid, so the per-doc score is a sum of int64
+    products — order-free, replay-exact, and the argmax is a clean
+    integer comparison with a lexicographic tiebreak. Shapes are the
+    scalable ones: token explode → (lang, term) counts; the smoothing
+    grid is vocab x |langs| (dictionary-sized, broadcast); scoring is
+    one join from doc-term counts to the grid and a partial-agg sum —
+    the same postings-join shape as `bm25_keyword_search`. Output:
+    the test confusion matrix — the table that says which languages
+    the bag-of-words model actually separates."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    ttr = train.select("lang", F.explode(text_ops.tokens("text")).alias("term"))
+    cws = ttr.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)
+    ns = cws.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_s"))
+    vocab = cws.select("term").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_s"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.col("n_docs_s").cast("double") / F.col("n_train")) * 1000000.0
+            ).cast("bigint").alias("prior6"),
+        )
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(vsize))
+        .join(cws.withColumnRenamed("c", "_c"), ["term", "lang"], "left")
+        .select(
+            "term", "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_s") + F.col("v"))
+                ) * 1000000.0
+            ).cast("bigint").alias("w6"),
+        )
+    )
+    tte = test.select(
+        "doc_id", F.col("lang").alias("true_lang"),
+        F.explode(text_ops.tokens("text")).alias("term"),
+    )
+    dterm = tte.groupBy("doc_id", "true_lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    scores = (
+        dterm.join(grid.withColumnRenamed("lang", "s_lang"), "term")
+        .groupBy("doc_id", "true_lang", "s_lang")
+        .agg(F.sum(F.col("c") * F.col("w6")).cast("bigint").alias("like6"))
+        .join(F.broadcast(prior.withColumnRenamed("lang", "s_lang")), "s_lang")
+        .select(
+            "doc_id", "true_lang", "s_lang",
+            (F.col("prior6") + F.col("like6")).alias("score6"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    pred = (
+        scores.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("score6"), F.asc("s_lang"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("s_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities on the customer→part purchase digraph
+# ---------------------------------------------------------------------------
+
+@query(
+    "hits_hubs_authorities",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_partkey % 7 = 0
+    ),
+    a1r AS (
+      SELECT auth, CAST(COUNT(*) AS DOUBLE) AS a_raw FROM edges GROUP BY auth
+    ),
+    a1n AS (SELECT CAST(SUM(CAST(a_raw AS DECIMAL(28,6))) AS DOUBLE) AS s FROM a1r),
+    a1 AS (SELECT auth, CAST(ROUND(a_raw / (SELECT s FROM a1n), 12)
+                             AS DECIMAL(28,12)) AS a FROM a1r),
+    h1r AS (
+      SELECT e.hub, SUM(a1.a) AS h_raw
+      FROM edges e JOIN a1 ON a1.auth = e.auth GROUP BY e.hub
+    ),
+    h1n AS (SELECT CAST(SUM(h_raw) AS DOUBLE) AS s FROM h1r),
+    h1 AS (SELECT hub, CAST(ROUND(CAST(h_raw AS DOUBLE) / (SELECT s FROM h1n), 12)
+                            AS DECIMAL(28,12)) AS h FROM h1r),
+    a2r AS (
+      SELECT e.auth, SUM(h1.h) AS a_raw
+      FROM edges e JOIN h1 ON h1.hub = e.hub GROUP BY e.auth
+    ),
+    a2n AS (SELECT CAST(SUM(a_raw) AS DOUBLE) AS s FROM a2r),
+    a2 AS (SELECT auth, ROUND(CAST(a_raw AS DOUBLE) / (SELECT s FROM a2n), 12) AS a
+           FROM a2r)
+    SELECT auth AS part_key, ROUND(a * 1000.0, 9) AS authority_permille
+    FROM a2
+    QUALIFY ROW_NUMBER() OVER (ORDER BY a DESC, auth ASC) <= 15
+    """,
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg's hubs & authorities) on the bipartite
+    customer→part purchase digraph — customers are hubs, parts are
+    authorities, and unlike `pagerank_copurchase`'s single undirected
+    score the mutual recursion ranks the two SIDES of the graph
+    separately (good hubs buy authoritative parts; authoritative
+    parts are bought by good hubs). Two power iterations with
+    sum-normalization, every intermediate snapped to the DECIMAL
+    12-dp grid before the next aggregation (the pagerank decimal-grid
+    trick) so partial-agg sums are order-free and both engines walk
+    the identical lattice. Each iteration is one edge-table join +
+    partial-agg — the O(|E|) shape that scales; no dense matrix
+    materializes. Output: top-15 authority parts (per-mille scores) —
+    the 'canonical items' list a recommender seeds from."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 7 == 0)
+    from pyspark.sql.window import Window
+
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a1r = edges.groupBy("auth").agg(F.count(F.lit(1)).cast("double").alias("a_raw"))
+    a1s = a1r.agg(
+        F.sum(F.col("a_raw").cast("decimal(28,6)")).cast("double").alias("s")
+    )
+    a1 = a1r.crossJoin(F.broadcast(a1s)).select(
+        "auth",
+        F.round(F.col("a_raw") / F.col("s"), 12).cast("decimal(28,12)").alias("a"),
+    )
+    h1r = edges.join(a1, "auth").groupBy("hub").agg(F.sum("a").alias("h_raw"))
+    h1s = h1r.agg(F.sum("h_raw").cast("double").alias("s"))
+    h1 = h1r.crossJoin(F.broadcast(h1s)).select(
+        "hub",
+        F.round(F.col("h_raw").cast("double") / F.col("s"), 12)
+        .cast("decimal(28,12)").alias("h"),
+    )
+    a2r = edges.join(h1, "hub").groupBy("auth").agg(F.sum("h").alias("a_raw"))
+    a2s = a2r.agg(F.sum("a_raw").cast("double").alias("s"))
+    a2 = a2r.crossJoin(F.broadcast(a2s)).select(
+        "auth", F.round(F.col("a_raw").cast("double") / F.col("s"), 12).alias("a")
+    )
+    top = a2.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("a"), F.asc("auth")))
+    ).filter(F.col("rn") <= 15)
+    return top.select(
+        F.col("auth").alias("part_key"),
+        F.round(F.col("a") * 1000.0, 9).alias("authority_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
