@@ -17635,6 +17635,241 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (the LM alternative
+# to BM25, same postings shapes, integer-ratio logs)
+# ---------------------------------------------------------------------------
+
+@query(
+    "query_likelihood_dirichlet",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM toks),
+    n AS (SELECT CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dl),
+    tf AS (
+      SELECT doc_id, lower(t.term) AS term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, unnest(tok) AS t(term)
+      WHERE lower(t.term) IN {tuple(_BM25_TERMS)}
+      GROUP BY doc_id, lower(t.term)
+    ),
+    cf AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY term),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(ROUND(ln(CAST(COALESCE(tf.c, 0) * n.n_tokens + 2000 * cf.cf AS DOUBLE)
+                           / CAST(n.n_tokens * (d.dl + 2000) AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS t6
+      FROM dl d CROSS JOIN cf
+      CROSS JOIN n
+      LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = cf.term
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(t6) AS BIGINT) AS score6 FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(CAST(score6 AS DOUBLE) / 1000000.0, 4) AS ql_log_score
+    FROM per_doc
+    QUALIFY ROW_NUMBER() OVER (ORDER BY score6 DESC, doc_id) <= 20
+    """,
+)
+def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY-LIKELIHOOD retrieval with DIRICHLET SMOOTHING (Zhai &
+    Lafferty 2001), the language-model alternative to
+    `bm25_keyword_search` over the same 3-term query: score(d) =
+    Σ_w ln( (c_wd + μ·P(w|C)) / (|d| + μ) ), μ=2000 — rewritten as
+    the INT64 ratio (c_wd·N + μ·cf_w) / (N·(|d|+μ)) so ln() sees the
+    identical double in both engines, per-term micro-nats round to
+    integers, and per-doc sums are order-free. Unlike BM25, every
+    document scores every query term (the collection model gives
+    absent terms smoothing mass — that's the point of LM retrieval),
+    so the plan is dl x cf (docs x 3 terms) with a LEFT join to the
+    postings — still linear in corpus size, broadcast dictionary.
+    Output: top-20 docs by log-likelihood."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = d.select("doc_id", text_ops.tokens("text").alias("tok"))
+    dl = toks.select("doc_id", F.size("tok").cast("bigint").alias("dl"))
+    dl = dl.localCheckpoint(eager=False)
+    n = dl.agg(F.sum("dl").cast("bigint").alias("n_tokens"))
+    tf = (
+        toks.select("doc_id", F.explode("tok").alias("term"))
+        .select("doc_id", F.lower("term").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cf = tf.groupBy("term").agg(F.sum("c").cast("bigint").alias("cf"))
+    scored = (
+        dl.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(n))
+        .join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) * F.col("n_tokens")
+                     + 2000 * F.col("cf")).cast("double")
+                    / (F.col("n_tokens") * (F.col("dl") + 2000)).cast("double")
+                ) * 1000000.0
+            ).cast("bigint").alias("t6"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.sum("t6").cast("bigint").alias("score6"))
+    return (
+        per_doc.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("score6"), F.asc("doc_id")))
+        )
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", F.round(F.col("score6").cast("double") / 1000000.0, 4).alias("ql_log_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio relevance feedback — refined query vector + re-retrieval
+# ---------------------------------------------------------------------------
+
+@query(
+    "rocchio_relevance_feedback",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS vec,
+             label AS qlabel
+      FROM embeddings WHERE vec_id = 0
+    ),
+    qd AS (
+      SELECT d.d AS dim, q.vec[d.d + 1] AS qx, q.qlabel
+      FROM q CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d
+    ),
+    rel AS (
+      SELECT d.d AS dim,
+             CAST(SUM(CAST(ROUND(CAST(e.embedding[d.d + 1] AS DOUBLE), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d
+      WHERE e.vec_id <> 0 AND e.label = (SELECT qlabel FROM q)
+      GROUP BY d.d
+    ),
+    non AS (
+      SELECT d.d AS dim,
+             CAST(SUM(CAST(ROUND(CAST(e.embedding[d.d + 1] AS DOUBLE), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d
+      WHERE e.vec_id <> 0 AND e.label <> (SELECT qlabel FROM q)
+      GROUP BY d.d
+    ),
+    qprime AS (
+      SELECT qd.dim,
+             ROUND(1.0 * qd.qx + 0.75 * (rel.sx / rel.n)
+                   - 0.15 * (non.sx / non.n), 9) AS qp
+      FROM qd JOIN rel ON rel.dim = qd.dim JOIN non ON non.dim = qd.dim
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             CAST(SUM(CAST(ROUND(CAST(e.embedding[p.dim + 1] AS DOUBLE) * p.qp, 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS dot
+      FROM embeddings e CROSS JOIN qprime p
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, ROUND(dot, 6) AS rocchio_dot,
+           (label = (SELECT qlabel FROM q)) AS same_label
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY ROUND(dot, 6) DESC, vec_id) <= 10
+    """,
+)
+def rocchio_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROCCHIO RELEVANCE FEEDBACK (α=1, β=0.75, γ=0.15): the refined
+    query vector q' = α·q + β·centroid(relevant) - γ·centroid(
+    non-relevant) — the classical pseudo-feedback loop dense
+    retrievers still mirror (HyDE, PRF-fusion); relevance is played
+    by the query's own label. Means use the `kmeans_one_step` DECIMAL
+    grid (round-to-1e-9 then exact decimal sums) so the centroids are
+    order-free; q' lands on the 9-dp grid; re-retrieval scores every
+    corpus vector by DOT with per-dim products snapped to the same
+    grid before the exact decimal per-doc sum. Everything is explode
+    + partial-agg: the q' table is 64 broadcast rows, corpus vectors
+    stream through once — no pairwise matrix. Output: top-10 after
+    feedback with a same-label flag (watch precision@10 beat the raw
+    query's — that's the β pull toward the relevant centroid)."""
+    e = _t(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    dimtab = spark.range(64).select(F.col("id").cast("int").alias("dim"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("vec"),
+        F.col("label").alias("qlabel"),
+    )
+    qd = q.crossJoin(F.broadcast(dimtab)).select(
+        "dim", F.element_at("vec", F.col("dim") + 1).alias("qx"), "qlabel"
+    )
+    rest = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q.select("qlabel")))
+    expl = rest.select(
+        "vec_id", "label", "qlabel",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    rel = (
+        expl.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round("x", 9).cast("decimal(20,9)")).cast("double").alias("sx"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    non = (
+        expl.filter(F.col("label") != F.col("qlabel"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round("x", 9).cast("decimal(20,9)")).cast("double").alias("sx"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    qprime = (
+        qd.join(rel.select("dim", F.col("sx").alias("rsx"), F.col("n").alias("rn_")), "dim")
+        .join(non.select("dim", F.col("sx").alias("nsx"), F.col("n").alias("nn_")), "dim")
+        .select(
+            "dim",
+            F.round(
+                1.0 * F.col("qx")
+                + 0.75 * (F.col("rsx") / F.col("rn_"))
+                - 0.15 * (F.col("nsx") / F.col("nn_")),
+                9,
+            ).alias("qp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label",
+                F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+        .join(F.broadcast(qprime), "dim")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(F.col("x") * F.col("qp"), 9).cast("decimal(20,9)"))
+            .cast("double").alias("dot")
+        )
+    )
+    out = scored.crossJoin(F.broadcast(q.select("qlabel"))).select(
+        "vec_id", "label",
+        F.round("dot", 6).alias("rocchio_dot"),
+        (F.col("label") == F.col("qlabel")).alias("same_label"),
+    )
+    return (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("rocchio_dot"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
