@@ -17870,6 +17870,168 @@ def rocchio_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fano factor / burstiness of the event arrival process, per event type
+# ---------------------------------------------------------------------------
+
+@query(
+    "burstiness_fano_factor",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT CAST(date_diff('hour', MIN(date_trunc('hour', ts)),
+                            MAX(date_trunc('hour', ts))) + 1 AS BIGINT) AS n_hours
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_nonzero
+      FROM hourly GROUP BY event_type
+    )
+    SELECT s.event_type, t.n_hours, s.n_nonzero,
+           ROUND(CAST(s.s1 AS DOUBLE) / t.n_hours, 6) AS mean_per_hour,
+           ROUND(CAST(s.s2 AS DOUBLE) / t.n_hours
+                 - (CAST(s.s1 AS DOUBLE) / t.n_hours)
+                   * (CAST(s.s1 AS DOUBLE) / t.n_hours), 6) AS var_per_hour,
+           ROUND((CAST(s.s2 AS DOUBLE) / t.n_hours
+                  - (CAST(s.s1 AS DOUBLE) / t.n_hours)
+                    * (CAST(s.s1 AS DOUBLE) / t.n_hours))
+                 / (CAST(s.s1 AS DOUBLE) / t.n_hours), 6) AS fano_factor,
+           ROUND((SQRT(CAST(s.s2 AS DOUBLE) / t.n_hours
+                       - (CAST(s.s1 AS DOUBLE) / t.n_hours)
+                         * (CAST(s.s1 AS DOUBLE) / t.n_hours))
+                  - CAST(s.s1 AS DOUBLE) / t.n_hours)
+                 / (SQRT(CAST(s.s2 AS DOUBLE) / t.n_hours
+                         - (CAST(s.s1 AS DOUBLE) / t.n_hours)
+                           * (CAST(s.s1 AS DOUBLE) / t.n_hours))
+                    + CAST(s.s1 AS DOUBLE) / t.n_hours), 6) AS burstiness_b
+    FROM stats s CROSS JOIN span t
+    """,
+)
+def burstiness_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FANO FACTOR (variance-to-mean of hourly arrival counts) and the
+    Goh-Barabási BURSTINESS index B = (σ-μ)/(σ+μ) per event type — the
+    dispersion diagnostics that tell a capacity planner whether
+    traffic is Poisson (F≈1, provision for the mean) or bursty (F≫1,
+    provision for the spikes; cf. `peak_concurrency_analysis` for the
+    actual peak). Zero-count hours COUNT: moments use the full
+    min-to-max hour span as the denominator (n_hours is a scalar, so
+    empty bins never materialize — no calendar explode). Sufficient
+    statistics Σc and Σc² stay exact int64 through the shuffle
+    (partial-aggregable); doubles appear only in the final five
+    expressions. One pass over the fact table, |types| output rows."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    span = ev.agg(
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+            ) / 3600 + 1
+        ).cast("bigint").alias("n_hours")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nonzero"),
+    )
+    j = stats.crossJoin(F.broadcast(span))
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = F.col("s2").cast("double") / F.col("n_hours") - mean * mean
+    sd = F.sqrt(var)
+    return j.select(
+        "event_type", "n_hours", "n_nonzero",
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var, 6).alias("var_per_hour"),
+        F.round(var / mean, 6).alias("fano_factor"),
+        F.round((sd - mean) / (sd + mean), 6).alias("burstiness_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period growth — WoW deltas on an exact weekly revenue rollup
+# ---------------------------------------------------------------------------
+
+@query(
+    "period_over_period_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', o_orderdate) AS wk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DECIMAL(30,2)) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT wk, rev, n_orders,
+             LAG(rev) OVER (ORDER BY wk) AS prev_rev,
+             CAST(SUM(rev) OVER (ORDER BY wk ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(30,2)) AS rev_4wk,
+             CAST(COUNT(*) OVER (ORDER BY wk ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_4wk
+      FROM weekly
+    )
+    SELECT CAST(wk AS DATE) AS week_start,
+           CAST(rev AS DOUBLE) AS revenue,
+           n_orders,
+           ROUND((CAST(rev AS DOUBLE) - CAST(prev_rev AS DOUBLE))
+                 / CAST(prev_rev AS DOUBLE) * 100.0, 4) AS wow_growth_pct,
+           CAST(CAST(rev_4wk * 100 AS BIGINT) // n_4wk AS DOUBLE) / 100.0
+             AS rolling_4wk_avg
+    FROM lagged
+    """,
+)
+def period_over_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEK-OVER-WEEK GROWTH — the most-asked dashboard question,
+    done hash-gate-exact: weekly revenue accumulates in DECIMAL(30,2)
+    (order-free exact sums; raw double SUM would flake under
+    repartition), the WoW delta and the trailing 4-week mean are LAG
+    / ROWS-frame windows over the ~13-row weekly rollup (tiny,
+    bounded by calendar — single partition is fine THERE, never on
+    the fact table), and doubles appear only in the final ratio.
+    NULL growth on the first week is the honest answer, not 0; the
+    trailing average floors to exact CENTS (integer division) because
+    a 2-dp ROUND of a quotient of exact cents lands on true .5 ties
+    where HALF_UP and HALF_EVEN engines disagree.
+    Output: one row per week — revenue, order count, WoW %, trailing
+    average."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    weekly = o.groupBy(F.date_trunc("week", "o_orderdate").alias("wk")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("decimal(30,2)").alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("wk")
+    w4 = w.rowsBetween(-3, 0)
+    lagged = weekly.select(
+        "wk", "rev", "n_orders",
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.sum("rev").over(w4).cast("decimal(30,2)").alias("rev_4wk"),
+        F.count(F.lit(1)).over(w4).cast("bigint").alias("n_4wk"),
+    )
+    return lagged.select(
+        F.col("wk").cast("date").alias("week_start"),
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        F.round(
+            (F.col("rev").cast("double") - F.col("prev_rev").cast("double"))
+            / F.col("prev_rev").cast("double") * 100.0, 4
+        ).alias("wow_growth_pct"),
+        (
+            F.expr("(CAST(rev_4wk * 100 AS BIGINT) div n_4wk)").cast("double") / 100.0
+        ).alias("rolling_4wk_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
