@@ -18032,6 +18032,242 @@ def period_over_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Theil-Sen robust slope on the daily series
+# ---------------------------------------------------------------------------
+
+@query(
+    "mann_kendall_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j, a.y AS yi, b.y AS yj, a.n,
+             CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn,
+             CAST(b.y - a.y AS DOUBLE) / (b.i - a.i) AS slope
+      FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    s_stat AS (
+      SELECT CAST(SUM(sgn) AS BIGINT) AS s, MAX(n) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y HAVING COUNT(*) > 1)
+    ),
+    ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, i, j) AS rn,
+             COUNT(*) OVER () AS np
+      FROM pairs
+    ),
+    med AS (
+      SELECT CAST(SUM(CAST(ROUND(slope, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               / COUNT(*) AS theil_sen_slope
+      FROM ranked WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+    )
+    SELECT s.n AS n_days, s.n_pairs, s.s AS mk_s,
+           ROUND((s.n * (s.n - 1) * (2 * s.n + 5) - t.tie_term) / 18.0, 4) AS var_s,
+           ROUND(CASE WHEN s.s > 0 THEN (s.s - 1)
+                      WHEN s.s < 0 THEN (s.s + 1)
+                      ELSE 0 END
+                 / SQRT((s.n * (s.n - 1) * (2 * s.n + 5) - t.tie_term) / 18.0), 6)
+             AS mk_z,
+           ROUND(m.theil_sen_slope, 6) AS theil_sen_slope
+    FROM s_stat s CROSS JOIN ties t CROSS JOIN med m
+    """,
+)
+def mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test + THEIL-SEN slope on the daily event
+    count series — the nonparametric pair that replaces OLS
+    (`group_trend_ols`) when outliers or non-normality would wreck a
+    least-squares fit: S = Σ sign(y_j - y_i) over all day pairs (pure
+    integer, tie-corrected variance, continuity-corrected Z) and the
+    robust slope = MEDIAN of all pairwise slopes — a single wild day
+    moves OLS arbitrarily but shifts one of 435 slopes. The pair
+    self-join is over the ~30-row DAILY ROLLUP (435 pairs), never the
+    fact table — the O(n²) lives in calendar space, bounded at any
+    corpus scale. Slopes are ratios of exact int64s (identical
+    doubles both engines); the median is positional (row_number
+    selection, decimal-grid average of the two middles). Output: one
+    row — n, S, Var(S), Z, slope/day."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    ).localCheckpoint(eager=False)
+    idx = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).cast("bigint").alias("n"),
+    )
+    b = idx.select(
+        F.col("i").alias("j"), F.col("y").alias("yj"), F.col("n").alias("_n2")
+    )
+    pairs = idx.join(b, F.col("j") > F.col("i")).select(
+        "i", "j", "n",
+        F.when(F.col("yj") > F.col("y"), 1)
+        .when(F.col("yj") < F.col("y"), -1).otherwise(0).alias("sgn"),
+        ((F.col("yj") - F.col("y")).cast("double") / (F.col("j") - F.col("i"))).alias("slope"),
+    ).localCheckpoint(eager=False)
+    s_stat = pairs.agg(
+        F.sum("sgn").cast("bigint").alias("s"),
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    ties = (
+        daily.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope", "i", "j")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("np"),
+    )
+    med = ranked.filter(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    ).agg(
+        (
+            F.sum(F.round("slope", 9).cast("decimal(20,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("theil_sen_slope")
+    )
+    j = s_stat.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(med))
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ) / 18.0
+    z_num = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    return j.select(
+        F.col("n").alias("n_days"), "n_pairs", F.col("s").alias("mk_s"),
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z_num / F.sqrt(var_s), 6).alias("mk_z"),
+        F.round("theil_sen_slope", 6).alias("theil_sen_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked Kendall's tau-b — concordance between price and balance
+# ---------------------------------------------------------------------------
+
+@query(
+    "kendall_tau_blocked",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, date_trunc('month', o.o_orderdate) AS mo,
+             o.o_orderkey AS k, o.o_totalprice AS x, c.c_acctbal AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    pairs AS (
+      SELECT a.seg,
+             CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+                  THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+                  THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty
+      FROM j a JOIN j b ON a.seg = b.seg AND a.mo = b.mo AND a.k < b.k
+    ),
+    agg AS (
+      SELECT seg,
+             CAST(SUM(conc) AS BIGINT) AS c,
+             CAST(SUM(disc) AS BIGINT) AS d,
+             CAST(SUM(tx) AS BIGINT) AS tx,
+             CAST(SUM(ty) AS BIGINT) AS ty,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY seg
+    )
+    SELECT seg, c AS concordant, d AS discordant, n_pairs,
+           ROUND((c - d) / SQRT(CAST(c + d + tx AS DOUBLE) * (c + d + ty)), 6)
+             AS kendall_tau_b
+    FROM agg
+    """,
+)
+def kendall_tau_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU-B between order price and customer balance,
+    BLOCKED by (segment, order month) — concordance counting is
+    inherently O(n²), so the scale move is the same one
+    `record_linkage_fellegi_sunter` makes: restrict pairs to blocks
+    (month x segment keeps blocks a few hundred rows) and aggregate
+    the concordant/discordant/tie counts across blocks per segment —
+    the blocked estimator statisticians call 'pooled tau'. Everything
+    until the final ratio is INTEGER counting (C, D, tie corrections
+    tx/ty), so the result is exact under any partitioning; the block
+    self-join is an equi-join on (seg, month), a plain shuffle-hash
+    join whose cost is Σ block², not (Σ block)². Complements
+    `spearman_rank_correlation` (rank-linear) with the
+    pair-concordance view of the same monotone question."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("x"),
+        F.col("c_acctbal").alias("y"),
+    )
+    b = j.select(
+        F.col("seg").alias("seg2"), F.col("mo").alias("mo2"),
+        F.col("k").alias("k2"), F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    pairs = j.join(
+        b,
+        (F.col("seg") == F.col("seg2"))
+        & (F.col("mo") == F.col("mo2"))
+        & (F.col("k") < F.col("k2")),
+    ).select(
+        "seg",
+        F.when(
+            ((F.col("x") < F.col("x2")) & (F.col("y") < F.col("y2")))
+            | ((F.col("x") > F.col("x2")) & (F.col("y") > F.col("y2"))), 1
+        ).otherwise(0).alias("conc"),
+        F.when(
+            ((F.col("x") < F.col("x2")) & (F.col("y") > F.col("y2")))
+            | ((F.col("x") > F.col("x2")) & (F.col("y") < F.col("y2"))), 1
+        ).otherwise(0).alias("disc"),
+        F.when((F.col("x") == F.col("x2")) & (F.col("y") != F.col("y2")), 1)
+        .otherwise(0).alias("tx"),
+        F.when((F.col("y") == F.col("y2")) & (F.col("x") != F.col("x2")), 1)
+        .otherwise(0).alias("ty"),
+    )
+    agg = pairs.groupBy("seg").agg(
+        F.sum("conc").cast("bigint").alias("c"),
+        F.sum("disc").cast("bigint").alias("d"),
+        F.sum("tx").cast("bigint").alias("tx"),
+        F.sum("ty").cast("bigint").alias("ty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    tau = (F.col("c") - F.col("d")) / F.sqrt(
+        (F.col("c") + F.col("d") + F.col("tx")).cast("double")
+        * (F.col("c") + F.col("d") + F.col("ty"))
+    )
+    return agg.select(
+        "seg", F.col("c").alias("concordant"), F.col("d").alias("discordant"),
+        "n_pairs", F.round(tau, 6).alias("kendall_tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
