@@ -18268,6 +18268,170 @@ def kendall_tau_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stratified treatment-effect estimation (propensity strata + exact means)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stratified_treatment_effect",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+               AS treated,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(30,2)) END) AS DECIMAL(30,2))
+               AS y,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    strata AS (
+      SELECT treated, COALESCE(y, CAST(0 AS DECIMAL(30,2))) AS y,
+             NTILE(3) OVER (ORDER BY n_events, user_id) AS stratum
+      FROM users
+    ),
+    per AS (
+      SELECT stratum,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(treated) AS BIGINT) AS n_treated,
+             CAST(SUM(CASE WHEN treated = 1 THEN y END) AS DECIMAL(30,2)) AS sy_t,
+             CAST(SUM(CASE WHEN treated = 0 THEN y END) AS DECIMAL(30,2)) AS sy_c
+      FROM strata GROUP BY stratum
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM per)
+    SELECT p.stratum, p.n, p.n_treated,
+           ROUND(CAST(p.n_treated AS DOUBLE) / p.n, 6) AS propensity,
+           ROUND(CAST(p.sy_t AS DOUBLE) / p.n_treated, 6) AS mean_y_treated,
+           ROUND(CAST(p.sy_c AS DOUBLE) / (p.n - p.n_treated), 6) AS mean_y_control,
+           ROUND((CAST(p.sy_t AS DOUBLE) / p.n_treated
+                  - CAST(p.sy_c AS DOUBLE) / (p.n - p.n_treated))
+                 * p.n / t.n_all, 6) AS ate_contribution
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def stratified_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED TREATMENT-EFFECT estimation — the observational-
+    causal workhorse when randomization isn't available (the
+    `segment_uplift_report` assumes an experiment; this does NOT):
+    treatment = user ever signed up, outcome = purchase revenue,
+    and the comparison is blocked into ACTIVITY TERTILES (ntile over
+    per-user event count — scale-free, unlike absolute thresholds)
+    because activity confounds both — within a stratum
+    the treated/control comparison is apples-to-apples, and the ATE
+    is the n_s/N-weighted sum of within-stratum differences
+    (standardization / g-formula on one covariate). Per-stratum
+    propensity n_T/n is exactly what a propensity model would fit on
+    this covariate — reported so overlap can be audited (no stratum
+    with p∈{0,1} may contribute). Outcome sums ride DECIMAL(30,2)
+    (value has 2 dp — exact), counts are int64, doubles only in the
+    final ratios. One groupBy(user) + one groupBy(stratum): two
+    shuffles of (key, decimal) pairs at any scale. Output: per-
+    stratum n, propensity, treated/control means, ATE contribution
+    (sum them = the estimate)."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("bigint").alias("treated"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(30,2)"),
+            )
+        ).cast("decimal(30,2)").alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    from pyspark.sql.window import Window
+
+    strata = users.select(
+        "treated",
+        F.coalesce(F.col("y"), F.lit(0).cast("decimal(30,2)")).alias("y"),
+        F.ntile(3).over(Window.orderBy("n_events", "user_id")).alias("stratum"),
+    )
+    per = strata.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("treated").cast("bigint").alias("n_treated"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y"))).cast("decimal(30,2)").alias("sy_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y"))).cast("decimal(30,2)").alias("sy_c"),
+    )
+    tot = per.agg(F.sum("n").cast("bigint").alias("n_all"))
+    j = per.crossJoin(F.broadcast(tot))
+    mt = F.col("sy_t").cast("double") / F.col("n_treated")
+    mc = F.col("sy_c").cast("double") / (F.col("n") - F.col("n_treated"))
+    return j.select(
+        "stratum", "n", "n_treated",
+        F.round(F.col("n_treated").cast("double") / F.col("n"), 6).alias("propensity"),
+        F.round(mt, 6).alias("mean_y_treated"),
+        F.round(mc, 6).alias("mean_y_control"),
+        F.round((mt - mc) * F.col("n") / F.col("n_all"), 6).alias("ate_contribution"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across event-type daily series
+# ---------------------------------------------------------------------------
+
+@query(
+    "quantile_normalization",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, day, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, day) AS rnk
+      FROM daily
+    ),
+    ref AS (
+      SELECT rnk,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM ranked GROUP BY rnk
+    )
+    SELECT r.event_type, r.day, r.c AS raw_count,
+           ROUND(CAST(f.s AS DOUBLE) / f.k, 6) AS normalized
+    FROM ranked r JOIN ref f ON f.rnk = r.rnk
+    """,
+)
+def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION (the microarray/RNA-seq classic, equally
+    at home normalizing per-tenant load curves): force every event
+    type's daily-count distribution onto a COMMON reference
+    distribution by replacing each value with the cross-type MEAN of
+    the values at its rank — after this, all five series have
+    identical marginals and only the day-to-rank mapping (the
+    'shape') differs. Ranks are per-type windows over the ~30-row
+    daily rollup (partitioned — bounded by calendar); the reference
+    distribution is one rank-keyed aggregate of exact int64 counts;
+    the map-back is a broadcast join on rank. Deterministic ties:
+    (count, day) ordering pins the permutation. Output: every
+    (type, day) with its raw and normalized count."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ranked = daily.select(
+        "event_type", "day", "c",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("c", "day")
+        ).alias("rnk"),
+    ).localCheckpoint(eager=False)
+    ref = ranked.groupBy("rnk").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return (
+        ranked.join(F.broadcast(ref), "rnk")
+        .select(
+            "event_type", "day",
+            F.col("c").alias("raw_count"),
+            F.round(F.col("s").cast("double") / F.col("k"), 6).alias("normalized"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
