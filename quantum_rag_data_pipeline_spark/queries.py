@@ -18432,6 +18432,208 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph (integer sufficient stats)
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_EDGES_SQL = """
+    sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    both_ AS (SELECT u AS s, v AS t FROM edges
+              UNION ALL SELECT v AS s, u AS t FROM edges),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM both_ GROUP BY s)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str):
+    """The `pagerank_copurchase` graph (support>=8, co-count>=2) as
+    (edges u<v, directed both_, integer deg) DataFrames."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("_n")
+    ).filter(F.col("_n") >= 8).select("l_partkey")
+    items = li.join(F.broadcast(sup), "l_partkey").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    b = items.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pk")
+    )
+    edges = (
+        items.join(b, (F.col("l_orderkey") == F.col("_ok"))
+                   & (F.col("l_partkey") < F.col("_pk")))
+        .groupBy(F.col("l_partkey").alias("u"), F.col("_pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    both = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    deg = both.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    return edges, both, deg
+
+
+@query(
+    "degree_assortativity",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    xy AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM both_ e JOIN deg du ON du.s = e.s JOIN deg dv ON dv.s = e.t
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy
+    )
+    SELECT m AS n_directed_edges,
+           ROUND(CAST(sx AS DOUBLE) / m, 6) AS mean_neighbor_degree,
+           ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / SQRT((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS assortativity_r
+    FROM s
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman's r) of the co-purchase graph —
+    the Pearson correlation of endpoint degrees over every directed
+    edge: r>0 means hubs link to hubs (social-network-like), r<0
+    means hubs link to leaves (the disassortative signature of
+    purchase and biological graphs) — it predicts how the graph
+    shatters under hub removal and whether degree-targeted sampling
+    biases reach. Uses the `pagerank_copurchase` edge set; the whole
+    statistic is FIVE INT64 SUFFICIENT SUMS (Σx, Σy, Σxy, Σx², Σy²
+    over edge-endpoint degrees), partial-aggregable in one pass over
+    the degree-joined edge list — exact under any partitioning,
+    doubles only in the closing Pearson ratio. Joins are edge⋈degree
+    equi-joins (degree table is node-sized, broadcastable)."""
+    edges, both, deg = _copurchase_edges(spark, sf_dir)
+    xy = (
+        both.join(F.broadcast(deg.select(F.col("s"), F.col("d").alias("x"))), "s")
+        .join(
+            F.broadcast(
+                deg.select(F.col("s").alias("t"), F.col("d").alias("y"))
+            ), "t",
+        )
+        .select("x", "y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    num = md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (md * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(F.col("sx").cast("double") / F.col("m"), 6).alias("mean_neighbor_degree"),
+        F.round(num / den, 6).alias("assortativity_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the brand partition on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+@query(
+    "modularity_by_brand",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM edges),
+    comm AS (SELECT p_partkey, p_brand FROM part),
+    within AS (
+      SELECT cu.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS m_c
+      FROM edges e
+      JOIN comm cu ON cu.p_partkey = e.u
+      JOIN comm cv ON cv.p_partkey = e.v
+      WHERE cu.p_brand = cv.p_brand
+      GROUP BY cu.p_brand
+    ),
+    degsum AS (
+      SELECT c.p_brand AS brand, CAST(SUM(d.d) AS BIGINT) AS d_c
+      FROM deg d JOIN comm c ON c.p_partkey = d.s
+      GROUP BY c.p_brand
+    )
+    SELECT ds.brand,
+           COALESCE(w.m_c, 0) AS edges_within,
+           ds.d_c AS degree_sum,
+           ROUND(CAST(COALESCE(w.m_c, 0) AS DOUBLE) / mm.m_edges
+                 - (CAST(ds.d_c AS DOUBLE) / (2 * mm.m_edges))
+                   * (CAST(ds.d_c AS DOUBLE) / (2 * mm.m_edges)), 6)
+             AS q_contribution
+    FROM degsum ds
+    LEFT JOIN within w ON w.brand = ds.brand
+    CROSS JOIN m mm
+    """,
+)
+def modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWMAN MODULARITY Q of the BRAND partition on the co-purchase
+    graph — 'do parts of the same brand co-sell more than a random
+    graph with these degrees predicts?': Q = Σ_c [m_c/M -
+    (D_c/2M)²], each community's within-edge share minus its
+    degree-expected share. This is the quantity community detection
+    (`label_propagation_communities`) MAXIMIZES — evaluating it on a
+    metadata partition instead tells you whether the attribute
+    explains the graph (Q≈0 here is a finding: brand doesn't drive
+    co-purchase). All inputs are integer counts (within-community
+    edges via two broadcast hash joins to the part dimension, degree
+    sums per community); one ratio at the end. Output: per-brand
+    within-edges, degree sum, and Q contribution (sum = Q)."""
+    edges, both, deg = _copurchase_edges(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    within = (
+        edges.join(F.broadcast(p.select(F.col("p_partkey").alias("u"),
+                                        F.col("p_brand").alias("bu"))), "u")
+        .join(F.broadcast(p.select(F.col("p_partkey").alias("v"),
+                                   F.col("p_brand").alias("bv"))), "v")
+        .filter(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m_c"))
+    )
+    degsum = (
+        deg.join(F.broadcast(p.select(F.col("p_partkey").alias("s"), "p_brand")), "s")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    j = (
+        degsum.join(within, "brand", "left")
+        .crossJoin(F.broadcast(m))
+    )
+    share = F.coalesce(F.col("m_c"), F.lit(0)).cast("double") / F.col("m_edges")
+    expect = (F.col("d_c").cast("double") / (2 * F.col("m_edges")))
+    return j.select(
+        "brand",
+        F.coalesce(F.col("m_c"), F.lit(0)).alias("edges_within"),
+        F.col("d_c").alias("degree_sum"),
+        F.round(share - expect * expect, 6).alias("q_contribution"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
