@@ -18634,6 +18634,214 @@ def modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Autocorrelation function (lags 1..7) with exact integer sufficient stats
+# ---------------------------------------------------------------------------
+
+@query(
+    "autocorrelation_function",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS ss
+      FROM daily
+    ),
+    lagged AS (
+      SELECT y,
+             LAG(y, 1) OVER w AS l1, LAG(y, 2) OVER w AS l2,
+             LAG(y, 3) OVER w AS l3, LAG(y, 4) OVER w AS l4,
+             LAG(y, 5) OVER w AS l5, LAG(y, 6) OVER w AS l6,
+             LAG(y, 7) OVER w AS l7
+      FROM daily WINDOW w AS (ORDER BY day)
+    ),
+    pairs AS (
+      SELECT k.k, l.y AS yt,
+             CASE k.k WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+                      WHEN 4 THEN l4 WHEN 5 THEN l5 WHEN 6 THEN l6
+                      ELSE l7 END AS ylag
+      FROM lagged l CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k
+    ),
+    perk AS (
+      SELECT k,
+             CAST(COUNT(ylag) AS BIGINT) AS n_pairs,
+             CAST(SUM(yt * ylag) AS BIGINT) AS sxy,
+             CAST(SUM(CASE WHEN ylag IS NOT NULL THEN yt END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN ylag IS NOT NULL THEN ylag END) AS BIGINT) AS sb
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(p.k AS BIGINT) AS lag_k, p.n_pairs,
+           ROUND((CAST(g.n AS DOUBLE) * g.n * p.sxy
+                  - CAST(g.n AS DOUBLE) * g.s * (p.sa + p.sb)
+                  + CAST(p.n_pairs AS DOUBLE) * g.s * g.s)
+                 / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) * g.ss
+                                           - CAST(g.s AS DOUBLE) * g.s)), 6)
+             AS acf
+    FROM perk p CROSS JOIN g
+    """,
+)
+def autocorrelation_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE AUTOCORRELATION of the daily event counts at lags 1-7 —
+    the diagnostic that decides whether yesterday predicts today
+    (AR structure) and exposes weekly seasonality as a spike at lag
+    7 (the model-selection input `weekday_seasonality_decomposition`
+    acts on). The textbook Σ(y_t-ȳ)(y_{t-k}-ȳ)/Σ(y-ȳ)² is rewritten
+    with the global mean MULTIPLIED OUT: n²Σy_t·y_{t-k} -
+    nS(A_k+B_k) + (n-k)S² over n(nΣy²-S²) — every term an EXACT
+    INT64 sufficient statistic (lag products, partial sums per lag),
+    so partial aggregation is exact and the only double is the final
+    ratio. The 7 lags come from one window pass over the ~30-row
+    daily rollup unpivoted to (k, y_t, y_{t-k}) pairs. Output: lag,
+    pair count, ACF — read lag-7 vs lag-1 for weekly memory."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    ).localCheckpoint(eager=False)
+    g = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y", *[F.lag("y", k).over(w).alias(f"l{k}") for k in range(1, 8)]
+    )
+    pairs = lagged.select(
+        F.expr(
+            "stack(7, "
+            + ", ".join(f"{k}, l{k}" for k in range(1, 8))
+            + ") as (k, ylag)"
+        ),
+        F.col("y").alias("yt"),
+    )
+    perk = pairs.groupBy("k").agg(
+        F.count("ylag").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("yt") * F.col("ylag")).cast("bigint").alias("sxy"),
+        F.sum(F.when(F.col("ylag").isNotNull(), F.col("yt"))).cast("bigint").alias("sa"),
+        F.sum(F.when(F.col("ylag").isNotNull(), F.col("ylag"))).cast("bigint").alias("sb"),
+    )
+    j = perk.crossJoin(F.broadcast(g))
+    nd = F.col("n").cast("double")
+    num = (
+        nd * F.col("n") * F.col("sxy")
+        - nd * F.col("s") * (F.col("sa") + F.col("sb"))
+        + F.col("n_pairs").cast("double") * F.col("s") * F.col("s")
+    )
+    den = nd * (nd * F.col("ss") - F.col("s").cast("double") * F.col("s"))
+    return j.select(
+        F.col("k").cast("bigint").alias("lag_k"), "n_pairs",
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard for time-to-first-purchase
+# ---------------------------------------------------------------------------
+
+@query(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(MIN(ts) AS DATE) AS first_day,
+             CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE)
+               AS purch_day
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS last_day FROM events),
+    dur AS (
+      SELECT CASE WHEN p.purch_day IS NOT NULL
+                  THEN date_diff('day', p.first_day, p.purch_day)
+                  ELSE date_diff('day', p.first_day, h.last_day) END AS t,
+             (p.purch_day IS NOT NULL) AS observed
+      FROM per_user p CROSS JOIN horizon h
+    ),
+    n_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dur),
+    evt AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM dur GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             nt.n - COALESCE(SUM(leaving) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM evt CROSS JOIN n_total nt
+    ),
+    haz AS (
+      SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 12) AS DECIMAL(28,12)) AS h_inc
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS day_t, d AS n_events, n_risk,
+           ROUND(CAST(h_inc AS DOUBLE), 6) AS hazard_increment,
+           ROUND(CAST(SUM(h_inc) OVER (ORDER BY t) AS DOUBLE), 6)
+             AS cumulative_hazard
+    FROM haz
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative hazard for time-to-first-purchase —
+    the estimator survival analysis reaches for when the HAZARD (the
+    instantaneous conversion rate among those still at risk) is the
+    object of interest rather than `kaplan_meier_survival`'s survival
+    curve: H(t) = Σ_{t_i≤t} d_i/n_i, with users who never purchase
+    CENSORED at the observation horizon (dropping them would bias
+    conversion optimistically — the classic funnel-analytics error).
+    Risk sets come from one cumulative window over the day-indexed
+    event table (integer counts); each increment d/n is a ratio of
+    exact int64s snapped to the DECIMAL 12-dp grid so the running
+    H(t) is an exact, order-free decimal sum. Duration table is
+    user-sized, the ladder is ~30 rows. Output: each event day with
+    d, n-at-risk, increment, and H(t)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("purch_day"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("last_day"))
+    dur = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("purch_day").isNotNull(),
+            F.datediff("purch_day", "first_day"),
+        ).otherwise(F.datediff("last_day", "first_day")).alias("t"),
+        F.col("purch_day").isNotNull().alias("observed"),
+    )
+    n_total = dur.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    evt = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = evt.crossJoin(F.broadcast(n_total)).select(
+        "t", "d",
+        (F.col("n") - F.coalesce(F.sum("leaving").over(w), F.lit(0))).alias("n_risk"),
+    )
+    haz = risk.filter(F.col("d") > 0).select(
+        "t", "d", F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.round(F.col("d").cast("double") / F.col("n_risk"), 12)
+        .cast("decimal(28,12)").alias("h_inc"),
+    )
+    wc = Window.orderBy("t")
+    return haz.select(
+        F.col("t").cast("bigint").alias("day_t"),
+        F.col("d").alias("n_events"), "n_risk",
+        F.round(F.col("h_inc").cast("double"), 6).alias("hazard_increment"),
+        F.round(F.sum("h_inc").over(wc).cast("double"), 6).alias("cumulative_hazard"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
