@@ -18842,6 +18842,186 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue per segment (exact integer cents)
+# ---------------------------------------------------------------------------
+
+@query(
+    "gini_coefficient_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS cust,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT seg, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, cust)
+                  AS BIGINT) AS i
+      FROM rev
+    ),
+    agg AS (
+      SELECT seg,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(i * cents) AS DECIMAL(38,0)) AS weighted
+      FROM ranked GROUP BY seg
+    )
+    SELECT seg, n,
+           ROUND(CAST(total AS DOUBLE) / 100.0, 2) AS total_revenue,
+           ROUND(2.0 * CAST(weighted AS DOUBLE) / (CAST(n AS DOUBLE) * total)
+                 - (CAST(n AS DOUBLE) + 1.0) / n, 6) AS gini
+    FROM agg
+    """,
+)
+def gini_coefficient_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of per-customer revenue within each market
+    segment — the inequality number behind `user_activity_pareto`'s
+    top-share view, computed by the exact rank formula G = 2Σi·xᵢ/
+    (nΣx) - (n+1)/n on ASCENDING-sorted revenues: 0 = everyone
+    spends alike, →1 = one whale funds the segment; the single
+    number a marketplace tracks to see concentration risk drift.
+    Revenue rides EXACT INTEGER CENTS end to end (the weighted sum
+    Σi·xᵢ grows past int64 at scale, so it accumulates in
+    DECIMAL(38,0) — still exact, still order-free); ranks are
+    PER-SEGMENT windows (partitioned — the fact table never sees a
+    global sort); doubles appear in the two final ratios only.
+    Ties broken by custkey for a pinned permutation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window
+
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("cust")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cents")
+        )
+    )
+    ranked = rev.select(
+        "seg", "cents",
+        F.row_number().over(
+            Window.partitionBy("seg").orderBy("cents", "cust")
+        ).cast("bigint").alias("i"),
+    )
+    agg = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("weighted"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "seg", "n",
+        F.round(F.col("total").cast("double") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("weighted").cast("double") / (nd * F.col("total"))
+            - (nd + 1.0) / F.col("n"), 6
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher moments — skewness and kurtosis via decimal-grid power sums
+# ---------------------------------------------------------------------------
+
+@query(
+    "higher_moments_skew_kurtosis",
+    oracle="""
+    WITH z AS (
+      SELECT o_orderpriority AS grp, o_totalprice * 0.001 AS z
+      FROM orders
+    ),
+    pows AS (
+      SELECT grp, z,
+             z * z AS z2,
+             (z * z) * z AS z3,
+             ((z * z) * z) * z AS z4
+      FROM z
+    ),
+    s AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(z, 9) AS DECIMAL(20,9))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(z2, 9) AS DECIMAL(20,9))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(ROUND(z3, 9) AS DECIMAL(20,9))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(ROUND(z4, 9) AS DECIMAL(20,9))) AS DOUBLE) AS s4
+      FROM pows GROUP BY grp
+    ),
+    mom AS (
+      SELECT grp, n,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                    + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                    + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT grp, n,
+           ROUND(mu * 1000.0, 4) AS mean_price,
+           ROUND(SQRT(m2) * 1000.0, 4) AS sd_price,
+           ROUND(m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+    FROM mom
+    """,
+)
+def higher_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEWNESS AND EXCESS KURTOSIS of order price per priority class
+    — the two moments past variance that decide whether mean±sd
+    thinking applies at all (right-skew says median != mean for SLA
+    math; heavy tails say `winsorized_robust_stats` before any
+    z-score). Skew/kurtosis are SCALE-INVARIANT, so prices shrink by
+    1000 first — that puts z⁴ in a range where the 1e-9 grid is
+    meaningful, then all four power sums ride the `kmeans_one_step`
+    DECIMAL recipe (round-to-9dp → exact decimal sums → order-free
+    under any partitioning; one partial-agg pass, 4 numbers per
+    group). Central moments come from raw sums by the standard
+    binomial expansion in FIXED expression order (IEEE-identical
+    across engines), including the notorious cancellation — which is
+    fine, because both engines cancel identically. Output: per
+    priority n, mean, sd (rescaled back), g1, g2."""
+    o = _t(spark, sf_dir, "orders")
+    z = F.col("o_totalprice") * 0.001
+    z2 = z * z
+    z3 = z2 * z
+    z4 = z3 * z
+
+    def gsum(c, name):
+        return F.sum(F.round(c, 9).cast("decimal(20,9)")).cast("double").alias(name)
+
+    s = o.select(F.col("o_orderpriority").alias("grp"),
+                 z.alias("z"), z2.alias("z2"), z3.alias("z3"), z4.alias("z4")).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        gsum(F.col("z"), "s1"), gsum(F.col("z2"), "s2"),
+        gsum(F.col("z3"), "s3"), gsum(F.col("z4"), "s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3.0 * mu * (F.col("s2") / n) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * mu * (F.col("s3") / n)
+        + 6.0 * mu * mu * (F.col("s2") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    sd = F.sqrt(m2)
+    return s.select(
+        "grp", "n",
+        F.round(mu * 1000.0, 4).alias("mean_price"),
+        F.round(sd * 1000.0, 4).alias("sd_price"),
+        F.round(m3 / (sd * sd * sd), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
