@@ -19022,6 +19022,281 @@ def higher_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q6 / Q7 / Q8 / Q13 / Q14 — the remaining classics the schema supports
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))
+                          * CAST(ROUND(100 * l_discount) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) — the pure
+    scan-filter-aggregate: no join at all, three pushable predicates,
+    one global sum. The benchmark's measure of raw scan + predicate
+    throughput: `.explain` must show all three filters in
+    PushedFilters and a 3-column ReadSchema, and the whole thing is
+    one WholeStageCodegen span with a partial/final agg. Revenue =
+    price x discount re-expressed on the integer percent grid (exact
+    DECIMAL x BIGINT, order-free), matching `tpch_q3`'s convention."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(30,2)")
+                * F.round(100 * F.col("l_discount")).cast("bigint")
+            ).cast("double") / 100.0, 2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+_Q7_REV = """CAST(l.l_extendedprice AS DECIMAL(30,2))
+                          * CAST(ROUND(100 - 100 * l.l_discount) AS BIGINT)"""
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(CAST(SUM({_Q7_REV}) AS DOUBLE) / 100.0, 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) — the two-nation trade-flow query:
+    revenue between a nation PAIR in both directions, by ship year.
+    The plan shape that matters at 100 TB: nation is a 25-row
+    broadcast BOTH times (two distinct aliases of the same dim —
+    star-join with a repeated dimension), the nation filters push
+    THROUGH the broadcast joins to shrink supplier and customer
+    before the fact joins, and the big lineitem⋈orders join is the
+    only real shuffle. Integer-percent-grid revenue (exact decimal),
+    year from shipdate. Output: (supp_nation, cust_nation, year,
+    revenue) — 2 directions x 2 years."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("date"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(30,2)")
+                * F.round(100 - 100 * F.col("l_discount")).cast("bigint")
+            ).cast("double") / 100.0, 2,
+        ).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH flows AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CASE WHEN n1.n_name = 'NATION_2' THEN {_Q7_REV} END)
+                  AS DECIMAL(38,2)) AS nation_vol,
+             CAST(SUM({_Q7_REV}) AS DECIMAL(38,2)) AS total_vol
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type LIKE 'ECONOMY%'
+        AND o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+      GROUP BY 1
+    )
+    SELECT o_year,
+           CAST(COALESCE(nation_vol, 0) AS DOUBLE) / 100.0 AS nation_volume,
+           CAST(total_vol AS DOUBLE) / 100.0 AS total_volume,
+           ROUND(CAST(COALESCE(nation_vol, 0) AS DOUBLE) / CAST(total_vol AS DOUBLE), 6)
+             AS mkt_share
+    FROM flows
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share) — the deepest join tree in
+    the classic suite the schema supports: part⋈lineitem⋈supplier⋈
+    orders⋈customer⋈nation⋈nation⋈region (8 relations, nation twice),
+    measuring one supplier nation's share of ECONOMY-part revenue
+    sold into ASIA customers, per year. Catalyst's job here is join
+    REORDERING: the part filter (p_type prefix) and the region
+    filter must shrink their branches before the fact join, and
+    every dimension is a broadcast — exactly one shuffle
+    (lineitem⋈orders) survives. The share is a conditional-sum over
+    total-sum of EXACT scale-2 decimals (a rescale to scale 0 would
+    round .5 cents HALF_UP in Spark and HALF_EVEN in DuckDB — found
+    the hard way) — the case-filtered numerator never double-counts
+    and divides once at the end, unrounded."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type").startswith("ECONOMY"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(30,2)")
+        * F.round(100 - 100 * F.col("l_discount")).cast("bigint")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .join(F.broadcast(r), F.col("rk2") == F.col("r_regionkey"))
+    )
+    flows = j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", rev))
+        .cast("decimal(38,2)").alias("nation_vol"),
+        F.sum(rev).cast("decimal(38,2)").alias("total_vol"),
+    )
+    return flows.select(
+        "o_year",
+        (F.coalesce(F.col("nation_vol"), F.lit(0)).cast("double") / 100.0)
+        .alias("nation_volume"),
+        (F.col("total_vol").cast("double") / 100.0).alias("total_volume"),
+        F.round(
+            F.coalesce(F.col("nation_vol"), F.lit(0)).cast("double")
+            / F.col("total_vol").cast("double"), 6,
+        ).alias("mkt_share"),
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution) — the histogram-of-a-count:
+    LEFT join customers to their non-urgent orders (the join
+    predicate's extra condition is the Q13 trick — it must stay IN
+    the join, not become a WHERE, or zero-order customers vanish),
+    count per customer INCLUDING zeros, then histogram the counts.
+    Two aggregations with different keys = two shuffles, the second
+    over a tiny (count,) key space — partial agg makes it almost
+    free. COUNT(col) vs COUNT(*) semantics carry the nulls
+    correctly: COUNT(o_orderkey) of an all-null group is 0, exactly
+    what the left join hands us."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    c_orders = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+    SELECT
+      ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_Q7_REV} END)
+                         AS DOUBLE)
+            / CAST(SUM({_Q7_REV}) AS DOUBLE), 6) AS promo_revenue_pct,
+      ROUND(CAST(SUM({_Q7_REV}) AS DOUBLE) / 100.0, 2) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-09-01' AND l.l_shipdate < DATE '1996-10-01'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) — conditional-aggregate share: %
+    of one month's revenue from PROMO parts. One broadcast join
+    (part is the dimension), one pass, two sums — the numerator is
+    the CASE-filtered subset of the denominator so they ride the
+    same scan; revenue on the exact integer-percent grid; the month
+    filter pushes to the lineitem scan. The query optimizers
+    historically fumbled by materializing two scans — Spark's single
+    conditional agg is the right plan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(30,2)")
+        * F.round(100 - 100 * F.col("l_discount")).cast("bigint")
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)).cast("double")
+            / F.sum(rev).cast("double"), 6,
+        ).alias("promo_revenue_pct"),
+        F.round(F.sum(rev).cast("double") / 100.0, 2).alias("total_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
