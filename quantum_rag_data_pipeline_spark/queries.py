@@ -19297,6 +19297,168 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Differentially-private-shaped noisy histogram (seeded Laplace, ε=1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dp_noisy_histogram",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+               AS epoch_day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    seeded AS (
+      SELECT day, c,
+             ((epoch_day * 2654435761 + 40503) % 4294967296) % 1000000 AS m
+      FROM daily
+    ),
+    noise AS (
+      SELECT day, c,
+             CAST(2 * m + 1 - 1000000 AS BIGINT) AS r  -- in [-999999, 1000001], odd
+      FROM seeded
+    )
+    SELECT day,
+           ROUND(c + CASE WHEN r >= 0 THEN -1.0 ELSE 1.0 END
+                     * CAST(ROUND(ln(1.0 - CAST(ABS(r) AS DOUBLE) / 1000000.0)
+                                  * 1000000.0) AS BIGINT) / -1000000.0, 4)
+             AS noisy_count,
+           c AS true_count
+    FROM noise
+    """,
+)
+def dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAPLACE-MECHANISM noisy histogram of daily event counts
+    (ε=1, sensitivity 1) — the shape of a differentially private
+    release: count + Lap(1/ε) noise via inverse-CDF sampling,
+    u = seeded-uniform, noise = -sign·ln(1-2|u-½|). The 'randomness'
+    is the Knuth multiplicative hash of the day index (the
+    `pseudonymization_bijective` affine map), which makes the
+    mechanism REPLAYABLE for the oracle gate: u is an exact rational
+    r/10⁶, ln() sees the identical double in both engines, and the
+    noise snaps to micro-units before adding. A real DP release
+    would draw fresh randomness and never publish true_count — it's
+    emitted here because the point of the demo is the ERROR profile
+    (|noisy-true| ~ 1/ε ≈ 1 count on ~300-count bins: utility
+    survives). Plan: one partial-agg pass, per-row scalar math, no
+    extra shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint").alias("epoch_day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = (F.col("epoch_day") * 2654435761 + 40503) % 4294967296 % 1000000
+    r = (2 * m + 1 - 1000000).cast("bigint")
+    mag6 = F.round(
+        F.log(1.0 - F.abs(r).cast("double") / 1000000.0) * 1000000.0
+    ).cast("bigint")
+    noise = F.when(r >= 0, -1.0).otherwise(1.0) * mag6 / -1000000.0
+    return daily.select(
+        "day",
+        F.round(F.col("c") + noise, 4).alias("noisy_count"),
+        F.col("c").alias("true_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test — paired first-half vs second-half revenue
+# ---------------------------------------------------------------------------
+
+@query(
+    "wilcoxon_signed_rank",
+    oracle="""
+    WITH paired AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN o_orderdate < DATE '1998-01-01'
+                           THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+                  AS BIGINT) AS rev1,
+             CAST(SUM(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                           THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+                  AS BIGINT) AS rev2
+      FROM orders GROUP BY o_custkey
+    ),
+    diffs AS (
+      SELECT o_custkey, rev2 - rev1 AS d
+      FROM paired WHERE rev1 IS NOT NULL AND rev2 IS NOT NULL AND rev2 <> rev1
+    ),
+    ranked AS (
+      SELECT d,
+             -- doubled average rank: 2*rank + ties - 1 is always integer
+             2 * RANK() OVER (ORDER BY ABS(d))
+               + COUNT(*) OVER (PARTITION BY ABS(d)) - 1 AS r2
+      FROM diffs
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_plus
+      FROM ranked
+    )
+    SELECT n AS n_pairs,
+           ROUND(CAST(w2_plus AS DOUBLE) / 2.0, 1) AS w_plus,
+           ROUND((CAST(w2_plus AS DOUBLE) / 2.0
+                  - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+                 / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0), 6)
+             AS z_score
+    FROM s
+    """,
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK test on PAIRED per-customer revenue
+    (pre-1998 vs 1998+) — the nonparametric paired-difference test
+    that replaces the paired t-test when revenue is skewed (it
+    always is): rank |differences|, sum the ranks of the positive
+    ones, compare to the null mean n(n+1)/4. The tie-handling trick
+    keeps everything integer: DOUBLED average ranks 2·RANK+ties-1
+    are always int64 (average ranks themselves are .5-valued), so
+    W⁺ accumulates exactly and halves once at the end. Differences
+    ride integer cents; zero differences drop per the standard
+    procedure. One groupBy(customer) + one rank window over the
+    difference table (customer-sized, partitionable by |d| bands at
+    extreme scale). Output: n, W⁺, normal-approximation z."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    paired = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), cents)
+        ).cast("bigint").alias("rev1"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"), cents)
+        ).cast("bigint").alias("rev2"),
+    )
+    diffs = paired.filter(
+        F.col("rev1").isNotNull() & F.col("rev2").isNotNull()
+        & (F.col("rev1") != F.col("rev2"))
+    ).select((F.col("rev2") - F.col("rev1")).alias("d"))
+    ranked = diffs.select(
+        "d",
+        (
+            2 * F.rank().over(Window.orderBy(F.abs("d")))
+            + F.count(F.lit(1)).over(Window.partitionBy(F.abs("d"))) - 1
+        ).alias("r2"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0))
+        .cast("bigint").alias("w2_plus"),
+    )
+    nd = F.col("n").cast("double")
+    w_plus = F.col("w2_plus").cast("double") / 2.0
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.round(w_plus, 1).alias("w_plus"),
+        F.round(
+            (w_plus - nd * (F.col("n") + 1) / 4.0)
+            / F.sqrt(nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24.0), 6,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
