@@ -19459,6 +19459,196 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily up/down moves
+# ---------------------------------------------------------------------------
+
+@query(
+    "runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    moves AS (
+      SELECT day,
+             CASE WHEN y > LAG(y) OVER (ORDER BY day) THEN 1
+                  WHEN y < LAG(y) OVER (ORDER BY day) THEN -1 END AS s
+      FROM daily
+    ),
+    seq AS (
+      SELECT s, LAG(s) OVER (ORDER BY day) AS prev_s
+      FROM moves WHERE s IS NOT NULL
+    ),
+    stats AS (
+      SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN prev_s IS NULL OR s <> prev_s THEN 1 ELSE 0 END)
+                  AS BIGINT) AS runs
+      FROM seq
+    )
+    SELECT n1 AS n_up, n2 AS n_down, runs,
+           ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
+           ROUND((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE) * (n1 + n2))
+                           * (n1 + n2 - 1))), 6) AS z_score
+    FROM stats
+    """,
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST on the daily up/down moves — the
+    quick answer to 'is this series random or does it trend/
+    oscillate?': too FEW runs of consecutive ups/downs means
+    momentum, too MANY means mean-reversion; |z|<2 is consistent
+    with i.i.d. noise (the null `mann_kendall_theil_sen` then
+    quantifies departures from). Entirely integer plumbing — move
+    signs from one LAG, run boundaries from a second LAG (sign !=
+    previous sign), three int64 counts — then the closed-form
+    mean/variance of the runs distribution in one final expression.
+    Two sequential windows over the ~30-row daily rollup; zero-
+    change days drop per the standard procedure."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    w = Window.orderBy("day")
+    moves = daily.select(
+        "day",
+        F.when(F.col("y") > F.lag("y").over(w), 1)
+        .when(F.col("y") < F.lag("y").over(w), -1).alias("s"),
+    )
+    seq = moves.filter(F.col("s").isNotNull()).select(
+        "s", F.lag("s").over(w).alias("prev_s")
+    )
+    stats = seq.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(
+            F.when(F.col("prev_s").isNull() | (F.col("s") != F.col("prev_s")), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("runs"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    exp_r = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (((n1 + n2).cast("double") * (n1 + n2)) * (n1 + n2 - 1))
+    )
+    return stats.select(
+        n1.alias("n_up"), n2.alias("n_down"), F.col("runs"),
+        F.round(exp_r, 6).alias("expected_runs"),
+        F.round((F.col("runs") - exp_r) / F.sqrt(var_r), 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Permutation entropy of the hourly arrival series (order-3 patterns)
+# ---------------------------------------------------------------------------
+
+@query(
+    "permutation_entropy",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    tri AS (
+      SELECT y AS a,
+             LEAD(y, 1) OVER (ORDER BY hr) AS b,
+             LEAD(y, 2) OVER (ORDER BY hr) AS c,
+             hr,
+             LEAD(hr, 2) OVER (ORDER BY hr) AS hr3
+      FROM hourly
+    ),
+    pats AS (
+      SELECT (CASE WHEN b < a THEN 1 ELSE 0 END
+              + CASE WHEN c < a THEN 1 ELSE 0 END) * 9
+             + (CASE WHEN a <= b THEN 1 ELSE 0 END
+                + CASE WHEN c < b THEN 1 ELSE 0 END) * 3
+             + (CASE WHEN a <= c THEN 1 ELSE 0 END
+                + CASE WHEN b <= c THEN 1 ELSE 0 END) AS pattern
+      FROM tri
+      WHERE c IS NOT NULL AND hr3 = hr + INTERVAL 2 HOUR
+    ),
+    cnt AS (SELECT pattern, CAST(COUNT(*) AS BIGINT) AS k FROM pats GROUP BY pattern),
+    tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM cnt),
+    terms AS (
+      SELECT CAST(ROUND(k * ln(CAST(t.n AS DOUBLE) / k) * 1000000.0) AS BIGINT) AS t6
+      FROM cnt CROSS JOIN tot t
+    )
+    SELECT t.n AS n_triples,
+           CAST((SELECT COUNT(*) FROM cnt) AS BIGINT) AS n_patterns_seen,
+           ROUND(CAST((SELECT SUM(t6) FROM terms) AS DOUBLE) / 1000000.0 / t.n, 6)
+             AS perm_entropy_nats,
+           ROUND(CAST((SELECT SUM(t6) FROM terms) AS DOUBLE) / 1000000.0 / t.n
+                 / ln(6.0), 6) AS normalized
+    FROM tot t
+    """,
+)
+def permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION ENTROPY (Bandt & Pompe 2002) of the hourly arrival
+    series — complexity via ORDER PATTERNS: each 3 consecutive hours
+    maps to one of 3!=6 rank permutations (stable ties: earlier hour
+    wins, the standard convention), and the Shannon entropy of the
+    pattern distribution separates regular (low H), chaotic (mid),
+    and white-noise (H→ln6) dynamics while being immune to monotone
+    transformations of the counts — no detrending needed, unlike
+    `autocorrelation_function`. Patterns come from two LEADs with a
+    STRICT hour-adjacency guard (gaps don't splice into fake
+    triples); entropy rides the integer micro-nat grid
+    (`kl_divergence_langs` recipe). The window is over the hourly
+    rollup (~720 rows, calendar-bounded). Output: triple count,
+    patterns seen, H, H/ln6."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    w = Window.orderBy("hr")
+    tri = hourly.select(
+        F.col("y").alias("a"),
+        F.lead("y", 1).over(w).alias("b"),
+        F.lead("y", 2).over(w).alias("c"),
+        "hr",
+        F.lead("hr", 2).over(w).alias("hr3"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    pattern = (
+        (F.when(b < a, 1).otherwise(0) + F.when(c < a, 1).otherwise(0)) * 9
+        + (F.when(a <= b, 1).otherwise(0) + F.when(c < b, 1).otherwise(0)) * 3
+        + (F.when(a <= c, 1).otherwise(0) + F.when(b <= c, 1).otherwise(0))
+    )
+    pats = tri.filter(
+        c.isNotNull()
+        & (F.col("hr3") == F.col("hr") + F.expr("INTERVAL 2 HOURS"))
+    ).select(pattern.alias("pattern"))
+    cnt = pats.groupBy("pattern").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    cnt = cnt.localCheckpoint(eager=False)
+    tot = cnt.agg(F.sum("k").cast("bigint").alias("n"))
+    npat = cnt.agg(F.count(F.lit(1)).cast("bigint").alias("n_patterns_seen"))
+    terms = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("k") * F.log(F.col("n").cast("double") / F.col("k")) * 1000000.0
+            ).cast("bigint").alias("t6")
+        )
+        .agg(F.sum("t6").alias("s6"))
+    )
+    j = tot.crossJoin(F.broadcast(npat)).crossJoin(F.broadcast(terms))
+    h = F.col("s6").cast("double") / 1000000.0 / F.col("n")
+    return j.select(
+        F.col("n").alias("n_triples"),
+        "n_patterns_seen",
+        F.round(h, 6).alias("perm_entropy_nats"),
+        F.round(h / F.log(F.lit(6.0)), 6).alias("normalized"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
