@@ -19649,6 +19649,238 @@ def permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skip-gram co-occurrence PMI (window ±2 — the word2vec preprocessing)
+# ---------------------------------------------------------------------------
+
+@query(
+    "skipgram_cooccurrence_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(tok)) AS term,
+             CAST(generate_subscripts(tok, 1) AS BIGINT) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS tok
+        FROM documents
+      )
+    ),
+    pairs AS (
+      SELECT a.term AS w1, b.term AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+    ),
+    cp AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY w1, w2),
+    m1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM cp GROUP BY w1),
+    m2 AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS c2 FROM cp GROUP BY w2),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cp),
+    scored AS (
+      SELECT cp.w1, cp.w2, cp.c,
+             CAST(ROUND(ln(CAST(cp.c * t.n AS DOUBLE) / (m1.c1 * m2.c2))
+                        * 1000000.0) AS BIGINT) AS pmi6
+      FROM cp JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot t
+      WHERE cp.c >= 20
+    )
+    SELECT w1, w2, c AS n_cooccur,
+           ROUND(CAST(pmi6 AS DOUBLE) / 1000000.0, 4) AS pmi_nats
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY pmi6 DESC, w1, w2) <= 15
+    """,
+)
+def skipgram_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKIP-GRAM CO-OCCURRENCE with window-2 PMI — the exact counting
+    pass word2vec/GloVe training data comes from, one step past
+    `bigram_pmi_keyphrases` (adjacent-only): every ordered token
+    pair within 2 positions counts, so 'spark … shuffle' associates
+    even across an intervening word. The windowed self-join is NOT a
+    position-range scan: it's an EQUI-join on (doc, pos+k) realized
+    by replicating each token once per offset k∈{1,2} — linear in
+    corpus size x window, the shape that survives 100 TB. Marginals
+    and totals stay int64, PMI feeds ln() an integer ratio and snaps
+    to micro-nats (order-free, tie-free ranking). Frequency floor
+    c>=20 applies the standard PMI low-count guard. Output: top-15
+    pairs by PMI."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = d.select(
+        "doc_id", F.posexplode(text_ops.tokens("text")).alias("pos0", "term")
+    ).select(
+        "doc_id", F.lower("term").alias("term"),
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+    )
+    offs = spark.range(1, 3).select(F.col("id").alias("k"))
+    left = toks.crossJoin(F.broadcast(offs)).select(
+        "doc_id", F.col("term").alias("w1"), (F.col("pos") + F.col("k")).alias("tpos")
+    )
+    pairs = left.join(
+        toks.select("doc_id", F.col("term").alias("w2"), F.col("pos").alias("tpos")),
+        ["doc_id", "tpos"],
+    )
+    cp = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cp = cp.localCheckpoint(eager=False)
+    m1 = cp.groupBy("w1").agg(F.sum("c").cast("bigint").alias("c1"))
+    m2 = cp.groupBy("w2").agg(F.sum("c").cast("bigint").alias("c2"))
+    tot = cp.agg(F.sum("c").cast("bigint").alias("n"))
+    scored = (
+        cp.filter(F.col("c") >= 20)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c",
+            F.round(
+                F.log(
+                    (F.col("c") * F.col("n")).cast("double")
+                    / (F.col("c1") * F.col("c2"))
+                ) * 1000000.0
+            ).cast("bigint").alias("pmi6"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("pmi6"), "w1", "w2")),
+        )
+        .filter(F.col("rn") <= 15)
+        .select(
+            "w1", "w2", F.col("c").alias("n_cooccur"),
+            F.round(F.col("pmi6").cast("double") / 1000000.0, 4).alias("pmi_nats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth — V(n) ~ K·n^β fit over corpus checkpoints
+# ---------------------------------------------------------------------------
+
+@query(
+    "heaps_law_vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(t.term) AS term
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS tok
+        FROM documents
+      ), unnest(tok) AS t(term)
+    ),
+    doc_len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS l FROM toks GROUP BY doc_id),
+    first_seen AS (SELECT term, MIN(doc_id) AS fd FROM toks GROUP BY term),
+    maxd AS (SELECT MAX(doc_id) AS md FROM doc_len),
+    ck AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS decile),
+    cuts AS (SELECT decile, (SELECT md FROM maxd) * decile / 10 AS cut FROM ck),
+    points AS (
+      SELECT c.decile,
+             (SELECT CAST(SUM(l) AS BIGINT) FROM doc_len WHERE doc_id <= c.cut) AS n_tok,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen WHERE fd <= c.cut) AS v
+      FROM cuts c
+    ),
+    logs AS (
+      SELECT decile, n_tok, v,
+             CAST(ROUND(ln(CAST(n_tok AS DOUBLE)) * 1000000.0) AS BIGINT) AS lx6,
+             CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS ly6
+      FROM points
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(lx6) AS BIGINT) AS sx, CAST(SUM(ly6) AS BIGINT) AS sy,
+             CAST(SUM(lx6 * ly6) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(lx6 * lx6) AS DECIMAL(38,0)) AS sxx
+      FROM logs
+    )
+    SELECT k AS n_checkpoints,
+           (SELECT MAX(n_tok) FROM points) AS corpus_tokens,
+           (SELECT MAX(v) FROM points) AS vocabulary,
+           ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * sx), 6) AS heaps_beta,
+           ROUND(exp((CAST(sy AS DOUBLE)
+                      - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * sx)) * sx)
+                     / k / 1000000.0), 4) AS heaps_k
+    FROM fit
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS' LAW fit V(n) = K·nᵝ — how fast the vocabulary grows as
+    the corpus grows, the sublinear curve (β≈0.4-0.6 for natural
+    text) that sizes every dictionary/embedding table before a 100 TB
+    ingest: extrapolate β from a sample and you know whether the
+    vocab at full scale is 10M or 10B terms (companion to
+    `zipf_vocabulary_fit` — Heaps and Zipf are two views of one
+    phenomenon). Checkpoints are doc-id deciles; V-so-far comes from
+    each term's FIRST-SEEN doc (one groupBy, no cumulative distinct
+    scan — the rewrite that makes running-distinct linear), token
+    counts from prefix sums over doc lengths. The log-log OLS runs
+    on MICRO-LOG integers (products in DECIMAL(38,0) — exact), so
+    slope/intercept are order-free; exp() at the very end recovers
+    K. Output: corpus size, vocab, β, K."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(text_ops.tokens("text")).alias("term")
+    ).select("doc_id", F.lower("term").alias("term"))
+    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("l"))
+    doc_len = doc_len.localCheckpoint(eager=False)
+    first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    first_seen = first_seen.localCheckpoint(eager=False)
+    maxd = doc_len.agg(F.max("doc_id").alias("md"))
+    cuts = (
+        spark.range(1, 11).select(F.col("id").cast("bigint").alias("decile"))
+        .crossJoin(F.broadcast(maxd))
+        .select("decile", (F.col("md") * F.col("decile") / 10).cast("bigint").alias("cut"))
+    )
+    ntok = (
+        doc_len.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") <= F.col("cut"))
+        .groupBy("decile")
+        .agg(F.sum("l").cast("bigint").alias("n_tok"))
+    )
+    vsize = (
+        first_seen.crossJoin(F.broadcast(cuts))
+        .filter(F.col("fd") <= F.col("cut"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    points = ntok.join(vsize, "decile").localCheckpoint(eager=False)
+    logs = points.select(
+        "decile", "n_tok", "v",
+        F.round(F.log(F.col("n_tok").cast("double")) * 1000000.0)
+        .cast("bigint").alias("lx6"),
+        F.round(F.log(F.col("v").cast("double")) * 1000000.0)
+        .cast("bigint").alias("ly6"),
+    )
+    fit = logs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("lx6").cast("bigint").alias("sx"),
+        F.sum("ly6").cast("bigint").alias("sy"),
+        F.sum((F.col("lx6") * F.col("ly6")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxy"),
+        F.sum((F.col("lx6") * F.col("lx6")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxx"),
+    )
+    mx = points.agg(
+        F.max("n_tok").alias("corpus_tokens"), F.max("v").alias("vocabulary")
+    )
+    j = fit.crossJoin(F.broadcast(mx))
+    kd = F.col("k").cast("double")
+    beta = (kd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")) / (
+        kd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept6 = (F.col("sy").cast("double") - beta * F.col("sx")) / F.col("k")
+    return j.select(
+        F.col("k").alias("n_checkpoints"),
+        "corpus_tokens", "vocabulary",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(intercept6 / 1000000.0), 4).alias("heaps_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
