@@ -19881,6 +19881,123 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mahalanobis outliers — multivariate (price, quantity) with closed-form Σ⁻¹
+# ---------------------------------------------------------------------------
+
+@query(
+    "mahalanobis_outliers_2d",
+    oracle="""
+    WITH feat AS (
+      SELECT l_orderkey AS k,
+             o_totalprice * 0.001 AS x,
+             CAST(qty AS DOUBLE) * 0.1 AS y
+      FROM (
+        SELECT l.l_orderkey, CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l GROUP BY l.l_orderkey
+      ) q JOIN orders o ON o.o_orderkey = q.l_orderkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(20,9))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sxy
+      FROM feat
+    ),
+    cov AS (
+      SELECT n,
+             sx / n AS mx, sy / n AS my,
+             sxx / n - (sx / n) * (sx / n) AS vxx,
+             syy / n - (sy / n) * (sy / n) AS vyy,
+             sxy / n - (sx / n) * (sy / n) AS vxy
+      FROM s
+    ),
+    md AS (
+      SELECT f.k, f.x, f.y,
+             CAST(ROUND(
+               ((f.x - c.mx) * c.vyy * (f.x - c.mx)
+                - 2.0 * (f.x - c.mx) * c.vxy * (f.y - c.my)
+                + (f.y - c.my) * c.vxx * (f.y - c.my))
+               / (c.vxx * c.vyy - c.vxy * c.vxy) * 1000000.0) AS BIGINT) AS md2_6
+      FROM feat f CROSS JOIN cov c
+    )
+    SELECT k AS orderkey,
+           ROUND(x * 1000.0, 2) AS totalprice,
+           ROUND(y * 10.0, 0) AS total_quantity,
+           ROUND(CAST(md2_6 AS DOUBLE) / 1000000.0, 4) AS mahalanobis_sq
+    FROM md
+    QUALIFY ROW_NUMBER() OVER (ORDER BY md2_6 DESC, k) <= 10
+    """,
+)
+def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAHALANOBIS-DISTANCE outlier detection on (order price, total
+    quantity) — the MULTIVARIATE upgrade to `rolling_zscore_anomaly` /
+    `length_outlier_mad`: an order can be unremarkable on each axis
+    yet impossible jointly (huge price, tiny quantity), and only the
+    covariance-whitened distance d² = (v-μ)ᵀΣ⁻¹(v-μ) sees it. The
+    2x2 inverse is CLOSED FORM (adjugate over determinant), so the
+    whole thing is two passes: one partial-agg for the five moment
+    sums (decimal-grid, order-free — the `higher_moments` recipe),
+    then a broadcast of the 5-number model back across the features
+    for per-row scoring and a top-10. That two-pass
+    fit-then-broadcast-score shape is exactly how a 100 TB anomaly
+    sweep runs — no per-row Python, no iterative solver. d² snaps to
+    micro-units for a tie-free ranking. Output: top-10 joint
+    outliers with raw features."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("qty")
+    )
+    feat = qty.join(o, qty["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("o_totalprice") * 0.001).alias("x"),
+        (F.col("qty").cast("double") * 0.1).alias("y"),
+    ).localCheckpoint(eager=False)
+
+    def gsum(c, name):
+        return F.sum(F.round(c, 9).cast("decimal(20,9)")).cast("double").alias(name)
+
+    s = feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        gsum(F.col("x"), "sx"), gsum(F.col("y"), "sy"),
+        gsum(F.col("x") * F.col("x"), "sxx"),
+        gsum(F.col("y") * F.col("y"), "syy"),
+        gsum(F.col("x") * F.col("y"), "sxy"),
+    )
+    n = F.col("n")
+    cov = s.select(
+        "n",
+        (F.col("sx") / n).alias("mx"), (F.col("sy") / n).alias("my"),
+        (F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)).alias("vxx"),
+        (F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)).alias("vyy"),
+        (F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)).alias("vxy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    md2 = (
+        (dx * F.col("vyy") * dx - 2.0 * dx * F.col("vxy") * dy + dy * F.col("vxx") * dy)
+        / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+    )
+    md = feat.crossJoin(F.broadcast(cov)).select(
+        "k", "x", "y", F.round(md2 * 1000000.0).cast("bigint").alias("md2_6")
+    )
+    return (
+        md.withColumn("rn", F.row_number().over(Window.orderBy(F.desc("md2_6"), "k")))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("k").alias("orderkey"),
+            F.round(F.col("x") * 1000.0, 2).alias("totalprice"),
+            F.round(F.col("y") * 10.0, 0).alias("total_quantity"),
+            F.round(F.col("md2_6").cast("double") / 1000000.0, 4).alias("mahalanobis_sq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
