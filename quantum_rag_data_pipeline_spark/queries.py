@@ -19998,6 +19998,235 @@ def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Difference-in-differences — signup cohort vs control, pre/post windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "difference_in_differences",
+    oracle="""
+    WITH mid AS (
+      SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) AS m
+      FROM events
+    ),
+    users AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN rn = 1 AND event_type = 'signup'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS treated
+      FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) GROUP BY user_id
+    ),
+    cell AS (
+      SELECT u.treated,
+             CASE WHEN e.ts >= d.m THEN 1 ELSE 0 END AS post,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(e.value AS DECIMAL(30,2)) ELSE CAST(0 AS DECIMAL(30,2)) END)
+                  AS DECIMAL(30,2)) AS rev
+      FROM events e
+      JOIN users u ON u.user_id = e.user_id
+      CROSS JOIN mid d
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT treated,
+             CAST(SUM(CASE WHEN post = 0 THEN rev END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN post = 0 THEN n_users END) AS DOUBLE) AS y_pre,
+             CAST(SUM(CASE WHEN post = 1 THEN rev END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN post = 1 THEN n_users END) AS DOUBLE) AS y_post
+      FROM cell GROUP BY treated
+    )
+    SELECT t.y_pre AS treated_pre, t.y_post AS treated_post,
+           c.y_pre AS control_pre, c.y_post AS control_post,
+           ROUND((t.y_post - t.y_pre) - (c.y_post - c.y_pre), 6) AS did_estimate
+    FROM (SELECT * FROM wide WHERE treated = 1) t
+    CROSS JOIN (SELECT * FROM wide WHERE treated = 0) c
+    """,
+)
+def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the panel-data causal design:
+    treatment = the user's FIRST event is a signup (assignment
+    predates all outcomes by construction — and unlike 'ever signed
+    up', it splits this corpus ~20/80 instead of 99/1), outcome =
+    per-user-cell purchase revenue, and the
+    effect is (ΔT) - (ΔC): the control group's pre→post drift
+    differences OUT whatever seasonal/trend shocks hit everyone (the
+    parallel-trends assumption `stratified_treatment_effect` doesn't
+    need but cross-section can't test). The midpoint split is
+    computed FROM the data (no hardcoded date — survives any
+    testdata regen); the 2x2 cell table is one grouped aggregate of
+    decimal-exact revenue and distinct-user counts; means and the
+    DiD subtraction are the only doubles. Shapes: groupBy(user) for
+    assignment, groupBy(2x2 cells) — two shuffles, both tiny values.
+    Output: the 2x2 means and the DiD estimate."""
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            F.floor(
+                (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
+            ).cast("long")
+        ).alias("m")
+    )
+    from pyspark.sql.window import Window
+
+    e = ev.crossJoin(F.broadcast(mid))
+    users = (
+        ev.select(
+            "user_id", "event_type",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("rn"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.col("rn") == 1) & (F.col("event_type") == "signup"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("treated")
+        )
+    )
+    cell = (
+        e.join(users, "user_id")
+        .groupBy(
+            "treated",
+            F.when(F.col("ts") >= F.col("m"), 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(30,2)"),
+                ).otherwise(F.lit(0).cast("decimal(30,2)"))
+            ).cast("decimal(30,2)").alias("rev"),
+        )
+    )
+    wide = cell.groupBy("treated").agg(
+        (
+            F.sum(F.when(F.col("post") == 0, F.col("rev"))).cast("double")
+            / F.sum(F.when(F.col("post") == 0, F.col("n_users"))).cast("double")
+        ).alias("y_pre"),
+        (
+            F.sum(F.when(F.col("post") == 1, F.col("rev"))).cast("double")
+            / F.sum(F.when(F.col("post") == 1, F.col("n_users"))).cast("double")
+        ).alias("y_post"),
+    )
+    t = wide.filter(F.col("treated") == 1).select(
+        F.col("y_pre").alias("treated_pre"), F.col("y_post").alias("treated_post")
+    )
+    c = wide.filter(F.col("treated") == 0).select(
+        F.col("y_pre").alias("control_pre"), F.col("y_post").alias("control_post")
+    )
+    j = t.crossJoin(F.broadcast(c))
+    return j.select(
+        "treated_pre", "treated_post", "control_pre", "control_post",
+        F.round(
+            (F.col("treated_post") - F.col("treated_pre"))
+            - (F.col("control_post") - F.col("control_pre")), 6,
+        ).alias("did_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction — pre-period covariate adjustment for A/B tests
+# ---------------------------------------------------------------------------
+
+@query(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH mid AS (
+      SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) AS m
+      FROM events
+    ),
+    peruser AS (
+      SELECT e.user_id,
+             CAST(SUM(CASE WHEN e.ts < d.m THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN e.ts >= d.m THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events e CROSS JOIN mid d GROUP BY e.user_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM peruser
+    )
+    SELECT n AS n_users,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS theta,
+           ROUND((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * n), 6) AS var_y,
+           ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS rho_sq,
+           ROUND(1.0 - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                       / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS variance_ratio_after_cuped
+    FROM s
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng
+    et al. 2013) — the variance-reduction trick every large A/B
+    platform runs: adjust each user's experiment metric by θ times
+    their PRE-period activity (θ = cov(x,y)/var(x), the OLS slope),
+    and the metric variance drops by exactly ρ² — here computed
+    EXACTLY from five int64 sufficient sums over per-user pre/post
+    event counts (one groupBy(user), one global partial-agg; no
+    doubles until the closing ratios). variance_ratio_after_cuped =
+    1-ρ² is the fraction of sample size you still need — 0.7 means
+    the same power with 30% fewer users, which at a 100 TB event
+    log is the difference between a 2-week and a 10-day experiment.
+    Companion: `ab_test_welch` consumes the unadjusted metric;
+    `sample_size_power_calc` turns 1-ρ² into runtime."""
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            F.floor(
+                (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
+            ).cast("long")
+        ).alias("m")
+    )
+    peruser = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("m"), 1).otherwise(0))
+            .cast("bigint").alias("x"),
+            F.sum(F.when(F.col("ts") >= F.col("m"), 1).otherwise(0))
+            .cast("bigint").alias("y"),
+        )
+    )
+    s = peruser.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cxy = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    cxx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    cyy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(cxy / cxx, 6).alias("theta"),
+        F.round(cyy / (nd * F.col("n")), 6).alias("var_y"),
+        F.round((cxy * cxy) / (cxx * cyy), 6).alias("rho_sq"),
+        F.round(1.0 - (cxy * cxy) / (cxx * cyy), 6).alias("variance_ratio_after_cuped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
