@@ -20227,6 +20227,183 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SPRT — Wald's sequential probability ratio test on the daily ladder
+# ---------------------------------------------------------------------------
+
+# H0: purchase share p=0.18 vs H1: p=0.22, alpha=beta=0.05. Per-event
+# log-likelihood increments and the Wald boundaries as micro-nat INTEGER
+# literals (ln of literal rationals, precomputed once — zero runtime libm).
+_SPRT_C1 = 200671      # round(ln(0.22/0.18)*1e6)  — per purchase
+_SPRT_C0 = -50010      # round(ln(0.78/0.82)*1e6)  — per non-purchase
+_SPRT_A = 2944439      # round(ln((1-0.05)/0.05)*1e6) = ln 19
+
+@query(
+    "sprt_sequential_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, x, n,
+             CAST(SUM(x * {_SPRT_C1} + (n - x) * ({_SPRT_C0}))
+                  OVER (ORDER BY day) AS BIGINT) AS llr6
+      FROM daily
+    )
+    SELECT day, x AS purchases, n AS trials,
+           ROUND(CAST(llr6 AS DOUBLE) / 1000000.0, 4) AS cum_llr,
+           CASE WHEN llr6 >= {_SPRT_A} THEN 'accept_h1'
+                WHEN llr6 <= -{_SPRT_A} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    """,
+)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD'S SPRT (sequential probability ratio test) on the daily
+    purchase share — the optimal always-valid sequential test: stop
+    the moment the cumulative log-likelihood ratio crosses ±ln 19
+    (α=β=0.05) instead of waiting for `sample_size_power_calc`'s
+    fixed n; Wald proved it needs ~half the samples of the fixed
+    design on average. Because H0/H1 rates are design constants, the
+    per-event increments ln(p1/p0) and ln(q1/q0) are INTEGER
+    micro-nat literals — the whole test is x·C1 + (n-x)·C0
+    accumulated by one cumulative window over the ~30-row daily
+    ladder; no runtime libm anywhere, bit-exact replay for free.
+    Emits the full trajectory with the per-day decision — the plot
+    every sequential-testing dashboard draws (crossing day =
+    stopping time)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day", "x", "n",
+        F.sum(
+            F.col("x") * _SPRT_C1 + (F.col("n") - F.col("x")) * _SPRT_C0
+        ).over(w).cast("bigint").alias("llr6"),
+    )
+    return cum.select(
+        "day", F.col("x").alias("purchases"), F.col("n").alias("trials"),
+        F.round(F.col("llr6").cast("double") / 1000000.0, 4).alias("cum_llr"),
+        F.when(F.col("llr6") >= _SPRT_A, "accept_h1")
+        .when(F.col("llr6") <= -_SPRT_A, "accept_h0")
+        .otherwise("continue").alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-user conversion rates (beta-binomial MoM)
+# ---------------------------------------------------------------------------
+
+@query(
+    "empirical_bayes_shrinkage",
+    oracle="""
+    WITH peruser AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) / n, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS sr,
+             CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n), 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS srr
+      FROM peruser
+    ),
+    ab AS (
+      SELECT k, sr / k AS m,
+             (srr / k - (sr / k) * (sr / k)) AS v,
+             ((sr / k) * (1.0 - sr / k) / (srr / k - (sr / k) * (sr / k)) - 1.0)
+               * (sr / k) AS alpha,
+             ((sr / k) * (1.0 - sr / k) / (srr / k - (sr / k) * (sr / k)) - 1.0)
+               * (1.0 - sr / k) AS beta
+      FROM mom
+    ),
+    scored AS (
+      SELECT p.user_id, p.x, p.n,
+             CAST(p.x AS DOUBLE) / p.n AS raw_rate,
+             (p.x + a.alpha) / (p.n + a.alpha + a.beta) AS shrunk_rate,
+             CAST(ROUND(ABS(CAST(p.x AS DOUBLE) / p.n
+                            - (p.x + a.alpha) / (p.n + a.alpha + a.beta))
+                        * 1000000000.0) AS BIGINT) AS move9
+      FROM peruser p CROSS JOIN ab a
+    )
+    SELECT user_id, x AS purchases, n AS n_events,
+           ROUND(raw_rate, 6) AS raw_rate,
+           ROUND(shrunk_rate, 6) AS shrunk_rate
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY move9 DESC, user_id) <= 10
+    """,
+)
+def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES SHRINKAGE of per-user conversion rates — the
+    fix for 'this user converts 100% (of 2 events)': fit a Beta
+    prior to ALL users by method of moments (α+β from the rate
+    mean/variance), then shrink each user to the posterior mean
+    (x+α)/(n+α+β) — low-n users pull hard toward the global rate,
+    high-n users barely move; the exact machinery behind ranked
+    CTRs, baseball batting averages, and `quality_logreg_score`-
+    style priors. Rate moments ride the 1e-9 DECIMAL grid (order-
+    free), the 4-parameter prior broadcasts back for linear scoring
+    (fit-then-score, the `mahalanobis_outliers_2d` shape). Output:
+    the 10 users the prior moves the MOST — by construction the
+    small-sample extremes."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    peruser = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)
+    r = F.col("x").cast("double") / F.col("n")
+    mom = peruser.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round(r, 9).cast("decimal(20,9)")).cast("double").alias("sr"),
+        F.sum(F.round(r * r, 9).cast("decimal(20,9)")).cast("double").alias("srr"),
+    )
+    m = F.col("sr") / F.col("k")
+    v = F.col("srr") / F.col("k") - m * m
+    strength = m * (1.0 - m) / v - 1.0
+    ab = mom.select(
+        (strength * m).alias("alpha"),
+        (strength * (1.0 - m)).alias("beta"),
+    )
+    scored = peruser.crossJoin(F.broadcast(ab)).select(
+        "user_id", "x", "n",
+        r.alias("raw_rate"),
+        ((F.col("x") + F.col("alpha")) / (F.col("n") + F.col("alpha") + F.col("beta")))
+        .alias("shrunk_rate"),
+    ).withColumn(
+        "move9",
+        F.round(F.abs(F.col("raw_rate") - F.col("shrunk_rate")) * 1000000000.0)
+        .cast("bigint"),
+    )
+    return (
+        scored.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("move9"), "user_id"))
+        )
+        .filter(F.col("rn") <= 10)
+        .select(
+            "user_id", F.col("x").alias("purchases"), F.col("n").alias("n_events"),
+            F.round("raw_rate", 6).alias("raw_rate"),
+            F.round("shrunk_rate", 6).alias("shrunk_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
