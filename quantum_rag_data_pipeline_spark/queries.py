@@ -20404,6 +20404,195 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Functional-dependency profile — FD strength for a fixed candidate set
+# ---------------------------------------------------------------------------
+
+@query(
+    "functional_dependency_profile",
+    oracle="""
+    WITH cands AS (
+      SELECT 'nation' AS tbl, 'n_nationkey' AS lhs, 'n_regionkey' AS rhs,
+             CAST(n_nationkey AS VARCHAR) AS l, CAST(n_regionkey AS VARCHAR) AS r
+      FROM nation
+      UNION ALL
+      SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+             CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer
+      UNION ALL
+      SELECT 'orders', 'o_custkey', 'o_orderpriority',
+             CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
+             CAST(l_orderkey AS VARCHAR), l_returnflag FROM lineitem
+      UNION ALL
+      SELECT 'events', 'user_id', 'event_type',
+             CAST(user_id AS VARCHAR), event_type FROM events
+    ),
+    pair_counts AS (
+      SELECT tbl, lhs, rhs, l, r, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cands GROUP BY tbl, lhs, rhs, l, r
+    ),
+    per_lhs AS (
+      SELECT tbl, lhs, rhs, l,
+             CAST(SUM(c) AS BIGINT) AS n_l,
+             CAST(MAX(c) AS BIGINT) AS max_r
+      FROM pair_counts GROUP BY tbl, lhs, rhs, l
+    )
+    SELECT tbl, lhs, rhs,
+           CAST(SUM(n_l) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(n_l) - SUM(max_r) AS BIGINT) AS n_violations,
+           ROUND(CAST(SUM(max_r) AS DOUBLE) / SUM(n_l), 6) AS fd_strength,
+           (SUM(n_l) = SUM(max_r)) AS holds_exactly
+    FROM per_lhs GROUP BY tbl, lhs, rhs
+    """,
+)
+def functional_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY PROFILING (the Tane/Metanome idea, fixed
+    candidate set) — for each candidate X→Y, the g3-style strength:
+    keep the majority Y per X-group, everything else is a violation;
+    strength 1.0 = exact FD (nation→region by construction), ~0.2 =
+    no dependency (user→event_type). This is the data-profiling
+    primer a migration runs before declaring constraints or choosing
+    clustering keys — and the same per-LHS-majority shape as
+    `categorical_imputation_accuracy`'s mode imputer. Per candidate:
+    one (X,Y)-count aggregate, one X-level max+sum rollup, one final
+    rollup — all integer counts, partial-aggregable, unioned across
+    five (table, X, Y) candidates so the whole profile is a single
+    job. Output: one row per candidate FD with violations and
+    strength."""
+    tables = {
+        "nation": ("n_nationkey", "n_regionkey"),
+        "customer": ("c_nationkey", "c_mktsegment"),
+        "orders": ("o_custkey", "o_orderpriority"),
+        "lineitem": ("l_orderkey", "l_returnflag"),
+        "events": ("user_id", "event_type"),
+    }
+    parts = []
+    for tbl, (lhs, rhs) in tables.items():
+        t = _t(spark, sf_dir, tbl)
+        parts.append(
+            t.select(
+                F.lit(tbl).alias("tbl"), F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.col(lhs).cast("string").alias("l"),
+                F.col(rhs).cast("string").alias("r"),
+            )
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    pair_counts = cands.groupBy("tbl", "lhs", "rhs", "l", "r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_lhs = pair_counts.groupBy("tbl", "lhs", "rhs", "l").agg(
+        F.sum("c").cast("bigint").alias("n_l"),
+        F.max("c").cast("bigint").alias("max_r"),
+    )
+    return per_lhs.groupBy("tbl", "lhs", "rhs").agg(
+        F.sum("n_l").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+        (F.sum("n_l") - F.sum("max_r")).cast("bigint").alias("n_violations"),
+        F.round(F.sum("max_r").cast("double") / F.sum("n_l"), 6).alias("fd_strength"),
+        (F.sum("n_l") == F.sum("max_r")).alias("holds_exactly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity — log-log OLS of demanded quantity on retail price
+# ---------------------------------------------------------------------------
+
+@query(
+    "price_elasticity_loglog",
+    oracle="""
+    WITH per_part AS (
+      SELECT p.p_partkey,
+             CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_partkey, p.p_retailprice
+    ),
+    logs AS (
+      SELECT CAST(ROUND(ln(CAST(price_cents AS DOUBLE)) * 1000000.0) AS BIGINT) AS lx6,
+             CAST(ROUND(ln(CAST(qty AS DOUBLE)) * 1000000.0) AS BIGINT) AS ly6
+      FROM per_part WHERE qty > 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lx6) AS BIGINT) AS sx, CAST(SUM(ly6) AS BIGINT) AS sy,
+             CAST(SUM(lx6 * ly6) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(lx6 * lx6) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(ly6 * ly6) AS DECIMAL(38,0)) AS syy
+      FROM logs
+    )
+    SELECT n AS n_parts,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * sx), 6) AS elasticity,
+           ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)), 6) AS r_squared
+    FROM s
+    """,
+)
+def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE ELASTICITY OF DEMAND — the econometric log-log
+    regression ln(qty) = a + ε·ln(price) across parts, where the
+    slope IS the elasticity (ε=-2: a 1% price increase costs 2%
+    volume; |ε|<1 = inelastic, raise prices): the one number pricing
+    teams extract from exactly this kind of order history. Both logs
+    see EXACT INT64 arguments (price in cents, quantity in units),
+    land on the micro-log grid, and the five OLS sufficient sums
+    accumulate as int64/DECIMAL(38,0) — the `heaps_law_vocab_growth`
+    fit machinery pointed at economics. One broadcast-dimension join
+    + one partial-agg; R² comes free from the same five sums.
+    (Synthetic data has no real price-demand curve — expect ε≈0,
+    R²≈0; the point is the exact, scale-proof estimator.)"""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey", "p_retailprice")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+        .select(
+            F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+            "qty",
+        )
+    )
+    logs = per_part.filter(F.col("qty") > 0).select(
+        F.round(F.log(F.col("price_cents").cast("double")) * 1000000.0)
+        .cast("bigint").alias("lx6"),
+        F.round(F.log(F.col("qty").cast("double")) * 1000000.0)
+        .cast("bigint").alias("ly6"),
+    )
+    s = logs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lx6").cast("bigint").alias("sx"),
+        F.sum("ly6").cast("bigint").alias("sy"),
+        F.sum((F.col("lx6") * F.col("ly6")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxy"),
+        F.sum((F.col("lx6") * F.col("lx6")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxx"),
+        F.sum((F.col("ly6") * F.col("ly6")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cxy = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    cxx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    cyy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_parts"),
+        F.round(cxy / cxx, 6).alias("elasticity"),
+        F.round((cxy * cxy) / (cxx * cyy), 6).alias("r_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
