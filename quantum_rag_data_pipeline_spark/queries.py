@@ -20593,6 +20593,243 @@ def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Regression discontinuity — local linear fits on both sides of a cutoff
+# ---------------------------------------------------------------------------
+
+@query(
+    "regression_discontinuity_local",
+    oracle="""
+    WITH band AS (
+      SELECT c.c_custkey,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) - 500000 AS x,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS y
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_acctbal >= 4000 AND c.c_acctbal < 6000
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    sides AS (
+      SELECT CASE WHEN x < 0 THEN 'below' ELSE 'above' END AS side,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
+      FROM band GROUP BY 1
+    ),
+    fits AS (
+      SELECT side, n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               AS slope,
+             (CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                * sx) / n AS intercept_at_cutoff
+      FROM sides
+    )
+    SELECT a.n AS n_above, b.n AS n_below,
+           ROUND(a.slope * 100000.0, 6) AS slope_above_per_1k,
+           ROUND(b.slope * 100000.0, 6) AS slope_below_per_1k,
+           ROUND(a.intercept_at_cutoff, 6) AS limit_above,
+           ROUND(b.intercept_at_cutoff, 6) AS limit_below,
+           ROUND(a.intercept_at_cutoff - b.intercept_at_cutoff, 6) AS rd_effect
+    FROM (SELECT * FROM fits WHERE side = 'above') a
+    CROSS JOIN (SELECT * FROM fits WHERE side = 'below') b
+    """,
+)
+def regression_discontinuity_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGRESSION DISCONTINUITY at an account-balance cutoff of 5000
+    — the quasi-experimental design for threshold rules ('customers
+    above X get the premium treatment'): fit separate LOCAL LINEAR
+    regressions inside a ±1000 bandwidth and read the jump between
+    the two intercepts AT the cutoff; slopes absorb the smooth
+    x-dependence so only a genuine discontinuity shows (expect ≈0
+    here — synthetic balances don't gate anything — the estimator,
+    bandwidth discipline, and centered-x algebra are the point).
+    Running variable is integer CENTS centered at the cutoff, order
+    counts are int64, so each side's OLS is five exact sufficient
+    sums (DECIMAL(38,0) for the products, the `price_elasticity`
+    machinery); centering makes intercept = value at cutoff
+    directly. LEFT join keeps zero-order customers — dropping them
+    would fake a discontinuity in the customer mix. One filtered
+    scan, one groupBy(side): linear, broadcast-free."""
+    c = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_acctbal") >= 4000) & (F.col("c_acctbal") < 6000)
+    )
+    o = _t(spark, sf_dir, "orders")
+    band = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("bigint").alias("y"))
+        .select(
+            (F.round(F.col("c_acctbal") * 100).cast("bigint") - 500000).alias("x"),
+            "y",
+        )
+    )
+    sides = band.groupBy(
+        F.when(F.col("x") < 0, "below").otherwise("above").alias("side")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    )
+    fits = sides.select(
+        "side", "n",
+        slope.alias("slope"),
+        ((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"))
+        .alias("intercept_at_cutoff"),
+    )
+    a = fits.filter(F.col("side") == "above").select(
+        F.col("n").alias("n_above"), F.col("slope").alias("sl_a"),
+        F.col("intercept_at_cutoff").alias("limit_above"),
+    )
+    b = fits.filter(F.col("side") == "below").select(
+        F.col("n").alias("n_below"), F.col("slope").alias("sl_b"),
+        F.col("intercept_at_cutoff").alias("limit_below"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    return j.select(
+        "n_above", "n_below",
+        F.round(F.col("sl_a") * 100000.0, 6).alias("slope_above_per_1k"),
+        F.round(F.col("sl_b") * 100000.0, 6).alias("slope_below_per_1k"),
+        F.round("limit_above", 6).alias("limit_above"),
+        F.round("limit_below", 6).alias("limit_below"),
+        F.round(F.col("limit_above") - F.col("limit_below"), 6).alias("rd_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox detector — pooled vs within-stratum comparison reversal
+# ---------------------------------------------------------------------------
+
+@query(
+    "simpsons_paradox_detector",
+    oracle="""
+    WITH peruser AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purch,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks
+      FROM events GROUP BY user_id
+    ),
+    labeled AS (
+      SELECT NTILE(3) OVER (ORDER BY n_events, user_id) AS stratum,
+             CASE WHEN clicks * 5 >= n_events THEN 1 ELSE 0 END AS grp,
+             purch, n_events
+      FROM peruser
+    ),
+    strata AS (
+      SELECT CAST(stratum AS BIGINT) AS stratum, grp,
+             CAST(SUM(purch) AS BIGINT) AS p, CAST(SUM(n_events) AS BIGINT) AS n
+      FROM labeled GROUP BY stratum, grp
+    ),
+    wide AS (
+      SELECT stratum,
+             CAST(SUM(CASE WHEN grp = 1 THEN p END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN grp = 1 THEN n END) AS DOUBLE) AS rate_hi,
+             CAST(SUM(CASE WHEN grp = 0 THEN p END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN grp = 0 THEN n END) AS DOUBLE) AS rate_lo
+      FROM strata GROUP BY stratum
+      UNION ALL
+      SELECT CAST(0 AS BIGINT) AS stratum,
+             CAST(SUM(CASE WHEN grp = 1 THEN p END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN grp = 1 THEN n END) AS DOUBLE),
+             CAST(SUM(CASE WHEN grp = 0 THEN p END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN grp = 0 THEN n END) AS DOUBLE)
+      FROM strata
+    )
+    SELECT CASE WHEN stratum = 0 THEN 'pooled'
+                ELSE 'stratum_' || CAST(stratum AS VARCHAR) END AS scope,
+           ROUND(rate_hi, 6) AS purchase_rate_clicky,
+           ROUND(rate_lo, 6) AS purchase_rate_other,
+           ROUND(rate_hi - rate_lo, 6) AS rate_diff,
+           (rate_hi > rate_lo) AS clicky_wins
+    FROM wide
+    """,
+)
+def simpsons_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S PARADOX DETECTOR — computes the clicky-vs-other
+    purchase-rate comparison BOTH pooled and within activity
+    tertiles, because aggregation can REVERSE the sign when group
+    mix correlates with the stratifier (the Berkeley-admissions
+    trap every metrics dashboard eventually steps into; the formal
+    fix is `stratified_treatment_effect`'s weighting). All rates
+    are exact int64 count ratios; strata come from the same ntile
+    assignment as the stratified estimator so the two queries
+    cross-reference; the pooled row rides the SAME aggregate via a
+    grouping-set-style union, not a second scan of the fact table.
+    Read it as: if `clicky_wins` flips between 'pooled' and every
+    stratum, the pooled number is the lie."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    peruser = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("purch"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("clicks"),
+    )
+    labeled = peruser.select(
+        F.ntile(3).over(Window.orderBy("n_events", "user_id")).alias("stratum"),
+        F.when(F.col("clicks") * 5 >= F.col("n_events"), 1).otherwise(0).alias("grp"),
+        "purch", "n_events",
+    )
+    strata = labeled.groupBy(
+        F.col("stratum").cast("bigint").alias("stratum"), "grp"
+    ).agg(
+        F.sum("purch").cast("bigint").alias("p"),
+        F.sum("n_events").cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)
+
+    def rates(df):
+        return df.agg(
+            (
+                F.sum(F.when(F.col("grp") == 1, F.col("p"))).cast("double")
+                / F.sum(F.when(F.col("grp") == 1, F.col("n"))).cast("double")
+            ).alias("rate_hi"),
+            (
+                F.sum(F.when(F.col("grp") == 0, F.col("p"))).cast("double")
+                / F.sum(F.when(F.col("grp") == 0, F.col("n"))).cast("double")
+            ).alias("rate_lo"),
+        )
+
+    per_stratum = strata.groupBy("stratum").agg(
+        (
+            F.sum(F.when(F.col("grp") == 1, F.col("p"))).cast("double")
+            / F.sum(F.when(F.col("grp") == 1, F.col("n"))).cast("double")
+        ).alias("rate_hi"),
+        (
+            F.sum(F.when(F.col("grp") == 0, F.col("p"))).cast("double")
+            / F.sum(F.when(F.col("grp") == 0, F.col("n"))).cast("double")
+        ).alias("rate_lo"),
+    )
+    pooled = rates(strata).select(
+        F.lit(0).cast("bigint").alias("stratum"), "rate_hi", "rate_lo"
+    )
+    wide = per_stratum.unionByName(pooled)
+    return wide.select(
+        F.when(F.col("stratum") == 0, "pooled")
+        .otherwise(F.concat(F.lit("stratum_"), F.col("stratum").cast("string")))
+        .alias("scope"),
+        F.round("rate_hi", 6).alias("purchase_rate_clicky"),
+        F.round("rate_lo", 6).alias("purchase_rate_other"),
+        F.round(F.col("rate_hi") - F.col("rate_lo"), 6).alias("rate_diff"),
+        (F.col("rate_hi") > F.col("rate_lo")).alias("clicky_wins"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
