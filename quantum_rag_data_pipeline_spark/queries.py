@@ -20830,6 +20830,214 @@ def simpsons_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rich-club coefficient of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+@query(
+    "rich_club_coefficient",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+    club AS (
+      SELECT ks.k, d.s AS node
+      FROM ks JOIN deg d ON d.d > ks.k
+    ),
+    club_n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM club GROUP BY k),
+    club_e AS (
+      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+      FROM ks
+      JOIN edges e ON TRUE
+      JOIN deg du ON du.s = e.u AND du.d > ks.k
+      JOIN deg dv ON dv.s = e.v AND dv.d > ks.k
+      GROUP BY ks.k
+    )
+    SELECT n.k, n.n_k AS club_size,
+           COALESCE(e.e_k, 0) AS club_edges,
+           ROUND(2.0 * COALESCE(e.e_k, 0)
+                 / (CAST(n.n_k AS DOUBLE) * (n.n_k - 1)), 6) AS phi
+    FROM club_n n LEFT JOIN club_e e ON e.k = n.k
+    """,
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB COEFFICIENT φ(k) of the co-purchase graph — do the
+    high-degree 'hub' parts preferentially co-sell with EACH OTHER?
+    φ(k) = fraction of possible edges realized among nodes of degree
+    > k, for k ∈ {2,4,8}; φ rising with k is the rich-club effect
+    (an elite of universally-bundled parts — where a recommender's
+    popularity bias comes from), and it's the structural complement
+    to `degree_assortativity`'s single correlation. Pure integer
+    counting: the club membership is a degree-table filter per k,
+    club-internal edges are two semi-join-shaped hash joins from the
+    edge list to the (broadcastable) degree table, and φ is one
+    final ratio. Cost is |E|·|ks|, linear at any scale."""
+    edges, both, deg = _copurchase_edges(spark, sf_dir)
+    ks = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(2), F.lit(4), F.lit(8)), F.col("id").cast("int") + 1)
+        .cast("bigint").alias("k")
+    )
+    club = ks.join(deg, deg["d"] > ks["k"]).select("k", F.col("s").alias("node"))
+    club_n = club.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    du = deg.select(F.col("s").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("s").alias("v"), F.col("d").alias("dv"))
+    club_e = (
+        ks.crossJoin(edges)
+        .join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    j = club_n.join(club_e, "k", "left")
+    return j.select(
+        "k", F.col("n_k").alias("club_size"),
+        F.coalesce(F.col("e_k"), F.lit(0)).alias("club_edges"),
+        F.round(
+            2.0 * F.coalesce(F.col("e_k"), F.lit(0))
+            / (F.col("n_k").cast("double") * (F.col("n_k") - 1)), 6,
+        ).alias("phi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' delta stylometry — nearest source pairs by function-word z-scores
+# ---------------------------------------------------------------------------
+
+@query(
+    "burrows_delta_stylometry",
+    oracle="""
+    WITH toks AS (
+      SELECT source, lower(unnest(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS term
+      FROM documents
+    ),
+    top_terms AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+        ORDER BY c DESC, term LIMIT 20
+      )
+    ),
+    per_src AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE term IN (SELECT term FROM top_terms)
+      GROUP BY source, term
+    ),
+    src_tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY source),
+    grid AS (
+      SELECT t.term, s.source,
+             CAST(COALESCE(p.c, 0) AS DOUBLE) / s.n AS f
+      FROM top_terms t CROSS JOIN src_tot s
+      LEFT JOIN per_src p ON p.term = t.term AND p.source = s.source
+    ),
+    stats AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(ROUND(f, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sf,
+             CAST(SUM(CAST(ROUND(f * f, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sff
+      FROM grid GROUP BY term
+    ),
+    z AS (
+      SELECT g.term, g.source,
+             (g.f - s.sf / s.k)
+               / SQRT(s.sff / s.k - (s.sf / s.k) * (s.sf / s.k)) AS z
+      FROM grid g JOIN stats s ON s.term = g.term
+    ),
+    pairs AS (
+      SELECT a.source AS src1, b.source AS src2,
+             CAST(SUM(CAST(ROUND(ABS(a.z - b.z), 9) AS DECIMAL(20,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS delta
+      FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src1, src2, ROUND(delta, 6) AS burrows_delta
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (
+      ORDER BY CAST(ROUND(delta * 1000000000) AS BIGINT), src1, src2) <= 10
+    """,
+)
+def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS' DELTA — the stylometric distance authorship
+    attribution has used since 2002: represent each source by the
+    z-SCORED relative frequencies of the corpus's top-20 most
+    frequent words ('function words' carry style, not topic), then
+    delta(s1,s2) = mean |z1-z2|; the 10 closest pairs are the
+    sources that 'write alike' (for LLM data work: candidate
+    SAME-PIPELINE duplicates that `dedup_exact` can't see because no
+    text is shared — provenance clustering by style). Frequencies
+    are int-ratio doubles; per-term mean/σ across sources and the
+    per-pair |Δz| sums all ride the 1e-9 DECIMAL grid (order-free);
+    ranking snaps delta to integer nano-units. Shapes: token
+    explode → (source, term) counts; the z-grid is 20 terms x 20
+    sources (broadcast everywhere); the pair join is grid-sized.
+    Output: top-10 most similar source pairs."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = d.select(
+        "source", F.explode(text_ops.tokens("text")).alias("t0")
+    ).select("source", F.lower("t0").alias("term"))
+    toks = toks.localCheckpoint(eager=False)
+    top_terms = (
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("c"), "term")))
+        .filter(F.col("rn") <= 20)
+        .select("term")
+    )
+    per_src = (
+        toks.join(F.broadcast(top_terms), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = (
+        top_terms.crossJoin(src_tot)
+        .join(per_src, ["term", "source"], "left")
+        .select(
+            "term", "source",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n")).alias("f"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = grid.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round("f", 9).cast("decimal(20,9)")).cast("double").alias("sf"),
+        F.sum(F.round(F.col("f") * F.col("f"), 9).cast("decimal(20,9)"))
+        .cast("double").alias("sff"),
+    )
+    mu = F.col("sf") / F.col("k")
+    sig = F.sqrt(F.col("sff") / F.col("k") - mu * mu)
+    z = grid.join(F.broadcast(stats), "term").select(
+        "term", "source", ((F.col("f") - mu) / sig).alias("z")
+    )
+    z2 = z.select(
+        F.col("term").alias("term_b"), F.col("source").alias("src2"),
+        F.col("z").alias("zb"),
+    )
+    pairs = (
+        z.join(z2, (F.col("term") == F.col("term_b")) & (F.col("source") < F.col("src2")))
+        .groupBy(F.col("source").alias("src1"), "src2")
+        .agg(
+            (
+                F.sum(F.round(F.abs(F.col("z") - F.col("zb")), 9).cast("decimal(20,9)"))
+                .cast("double") / F.count(F.lit(1))
+            ).alias("delta")
+        )
+    )
+    return (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(
+                    F.round(F.col("delta") * 1000000000).cast("bigint"),
+                    "src1", "src2",
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("src1", "src2", F.round("delta", 6).alias("burrows_delta"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
