@@ -21038,6 +21038,159 @@ def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Newsvendor stocking — exact critical-ratio quantile of daily demand
+# ---------------------------------------------------------------------------
+
+@query(
+    "newsvendor_optimal_stock",
+    oracle="""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS demand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-07-01'
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT brand, demand,
+             CAST(ROW_NUMBER() OVER (PARTITION BY brand ORDER BY demand, day)
+                  AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY brand) AS BIGINT) AS n,
+             CAST(SUM(demand) OVER (PARTITION BY brand) AS BIGINT) AS total
+      FROM daily
+    )
+    SELECT brand, n AS n_days,
+           ROUND(CAST(total AS DOUBLE) / n, 4) AS mean_daily_demand,
+           demand AS q_star
+    FROM ranked
+    WHERE rn = CAST(CEIL(0.3 * n) AS BIGINT)
+    """,
+)
+def newsvendor_optimal_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWSVENDOR MODEL — the one-period stocking decision: with unit
+    cost 7 and price 10, the critical ratio is (p-c)/p = 0.3, and
+    the PROFIT-OPTIMAL stock is the 30th-percentile of daily demand
+    (NOT the mean — stocking the mean is the classic rookie loss
+    when margins are thin; the optimal quantile moves with the
+    margin). Per-brand daily demand is exact integer units; the
+    quantile is an EXACT ORDER STATISTIC — row_number selection at
+    ⌈0.3n⌉ inside per-brand windows (partitioned, no global sort; at
+    data-skew extremes this is the `percentiles_by_segment`
+    exact-selection shape). Ties pinned by day. Output: per brand,
+    the optimal stock vs the misleading mean."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part")
+    from pyspark.sql.window import Window
+
+    daily = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("demand"))
+    )
+    wb = Window.partitionBy("brand")
+    ranked = daily.select(
+        "brand", "demand",
+        F.row_number().over(wb.orderBy("demand", "day")).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("n"),
+        F.sum("demand").over(wb).cast("bigint").alias("total"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.ceil(0.3 * F.col("n")).cast("bigint")
+    ).select(
+        "brand", F.col("n").alias("n_days"),
+        F.round(F.col("total").cast("double") / F.col("n"), 4).alias("mean_daily_demand"),
+        F.col("demand").alias("q_star"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Safety stock & reorder point — service-level inventory policy per brand
+# ---------------------------------------------------------------------------
+
+@query(
+    "safety_stock_reorder_point",
+    oracle="""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS s1,
+             CAST(SUM(d * d) AS BIGINT) AS s2
+      FROM daily GROUP BY brand
+    )
+    SELECT brand, n AS n_days,
+           ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean_demand,
+           ROUND(SQRT(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 4)
+             AS sd_demand,
+           ROUND(1.645 * SQRT(CAST(s2 AS DOUBLE) / n
+                              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 * SQRT(7.0), 4) AS safety_stock,
+           ROUND(CAST(s1 AS DOUBLE) / n * 7.0
+                 + 1.645 * SQRT(CAST(s2 AS DOUBLE) / n
+                                - (CAST(s1 AS DOUBLE) / n)
+                                  * (CAST(s1 AS DOUBLE) / n))
+                   * SQRT(7.0), 4) AS reorder_point
+    FROM s
+    """,
+)
+def safety_stock_reorder_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAFETY STOCK + REORDER POINT at a 95% cycle service level —
+    the continuous-review (s,Q) policy every supply chain runs: with
+    7-day replenishment lead time, reorder when inventory hits
+    μ_d·LT + z₀.₉₅·σ_d·√LT; the z·σ·√LT term is the buffer that
+    absorbs demand variance during the lead time (the √LT is the
+    independence assumption — correlated demand needs
+    `autocorrelation_function` first, which is the right
+    cross-check). Demand moments are exact int64 sufficient sums per
+    brand (one partial-agg pass over a year of shipments); z=1.645
+    is a literal (no runtime normal quantile). Output: per brand,
+    mean/sd of daily demand and the two policy numbers. Companion:
+    `newsvendor_optimal_stock` prices the single-period variant by
+    margin instead of service level."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("d"))
+    )
+    s = daily.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean)
+    ss = 1.645 * sd * F.sqrt(F.lit(7.0))
+    return s.select(
+        "brand", F.col("n").alias("n_days"),
+        F.round(mean, 4).alias("mean_demand"),
+        F.round(sd, 4).alias("sd_demand"),
+        F.round(ss, 4).alias("safety_stock"),
+        F.round(mean * 7.0 + ss, 4).alias("reorder_point"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
