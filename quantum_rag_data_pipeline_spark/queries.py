@@ -21191,6 +21191,279 @@ def safety_stock_reorder_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cohort LTV accumulation — cumulative revenue per user by cohort age
+# ---------------------------------------------------------------------------
+
+@query(
+    "cohort_ltv_accumulation",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    cohort_size AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM firsts GROUP BY cohort_wk
+    ),
+    rev AS (
+      SELECT f.cohort_wk,
+             CAST(date_diff('week', f.cohort_wk, date_trunc('week', e.ts))
+                  AS BIGINT) AS age_wk,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(e.value AS DECIMAL(30,2))
+                           ELSE CAST(0 AS DECIMAL(30,2)) END) AS DECIMAL(30,2))
+               AS rev_wk
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT r.cohort_wk, r.age_wk, s.n_users, r.rev_wk,
+             CAST(SUM(r.rev_wk) OVER (PARTITION BY r.cohort_wk ORDER BY r.age_wk)
+                  AS DECIMAL(30,2)) AS cum_rev
+      FROM rev r JOIN cohort_size s ON s.cohort_wk = r.cohort_wk
+    )
+    SELECT CAST(cohort_wk AS DATE) AS cohort_week, age_wk, n_users,
+           CAST(rev_wk AS DOUBLE) AS revenue_in_week,
+           ROUND(CAST(cum_rev * 100 AS BIGINT) // n_users / 100.0, 2)
+             AS cum_ltv_per_user
+    FROM cum
+    """,
+)
+def cohort_ltv_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV CURVES — cumulative purchase revenue per user by
+    cohort age in weeks, the finance-grade companion to
+    `dn_retention_curve` (retention says WHO comes back; this says
+    what they're WORTH): each signup-week cohort's running revenue
+    divided by its FIXED cohort size (dividing by active users is
+    the classic LTV inflation bug — the denominator must not decay).
+    Revenue rides DECIMAL(30,2) end to end; the running total is a
+    per-cohort ordered window over the (cohort x age) rollup
+    (calendar-bounded, ~5x5 cells per month of data); per-user LTV
+    floors to exact cents (integer division — the
+    `period_over_period_growth` tie lesson). Output: the cohort
+    triangle in LTV form — read diagonals for calendar effects,
+    rows for payback curves."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    cohort_size = firsts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_wk",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_wk")) / 7
+            ).cast("bigint").alias("age_wk"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(30,2)"),
+                ).otherwise(F.lit(0).cast("decimal(30,2)"))
+            ).cast("decimal(30,2)").alias("rev_wk")
+        )
+    )
+    cum = rev.join(F.broadcast(cohort_size), "cohort_wk").select(
+        "cohort_wk", "age_wk", "n_users", "rev_wk",
+        F.sum("rev_wk").over(
+            Window.partitionBy("cohort_wk").orderBy("age_wk")
+        ).cast("decimal(30,2)").alias("cum_rev"),
+    )
+    return cum.select(
+        F.col("cohort_wk").cast("date").alias("cohort_week"),
+        "age_wk", "n_users",
+        F.col("rev_wk").cast("double").alias("revenue_in_week"),
+        (
+            F.expr("(CAST(cum_rev * 100 AS BIGINT) div n_users)").cast("double")
+            / 100.0
+        ).alias("cum_ltv_per_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent — rescaled-range (R/S) analysis over the hourly series
+# ---------------------------------------------------------------------------
+
+@query(
+    "hurst_exponent_rs",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT CAST(date_diff('hour', b.h0, g.h) AS BIGINT) AS idx, g.h AS hr
+      FROM bounds b, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    series AS (
+      SELECT g.idx, COALESCE(c.c, 0) AS y
+      FROM grid g LEFT JOIN counts c ON c.hr = g.hr
+    ),
+    sized AS (
+      SELECT w.w, s.idx // w.w AS blk, s.idx % w.w AS k, s.y
+      FROM series s CROSS JOIN (SELECT CAST(unnest([24, 72, 168]) AS BIGINT) AS w) w
+    ),
+    blocks AS (
+      SELECT w, blk, k, y,
+             CAST(SUM(y) OVER (PARTITION BY w, blk ORDER BY k) AS BIGINT) AS cum,
+             CAST(SUM(y) OVER (PARTITION BY w, blk) AS BIGINT) AS s_b,
+             CAST(SUM(y * y) OVER (PARTITION BY w, blk) AS BIGINT) AS ss_b,
+             CAST(COUNT(*) OVER (PARTITION BY w, blk) AS BIGINT) AS nb
+      FROM sized
+    ),
+    devs AS (
+      SELECT w, blk, s_b, ss_b, nb,
+             CAST(MAX(w * cum - (k + 1) * s_b) AS BIGINT) AS dmax,
+             CAST(MIN(w * cum - (k + 1) * s_b) AS BIGINT) AS dmin
+      FROM blocks WHERE nb = w
+      GROUP BY w, blk, s_b, ss_b, nb
+    ),
+    rs AS (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CAST(ROUND(
+               (CAST(dmax - dmin AS DOUBLE) / w / w)
+               / SQRT(CAST(ss_b AS DOUBLE) / w
+                      - (CAST(s_b AS DOUBLE) / w) * (CAST(s_b AS DOUBLE) / w)), 9)
+               AS DECIMAL(20,9))) AS DOUBLE) AS sum_rs
+      FROM devs
+      WHERE ss_b * w > s_b * s_b
+      GROUP BY w
+    ),
+    logs AS (
+      SELECT CAST(ROUND(ln(CAST(w AS DOUBLE)) * 1000000.0) AS BIGINT) AS lx6,
+             CAST(ROUND(ln(sum_rs / n_blocks) * 1000000.0) AS BIGINT) AS ly6
+      FROM rs
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lx6) AS BIGINT) AS sx, CAST(SUM(ly6) AS BIGINT) AS sy,
+             CAST(SUM(lx6 * ly6) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(lx6 * lx6) AS DECIMAL(38,0)) AS sxx
+      FROM logs
+    )
+    SELECT n AS n_window_sizes,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * sx), 6) AS hurst_h
+    FROM fit
+    """,
+)
+def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT by RESCALED-RANGE analysis — long-memory
+    detection on the hourly arrival series: partition into blocks of
+    w ∈ {24,72,168} hours, compute each block's R/S (range of
+    mean-adjusted cumulative deviations over its σ), and H is the
+    log-log slope of avg R/S vs w. H≈0.5 = memoryless; H→1 =
+    long-range persistence, the regime where `safety_stock_reorder_
+    point`'s √LT scaling UNDERSTATES lead-time risk — that's the
+    operational reason to measure it. The integer trick: w·cumdev =
+    w·cum_k - (k+1)·S_b is EXACT int64, so the range R needs no
+    floats; σ from int sufficient sums; R/S snaps to the 1e-9 grid
+    before block-averaging; the 3-point fit reuses the micro-log OLS
+    machinery. Zero-count hours are materialized by an explicit
+    hour-grid join (missing≠absent). Windows are (w, block)-
+    partitioned — parallel across blocks at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+        "h0",
+    ).select(
+        ((F.unix_timestamp("hr") - F.unix_timestamp("h0")) / 3600)
+        .cast("bigint").alias("idx"),
+        "hr",
+    )
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    series = grid.join(counts, "hr", "left").select(
+        "idx", F.coalesce(F.col("c"), F.lit(0)).alias("y")
+    )
+    ws = spark.range(0, 3).select(
+        F.element_at(
+            F.array(F.lit(24), F.lit(72), F.lit(168)), F.col("id").cast("int") + 1
+        ).cast("bigint").alias("w")
+    )
+    sized = series.crossJoin(F.broadcast(ws)).select(
+        "w",
+        (F.col("idx") / F.col("w")).cast("bigint").alias("blk"),
+        (F.col("idx") % F.col("w")).alias("k"),
+        "y",
+    )
+    wb = Window.partitionBy("w", "blk")
+    blocks = sized.select(
+        "w", "blk", "k", "y",
+        F.sum("y").over(wb.orderBy("k")).cast("bigint").alias("cum"),
+        F.sum("y").over(wb).cast("bigint").alias("s_b"),
+        F.sum(F.col("y") * F.col("y")).over(wb).cast("bigint").alias("ss_b"),
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("nb"),
+    )
+    dev = F.col("w") * F.col("cum") - (F.col("k") + 1) * F.col("s_b")
+    devs = (
+        blocks.filter(F.col("nb") == F.col("w"))
+        .groupBy("w", "blk", "s_b", "ss_b")
+        .agg(F.max(dev).cast("bigint").alias("dmax"),
+             F.min(dev).cast("bigint").alias("dmin"))
+    )
+    sd = F.sqrt(
+        F.col("ss_b").cast("double") / F.col("w")
+        - (F.col("s_b").cast("double") / F.col("w"))
+        * (F.col("s_b").cast("double") / F.col("w"))
+    )
+    rs_val = (F.col("dmax") - F.col("dmin")).cast("double") / F.col("w") / F.col("w") / sd
+    rs = (
+        devs.filter(F.col("ss_b") * F.col("w") > F.col("s_b") * F.col("s_b"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.round(rs_val, 9).cast("decimal(20,9)")).cast("double").alias("sum_rs"),
+        )
+    )
+    logs = rs.select(
+        F.round(F.log(F.col("w").cast("double")) * 1000000.0).cast("bigint").alias("lx6"),
+        F.round(F.log(F.col("sum_rs") / F.col("n_blocks")) * 1000000.0)
+        .cast("bigint").alias("ly6"),
+    )
+    fit = logs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lx6").cast("bigint").alias("sx"),
+        F.sum("ly6").cast("bigint").alias("sy"),
+        F.sum((F.col("lx6") * F.col("ly6")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxy"),
+        F.sum((F.col("lx6") * F.col("lx6")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    return fit.select(
+        F.col("n").alias("n_window_sizes"),
+        F.round(
+            (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy"))
+            / (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")),
+            6,
+        ).alias("hurst_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
