@@ -21464,6 +21464,217 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shapley-value channel attribution (exact 3-channel closed form)
+# ---------------------------------------------------------------------------
+
+@query(
+    "shapley_channel_attribution",
+    oracle="""
+    WITH early AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    exposure AS (
+      SELECT e.user_id,
+             CAST(MAX(CASE WHEN e.event_type = 'click' AND e.rn <= 5 THEN 1 ELSE 0 END)
+                  + 2 * MAX(CASE WHEN e.event_type = 'view' AND e.rn <= 5 THEN 1 ELSE 0 END)
+                  + 4 * MAX(CASE WHEN e.event_type = 'signup' AND e.rn <= 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s,
+             CAST(MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM early e GROUP BY e.user_id
+    ),
+    v AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM exposure GROUP BY s
+    ),
+    subsets AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS s),
+    vfull AS (
+      SELECT sub.s,
+             COALESCE(CAST(v.conv AS DOUBLE) / v.n, 0.0) AS rate,
+             COALESCE(v.n, 0) AS n
+      FROM subsets sub LEFT JOIN v ON v.s = sub.s
+    ),
+    chans AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS bit),
+    terms AS (
+      SELECT c.bit,
+             CASE WHEN (CASE WHEN a.s % 2 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN (a.s // 2) % 2 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN (a.s // 4) % 2 = 1 THEN 1 ELSE 0 END) = 1
+                  THEN 1.0 ELSE 2.0 END
+               * (b.rate - a.rate) AS t
+      FROM chans c
+      JOIN vfull a ON (a.s // c.bit) % 2 = 0
+      JOIN vfull b ON b.s = a.s + c.bit
+    )
+    SELECT CASE bit WHEN 1 THEN 'click' WHEN 2 THEN 'view' ELSE 'signup' END
+             AS channel,
+           ROUND(CAST(SUM(CAST(ROUND(t * 1000000000.0 / 6.0) AS BIGINT)) AS DOUBLE)
+                 / 1000000000.0, 6) AS shapley_value
+    FROM terms GROUP BY bit
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE ATTRIBUTION over three early-funnel channels —
+    the game-theoretic answer to 'which touchpoint deserves credit'
+    that `multi_touch_attribution`'s positional rules approximate:
+    each channel's value is its average marginal contribution to the
+    conversion rate across ALL coalition orderings. With 3 channels
+    the formula is exact and closed-form (|S|-weights 2,1,2 over 6),
+    so the whole computation is: exposure bitmask per user from the
+    FIRST 5 events (full-history exposure saturates — everyone sees
+    everything eventually), the 8-subset conversion-rate table
+    v(S), and a 12-term weighted sum of marginal differences joined
+    via bit arithmetic. By the efficiency axiom, Σ shapley_i =
+    v(full exposure) - v(no exposure) — an invariant the test pins.
+    One groupBy(user), one 8-row aggregate; the coalition algebra
+    is constant-sized at any scale. Per-term values snap to
+    nano-units so the 4-term sums are order-free."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    early = ev.select(
+        "user_id", "event_type",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("rn"),
+    )
+    def saw(t):
+        return F.max(
+            F.when((F.col("event_type") == t) & (F.col("rn") <= 5), 1).otherwise(0)
+        )
+
+    exposure = early.groupBy("user_id").agg(
+        (saw("click") + 2 * saw("view") + 4 * saw("signup"))
+        .cast("bigint").alias("s"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("converted"),
+    )
+    v = exposure.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    subsets = spark.range(0, 8).select(F.col("id").cast("bigint").alias("s"))
+    vfull = subsets.join(v, "s", "left").select(
+        "s",
+        F.coalesce(F.col("conv").cast("double") / F.col("n"), F.lit(0.0)).alias("rate"),
+    ).localCheckpoint(eager=False)
+    chans = spark.range(0, 3).select(
+        F.element_at(
+            F.array(F.lit(1), F.lit(2), F.lit(4)), F.col("id").cast("int") + 1
+        ).cast("bigint").alias("bit")
+    )
+    a = vfull.select(F.col("s").alias("sa"), F.col("rate").alias("ra"))
+    b = vfull.select(F.col("s").alias("sb"), F.col("rate").alias("rb"))
+    popcount = (
+        (F.col("sa") % 2)
+        + (F.floor(F.col("sa") / 2) % 2)
+        + (F.floor(F.col("sa") / 4) % 2)
+    )
+    terms = (
+        chans.join(F.broadcast(a), F.floor(F.col("sa") / F.col("bit")) % 2 == 0)
+        .join(F.broadcast(b), F.col("sb") == F.col("sa") + F.col("bit"))
+        .select(
+            "bit",
+            (
+                F.when(popcount == 1, 1.0).otherwise(2.0)
+                * (F.col("rb") - F.col("ra"))
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("bit").agg(
+        F.round(
+            F.sum(F.round(F.col("t") * 1000000000.0 / 6.0).cast("bigint"))
+            .cast("double") / 1000000000.0, 6,
+        ).alias("shapley_value")
+    ).select(
+        F.when(F.col("bit") == 1, "click")
+        .when(F.col("bit") == 2, "view")
+        .otherwise("signup").alias("channel"),
+        "shapley_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator — power-law tail index of customer revenue
+# ---------------------------------------------------------------------------
+
+@query(
+    "hill_tail_index",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+      FROM rev
+    ),
+    thresh AS (SELECT cents AS xk1 FROM ranked WHERE rnk = 51),
+    terms AS (
+      SELECT CAST(ROUND((ln(CAST(r.cents AS DOUBLE)) - ln(CAST(t.xk1 AS DOUBLE)))
+                        * 1000000.0) AS BIGINT) AS t6
+      FROM ranked r CROSS JOIN thresh t
+      WHERE r.rnk <= 50
+    )
+    SELECT CAST(50 AS BIGINT) AS k,
+           ROUND(CAST(t.xk1 AS DOUBLE) / 100.0, 2) AS threshold_revenue,
+           ROUND(CAST((SELECT SUM(t6) FROM terms) AS DOUBLE) / 1000000.0 / 50, 6)
+             AS hill_h,
+           ROUND(50000000.0 / (SELECT SUM(t6) FROM terms), 6) AS tail_alpha
+    FROM thresh t
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL ESTIMATOR of the power-law tail index — how heavy is the
+    whale tail of customer revenue: α̂ = k / Σ ln(x_(i)/x_(k+1)) over
+    the top k=50 order statistics; α<2 means infinite variance
+    (mean-based `ab_test_welch` confidence intervals LIE about this
+    metric — the operational consequence), α>3 is effectively
+    light-tailed. Complements `zipf_vocabulary_fit` (frequency
+    ranks) and `user_activity_pareto` (share curves) with the
+    estimator EVT actually uses. Revenue rides integer cents; the
+    top-(k+1) selection is one TakeOrdered with custkey tiebreak;
+    both logs see exact int64 arguments and land on the micro-nat
+    grid, so the k-term sum is order-free integer addition and α is
+    one closing ratio. Output: k, the tail threshold, H, α."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("rnk"),
+    ).localCheckpoint(eager=False)
+    thresh = ranked.filter(F.col("rnk") == 51).select(F.col("cents").alias("xk1"))
+    terms = (
+        ranked.filter(F.col("rnk") <= 50)
+        .crossJoin(F.broadcast(thresh))
+        .select(
+            F.round(
+                (F.log(F.col("cents").cast("double")) - F.log(F.col("xk1").cast("double")))
+                * 1000000.0
+            ).cast("bigint").alias("t6")
+        )
+        .agg(F.sum("t6").alias("s6"))
+    )
+    j = thresh.crossJoin(F.broadcast(terms))
+    return j.select(
+        F.lit(50).cast("bigint").alias("k"),
+        F.round(F.col("xk1").cast("double") / 100.0, 2).alias("threshold_revenue"),
+        F.round(F.col("s6").cast("double") / 1000000.0 / 50, 6).alias("hill_h"),
+        F.round(50000000.0 / F.col("s6"), 6).alias("tail_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
