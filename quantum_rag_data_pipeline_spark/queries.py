@@ -21675,6 +21675,263 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hierarchical forecast reconciliation (proportional top-down)
+# ---------------------------------------------------------------------------
+
+@query(
+    "forecast_reconciliation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    last7 AS (
+      SELECT MAX(day) - 6 AS d0, MAX(day) AS d1 FROM daily
+    ),
+    targets AS (
+      SELECT DISTINCT event_type, day FROM daily, last7
+      WHERE day BETWEEN d0 AND d1
+    ),
+    trail AS (
+      SELECT t.event_type, t.day, h.y,
+             ROW_NUMBER() OVER (PARTITION BY t.event_type, t.day
+                                ORDER BY h.y, h.day) AS rn,
+             COUNT(*) OVER (PARTITION BY t.event_type, t.day) AS n
+      FROM targets t
+      JOIN daily h ON h.event_type = t.event_type
+                  AND h.day BETWEEN t.day - 7 AND t.day - 1
+    ),
+    base_type AS (
+      SELECT event_type, day,
+             CAST(SUM(CAST(y AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS fc
+      FROM trail WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type, day
+    ),
+    dtot AS (SELECT day, CAST(SUM(y) AS BIGINT) AS ty FROM daily GROUP BY day),
+    ttargets AS (
+      SELECT DISTINCT day FROM daily, last7 WHERE day BETWEEN d0 AND d1
+    ),
+    ttrail AS (
+      SELECT t.day, h.ty,
+             ROW_NUMBER() OVER (PARTITION BY t.day ORDER BY h.ty, h.day) AS rn,
+             COUNT(*) OVER (PARTITION BY t.day) AS n
+      FROM ttargets t
+      JOIN dtot h ON h.day BETWEEN t.day - 7 AND t.day - 1
+    ),
+    base_total AS (
+      SELECT day,
+             CAST(SUM(CAST(ty AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS fc_total
+      FROM ttrail WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY day
+    ),
+    sums AS (
+      SELECT day, CAST(SUM(CAST(ROUND(fc, 9) AS DECIMAL(20,9))) AS DOUBLE)
+               AS sum_type_fc
+      FROM base_type GROUP BY day
+    )
+    SELECT b.event_type, b.day,
+           ROUND(b.fc, 4) AS base_forecast,
+           ROUND(b.fc * t.fc_total / s.sum_type_fc, 4) AS reconciled_forecast,
+           ROUND(t.fc_total, 4) AS total_forecast,
+           ROUND(s.sum_type_fc, 4) AS sum_of_base
+    FROM base_type b
+    JOIN base_total t ON t.day = b.day
+    JOIN sums s ON s.day = b.day
+    """,
+)
+def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL FORECAST RECONCILIATION — per-type and total
+    daily forecasts made INDEPENDENTLY (7-day trailing MEDIANS —
+    deliberately nonlinear, because linear forecasts are trivially
+    coherent and hide the problem) disagree: Σ type forecasts ≠
+    total forecast. Proportional top-down reconciliation rescales
+    the bottom level to sum exactly to the top — the coherence
+    property downstream consumers (capacity budgets per type that
+    must add to the fleet budget) silently assume. Medians are
+    EXACT positional selections over each target day's trailing
+    week (join + row_number — Spark's median() can't take a window
+    frame, and the explicit selection is engine-portable anyway);
+    the two middles average on the decimal grid. The forecast
+    window is the LAST 7 days, each predicted from its own trailing
+    week — all joins are over the (type x day) rollup. Output: per
+    (type, day), base vs reconciled, plus the two aggregates whose
+    disagreement forced the adjustment."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).localCheckpoint(eager=False)
+    last7 = daily.agg(
+        F.date_add(F.max("day"), -6).alias("d0"), F.max("day").alias("d1")
+    )
+    targets = (
+        daily.select("event_type", "day").distinct()
+        .crossJoin(F.broadcast(last7))
+        .filter((F.col("day") >= F.col("d0")) & (F.col("day") <= F.col("d1")))
+        .select("event_type", "day")
+    )
+    h = daily.select(
+        F.col("event_type").alias("et_h"), F.col("day").alias("day_h"),
+        F.col("y").alias("y_h"),
+    )
+    wtd = Window.partitionBy("event_type", "day")
+    trail = (
+        targets.join(
+            h,
+            (F.col("event_type") == F.col("et_h"))
+            & (F.col("day_h") >= F.date_sub(F.col("day"), 7))
+            & (F.col("day_h") <= F.date_sub(F.col("day"), 1)),
+        )
+        .select(
+            "event_type", "day", "y_h",
+            F.row_number().over(wtd.orderBy("y_h", "day_h")).alias("rn"),
+            F.count(F.lit(1)).over(wtd).alias("n"),
+        )
+    )
+    base_type = (
+        trail.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            (F.sum(F.col("y_h").cast("decimal(20,9)")).cast("double")
+             / F.count(F.lit(1))).alias("fc")
+        )
+        .localCheckpoint(eager=False)
+    )
+    dtot = daily.groupBy("day").agg(F.sum("y").cast("bigint").alias("ty"))
+    ttargets = (
+        dtot.select("day").crossJoin(F.broadcast(last7))
+        .filter((F.col("day") >= F.col("d0")) & (F.col("day") <= F.col("d1")))
+        .select("day")
+    )
+    th = dtot.select(F.col("day").alias("day_h"), F.col("ty").alias("ty_h"))
+    wt2 = Window.partitionBy("day")
+    ttrail = (
+        ttargets.join(
+            th,
+            (F.col("day_h") >= F.date_sub(F.col("day"), 7))
+            & (F.col("day_h") <= F.date_sub(F.col("day"), 1)),
+        )
+        .select(
+            "day", "ty_h",
+            F.row_number().over(wt2.orderBy("ty_h", "day_h")).alias("rn"),
+            F.count(F.lit(1)).over(wt2).alias("n"),
+        )
+    )
+    base_total = (
+        ttrail.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("day")
+        .agg(
+            (F.sum(F.col("ty_h").cast("decimal(20,9)")).cast("double")
+             / F.count(F.lit(1))).alias("fc_total")
+        )
+    )
+    sums = base_type.groupBy("day").agg(
+        F.sum(F.round("fc", 9).cast("decimal(20,9)")).cast("double").alias("sum_type_fc")
+    )
+    return (
+        base_type.join(base_total, "day")
+        .join(F.broadcast(sums), "day")
+        .select(
+            "event_type", "day",
+            F.round("fc", 4).alias("base_forecast"),
+            F.round(F.col("fc") * F.col("fc_total") / F.col("sum_type_fc"), 4)
+            .alias("reconciled_forecast"),
+            F.round("fc_total", 4).alias("total_forecast"),
+            F.round("sum_type_fc", 4).alias("sum_of_base"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel fit on block maxima — extreme-value capacity planning
+# ---------------------------------------------------------------------------
+
+@query(
+    "gumbel_block_maxima_fit",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    maxima AS (
+      SELECT day, CAST(MAX(c) AS BIGINT) AS m FROM hourly GROUP BY day
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS s1,
+             CAST(SUM(m * m) AS BIGINT) AS s2
+      FROM maxima
+    )
+    SELECT n AS n_blocks,
+           ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean_max,
+           ROUND(SQRT(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 4)
+             AS sd_max,
+           ROUND(SQRT(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 * 0.7796968012, 4) AS gumbel_beta,
+           ROUND(CAST(s1 AS DOUBLE) / n
+                 - 0.5772156649
+                   * (SQRT(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                      * 0.7796968012), 4) AS gumbel_mu,
+           ROUND((CAST(s1 AS DOUBLE) / n
+                  - 0.5772156649
+                    * (SQRT(CAST(s2 AS DOUBLE) / n
+                            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                       * 0.7796968012))
+                 + (SQRT(CAST(s2 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * 0.7796968012) * 3.3842944935, 4) AS return_level_30d
+    FROM s
+    """,
+)
+def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTREME-VALUE capacity planning — fit a GUMBEL distribution to
+    the DAILY MAXIMA of hourly arrivals (block-maxima converge to
+    GEV by Fisher-Tippett; Gumbel is the light-tailed case) and read
+    off the 30-day RETURN LEVEL: the hourly burst you should expect
+    to exceed about once a month — the number autoscaling headroom
+    should be provisioned to, which `peak_concurrency_analysis`'s
+    observed max UNDERestimates whenever the observation window is
+    short. Method-of-moments: β̂ = σ√6/π, μ̂ = mean - γβ̂, with √6/π,
+    Euler's γ, and -ln(-ln(29/30)) all PRECOMPUTED literals (zero
+    runtime transcendentals); moments come from two exact int64 sums
+    over ~30 daily maxima. Two partial-agg passes (hour rollup →
+    day max), one output row."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"), F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    maxima = hourly.groupBy("day").agg(F.max("c").cast("bigint").alias("m"))
+    s = maxima.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean)
+    beta = sd * 0.7796968012
+    mu = mean - 0.5772156649 * beta
+    return s.select(
+        F.col("n").alias("n_blocks"),
+        F.round(mean, 4).alias("mean_max"),
+        F.round(sd, 4).alias("sd_max"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(mu + beta * 3.3842944935, 4).alias("return_level_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
