@@ -21932,6 +21932,225 @@ def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Binary-segmentation changepoint — exact integer SSE argmin over splits
+# ---------------------------------------------------------------------------
+
+@query(
+    "binary_segmentation_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT day, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(SUM(y) OVER (ORDER BY day) AS BIGINT) AS c1,
+             CAST(SUM(y * y) OVER (ORDER BY day) AS BIGINT) AS c2,
+             CAST(SUM(y) OVER () AS BIGINT) AS t1,
+             CAST(SUM(y * y) OVER () AS BIGINT) AS t2,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    splits AS (
+      SELECT day AS split_day, i AS n_left, n - i AS n_right,
+             c1 AS s1l, t1 - c1 AS s1r,
+             (n - i) * (i * c2 - c1 * c1)
+               + i * ((n - i) * (t2 - c2) - (t1 - c1) * (t1 - c1)) AS g,
+             n, t1, t2
+      FROM pre WHERE i BETWEEN 2 AND n - 2
+    )
+    SELECT split_day, n_left, n_right,
+           ROUND(CAST(s1l AS DOUBLE) / n_left, 4) AS mean_left,
+           ROUND(CAST(s1r AS DOUBLE) / n_right, 4) AS mean_right,
+           ROUND(1.0 - (CAST(g AS DOUBLE) / (n_left * n_right))
+                       / (CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * t1 / n), 6)
+             AS variance_explained
+    FROM splits
+    QUALIFY ROW_NUMBER() OVER (ORDER BY g, split_day) = 1
+    """,
+)
+def binary_segmentation_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY SEGMENTATION changepoint — the OFFLINE mean-shift
+    locator (`cusum_changepoint_detection` is the online cousin):
+    try every split of the daily series and keep the one minimizing
+    total within-segment SSE. The whole search is EXACT INTEGER
+    arithmetic: SSE_l + SSE_r has denominators n_l·n_r, so the
+    comparison multiplies through to g = n_r(n_l·S2_l - S1_l²) +
+    n_l(n_r·S2_r - S1_r²) — int64 sufficient statistics from ONE
+    cumulative window pass, argmin by integer comparison with a
+    date tiebreak (no float argmin instability, ever). Full
+    recursive segmentation = re-run on each side; one level is the
+    textbook unit. Output: the best split with both means and the
+    fraction of variance the single break explains."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = daily.select(
+        "day", "y",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"),
+        F.sum("y").over(wcum).cast("bigint").alias("c1"),
+        F.sum(F.col("y") * F.col("y")).over(wcum).cast("bigint").alias("c2"),
+        F.sum("y").over(wall).cast("bigint").alias("t1"),
+        F.sum(F.col("y") * F.col("y")).over(wall).cast("bigint").alias("t2"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    i, n = F.col("i"), F.col("n")
+    c1, c2, t1, t2 = F.col("c1"), F.col("c2"), F.col("t1"), F.col("t2")
+    g = (n - i) * (i * c2 - c1 * c1) + i * ((n - i) * (t2 - c2) - (t1 - c1) * (t1 - c1))
+    splits = pre.filter((i >= 2) & (i <= n - 2)).select(
+        F.col("day").alias("split_day"),
+        i.alias("n_left"), (n - i).alias("n_right"),
+        c1.alias("s1l"), (t1 - c1).alias("s1r"),
+        g.alias("g"), "n", "t1", "t2",
+    )
+    best = splits.withColumn(
+        "rn", F.row_number().over(Window.orderBy("g", "split_day"))
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "split_day", "n_left", "n_right",
+        F.round(F.col("s1l").cast("double") / F.col("n_left"), 4).alias("mean_left"),
+        F.round(F.col("s1r").cast("double") / F.col("n_right"), 4).alias("mean_right"),
+        F.round(
+            1.0 - (F.col("g").cast("double") / (F.col("n_left") * F.col("n_right")))
+            / (F.col("t2").cast("double") - F.col("t1").cast("double") * F.col("t1") / F.col("n")),
+            6,
+        ).alias("variance_explained"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Huber M-estimator — one IRLS step from the median/MAD start
+# ---------------------------------------------------------------------------
+
+@query(
+    "huber_m_estimator_one_step",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, x,
+             ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM rev
+    ),
+    med AS (
+      SELECT CAST(SUM(CAST(x AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS m
+      FROM ranked WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    ),
+    absdev AS (
+      SELECT ABS(r.x - d.m) AS a,
+             ROW_NUMBER() OVER (ORDER BY ABS(r.x - d.m), r.o_custkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM rev r CROSS JOIN med d
+    ),
+    mad AS (
+      SELECT CAST(SUM(CAST(a AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS mad
+      FROM absdev WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    ),
+    weighted AS (
+      SELECT r.x, d.m,
+             CASE WHEN ABS(r.x - d.m) <= 1.345 * 1.4826 * s.mad THEN 1.0
+                  ELSE 1.345 * 1.4826 * s.mad / ABS(r.x - d.m) END AS w
+      FROM rev r CROSS JOIN med d CROSS JOIN mad s
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+             CAST(SUM(CAST(ROUND(w * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS swx,
+             CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sw,
+             MAX(m) AS m
+      FROM weighted
+    )
+    SELECT n AS n_customers, n_down AS n_downweighted,
+           ROUND(m / 100.0, 2) AS median_revenue,
+           ROUND((SELECT mad * 1.4826 FROM mad) / 100.0, 2) AS scaled_mad,
+           ROUND(swx / sw / 100.0, 4) AS huber_mean_revenue
+    FROM agg
+    """,
+)
+def huber_m_estimator_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBER M-ESTIMATOR of typical customer revenue — one IRLS step
+    from the (median, 1.4826·MAD) start with tuning constant 1.345
+    (95% Gaussian efficiency): observations inside c·σ̂ keep weight
+    1, outliers get weight c·σ̂/|x-μ̂| — so the estimate is
+    mean-like where the data is clean and median-like in the tails,
+    the principled middle ground between `a1_metric_catalog`'s mean
+    and `winsorized_robust_stats`' hard clipping (Huber's weights
+    decay smoothly instead of truncating). Median and MAD are exact
+    positional selections on integer cents; the single reweighted
+    mean rides the decimal grid (weights to 1e-9, products to
+    1e-6). Fully deterministic: no iteration-to-convergence, and
+    the one step is already within O(1/n) of the fixed point.
+    Output: n, how many got downweighted, the three location
+    estimates to compare."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("x")
+    ).localCheckpoint(eager=False)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = rev.select(
+        "x",
+        F.row_number().over(Window.orderBy("x", "o_custkey")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    med = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    ).agg(
+        (F.sum(F.col("x").cast("decimal(20,2)")).cast("double") / F.count(F.lit(1)))
+        .alias("m")
+    )
+    absdev = rev.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("x") - F.col("m")).alias("a"), "o_custkey"
+    ).select(
+        "a",
+        F.row_number().over(Window.orderBy("a", "o_custkey")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    mad = absdev.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    ).agg(
+        (F.sum(F.col("a").cast("decimal(20,2)")).cast("double") / F.count(F.lit(1)))
+        .alias("mad")
+    )
+    c_sig = 1.345 * 1.4826 * F.col("mad")
+    weighted = rev.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(mad)).select(
+        "x", "m", "mad",
+        F.when(F.abs(F.col("x") - F.col("m")) <= c_sig, 1.0)
+        .otherwise(c_sig / F.abs(F.col("x") - F.col("m"))).alias("w"),
+    )
+    agg = weighted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("w") < 1.0, 1).otherwise(0)).cast("bigint").alias("n_down"),
+        F.sum(F.round(F.col("w") * F.col("x"), 6).cast("decimal(28,6)"))
+        .cast("double").alias("swx"),
+        F.sum(F.round("w", 9).cast("decimal(20,9)")).cast("double").alias("sw"),
+        F.max("m").alias("m"),
+        F.max("mad").alias("mad_v"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("n_down").alias("n_downweighted"),
+        F.round(F.col("m") / 100.0, 2).alias("median_revenue"),
+        F.round(F.col("mad_v") * 1.4826 / 100.0, 2).alias("scaled_mad"),
+        F.round(F.col("swx") / F.col("sw") / 100.0, 4).alias("huber_mean_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
