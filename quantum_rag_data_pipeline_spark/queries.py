@@ -22151,6 +22151,295 @@ def huber_m_estimator_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rank-biased overlap between the BM25 and query-likelihood rankings
+# ---------------------------------------------------------------------------
+
+# (1-p)·p^(d-1)/d at p=0.9 for d=1..20, in integer nano-units — the RBO
+# depth weights as exact literals (no runtime pow).
+_RBO_W9 = [100000000, 45000000, 27000000, 18225000, 13122000, 9841500,
+           7592014, 5978711, 4782969, 3874205, 3169804, 2615088, 2172535,
+           1815618, 1525119, 1286820, 1090012, 926510, 789972, 675426]
+
+
+@query(
+    "rank_biased_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM toks),
+    n AS (SELECT CAST(SUM(dl) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(dl AS DOUBLE)) AS avgdl
+          FROM dl),
+    tf AS (
+      SELECT doc_id, lower(t.term) AS term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, unnest(tok) AS t(term)
+      WHERE lower(t.term) IN {tuple(_BM25_TERMS)}
+      GROUP BY doc_id, lower(t.term)
+    ),
+    idf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    cf AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY term),
+    bm25_scored AS (
+      SELECT tf.doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(
+               ln(1 + (s.n_docs - i.df + 0.5) / (i.df + 0.5))
+               * (tf.c * (CAST(1.2 AS DOUBLE) + 1))
+               / (tf.c + CAST(1.2 AS DOUBLE)
+                  * (1 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)), 9)
+               AS DECIMAL(20,9))) AS DOUBLE), 4) AS score
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN idf i ON tf.term = i.term CROSS JOIN n s
+      GROUP BY tf.doc_id
+    ),
+    rank_a AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS ra
+      FROM bm25_scored
+    ),
+    ql_scored AS (
+      SELECT d.doc_id,
+             CAST(SUM(CAST(ROUND(ln(CAST(COALESCE(tf.c, 0) * s.n_tokens
+                                        + 2000 * cf.cf AS DOUBLE)
+                                     / CAST(s.n_tokens * (d.dl + 2000) AS DOUBLE))
+                                  * 1000000.0) AS BIGINT)) AS BIGINT) AS score6
+      FROM dl d CROSS JOIN cf CROSS JOIN n s
+      LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = cf.term
+      GROUP BY d.doc_id
+    ),
+    rank_b AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(score6 AS DOUBLE) / 1000000.0, 4) DESC, doc_id
+             ) AS rb
+      FROM ql_scored
+    ),
+    overlap AS (
+      SELECT GREATEST(a.ra, b.rb) AS m
+      FROM rank_a a JOIN rank_b b ON b.doc_id = a.doc_id
+      WHERE a.ra <= 20 AND b.rb <= 20
+    ),
+    depths AS (
+      SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS d,
+             unnest({_RBO_W9}) AS w9
+    ),
+    terms AS (
+      SELECT d.d, d.w9,
+             CAST((SELECT COUNT(*) FROM overlap o WHERE o.m <= d.d) AS BIGINT) AS xd
+      FROM depths d
+    )
+    SELECT CAST(20 AS BIGINT) AS depth,
+           CAST((SELECT COUNT(*) FROM overlap) AS BIGINT) AS overlap_at_depth,
+           ROUND(CAST(SUM(w9 * xd) AS DOUBLE) / 1000000000.0, 6) AS rbo_truncated
+    FROM terms
+    """,
+)
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber 2010, p=0.9, depth 20) between the
+    BM25 and query-likelihood rankings for the same 3-term query —
+    THE metric for comparing two rankers' output when you care most
+    about the top (weight p^(d-1)/d decays geometrically with
+    depth): RBO≈1 means the LM and probabilistic-IR scorers agree
+    where it matters; low RBO means `hybrid_rrf_fusion` has real
+    diversity to exploit. Both rankings recompute their scorers'
+    exact pipelines; the overlap curve X_d needs only each shared
+    doc's max(rank_a, rank_b) (one join on doc_id), and the 20
+    depth weights are PRECOMPUTED integer nano-literals, so the
+    final score is an exact integer dot product — no runtime pow,
+    order-free. Output: depth, overlap count, truncated RBO."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    ranked_a = (
+        QUERIES["bm25_keyword_search"](spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("ra"),
+        )
+    )
+    ranked_b = (
+        QUERIES["query_likelihood_dirichlet"](spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number().over(
+                Window.orderBy(F.desc("ql_log_score"), "doc_id")
+            ).alias("rb"),
+        )
+    )
+    overlap = (
+        ranked_a.join(ranked_b, "doc_id")
+        .filter((F.col("ra") <= 20) & (F.col("rb") <= 20))
+        .select(F.greatest("ra", "rb").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    depths = spark.range(1, 21).select(
+        F.col("id").cast("bigint").alias("d"),
+        F.element_at(
+            F.array(*[F.lit(w) for w in _RBO_W9]), F.col("id").cast("int")
+        ).cast("bigint").alias("w9"),
+    )
+    terms = depths.join(overlap, F.col("m") <= F.col("d"), "left").groupBy(
+        "d", "w9"
+    ).agg(F.count("m").cast("bigint").alias("xd"))
+    tot = overlap.agg(F.count(F.lit(1)).cast("bigint").alias("overlap_at_depth"))
+    out = terms.agg(
+        F.sum(F.col("w9") * F.col("xd")).cast("bigint").alias("dot")
+    ).crossJoin(F.broadcast(tot))
+    return out.select(
+        F.lit(20).cast("bigint").alias("depth"),
+        "overlap_at_depth",
+        F.round(F.col("dot").cast("double") / 1000000000.0, 6).alias("rbo_truncated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score decomposition — reliability / resolution / uncertainty
+# ---------------------------------------------------------------------------
+
+@query(
+    "brier_score_decomposition",
+    oracle="""
+    WITH mid AS (
+      SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) AS m
+      FROM events
+    ),
+    peruser AS (
+      SELECT e.user_id,
+             CAST(SUM(CASE WHEN e.ts < d.m AND e.event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN e.ts < d.m THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(MAX(CASE WHEN e.ts >= d.m AND e.event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS o
+      FROM events e CROSS JOIN mid d GROUP BY e.user_id
+    ),
+    scored AS (
+      SELECT CAST(FLOOR(CAST(x1 AS DOUBLE) / n1 * 10) AS BIGINT) AS bin,
+             CAST(x1 AS DOUBLE) / n1 AS f, o
+      FROM peruser WHERE n1 > 0
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(CAST(ROUND(f, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sf,
+             CAST(SUM(o) AS BIGINT) AS so
+      FROM scored GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(so) AS BIGINT) AS so_all
+      FROM bins
+    ),
+    brier AS (
+      SELECT CAST(SUM(CAST(ROUND((f - o) * (f - o), 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS sq
+      FROM scored
+    ),
+    decomp AS (
+      SELECT
+        CAST(SUM(CAST(ROUND(b.nk * (b.sf / b.nk - CAST(b.so AS DOUBLE) / b.nk)
+                            * (b.sf / b.nk - CAST(b.so AS DOUBLE) / b.nk), 9)
+                      AS DECIMAL(20,9))) AS DOUBLE) AS rel,
+        CAST(SUM(CAST(ROUND(b.nk * (CAST(b.so AS DOUBLE) / b.nk
+                                    - CAST(t.so_all AS DOUBLE) / t.n)
+                            * (CAST(b.so AS DOUBLE) / b.nk
+                               - CAST(t.so_all AS DOUBLE) / t.n), 9)
+                      AS DECIMAL(20,9))) AS DOUBLE) AS res
+      FROM bins b CROSS JOIN tot t
+    )
+    SELECT t.n AS n_users,
+           ROUND(br.sq / t.n, 6) AS brier_score,
+           ROUND(d.rel / t.n, 6) AS reliability,
+           ROUND(d.res / t.n, 6) AS resolution,
+           ROUND(CAST(t.so_all AS DOUBLE) / t.n
+                 * (1.0 - CAST(t.so_all AS DOUBLE) / t.n), 6) AS uncertainty
+    FROM tot t CROSS JOIN brier br CROSS JOIN decomp d
+    """,
+)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MURPHY'S BRIER-SCORE DECOMPOSITION — forecast = each user's
+    first-half purchase RATE, outcome = did they purchase in the
+    second half; Brier = REL - RES + UNC splits the error into what
+    the forecaster can fix (reliability: your 70% bin should convert
+    70% — `calibration_reliability_ece` measures exactly this
+    term), what skill earns (resolution: bins that separate
+    outcomes), and what the base rate costs regardless (uncertainty
+    — the floor no model beats without new information). Forecasts
+    are exact count ratios binned by decile; every squared term
+    snaps to the 1e-9 grid before its order-free decimal sum; the
+    midpoint split reuses the exact integer-µs convention from
+    `difference_in_differences`. One groupBy(user) + one 10-bin
+    rollup. Output: Brier and its three components (REL-RES+UNC
+    reproduces it up to within-bin variance — the decomposition is
+    exact only on binned forecasts, a caveat the test pins)."""
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            F.floor(
+                (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
+            ).cast("long")
+        ).alias("m")
+    )
+    peruser = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ts") < F.col("m")) & (F.col("event_type") == "purchase"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("x1"),
+            F.sum(F.when(F.col("ts") < F.col("m"), 1).otherwise(0))
+            .cast("bigint").alias("n1"),
+            F.max(
+                F.when(
+                    (F.col("ts") >= F.col("m")) & (F.col("event_type") == "purchase"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("o"),
+        )
+    )
+    f = F.col("x1").cast("double") / F.col("n1")
+    scored = peruser.filter(F.col("n1") > 0).select(
+        F.floor(f * 10).cast("bigint").alias("bin"), f.alias("f"), "o"
+    ).localCheckpoint(eager=False)
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum(F.round("f", 9).cast("decimal(20,9)")).cast("double").alias("sf"),
+        F.sum("o").cast("bigint").alias("so"),
+    )
+    tot = bins.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("so").cast("bigint").alias("so_all"),
+    )
+    brier = scored.agg(
+        F.sum(
+            F.round((F.col("f") - F.col("o")) * (F.col("f") - F.col("o")), 9)
+            .cast("decimal(20,9)")
+        ).cast("double").alias("sq")
+    )
+    fbar = F.col("sf") / F.col("nk")
+    obar = F.col("so").cast("double") / F.col("nk")
+    oall = F.col("so_all").cast("double") / F.col("n")
+    decomp = bins.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(F.col("nk") * (fbar - obar) * (fbar - obar), 9)
+            .cast("decimal(20,9)")
+        ).cast("double").alias("rel"),
+        F.sum(
+            F.round(F.col("nk") * (obar - oall) * (obar - oall), 9)
+            .cast("decimal(20,9)")
+        ).cast("double").alias("res"),
+    )
+    j = tot.crossJoin(F.broadcast(brier)).crossJoin(F.broadcast(decomp))
+    return j.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("sq") / F.col("n"), 6).alias("brier_score"),
+        F.round(F.col("rel") / F.col("n"), 6).alias("reliability"),
+        F.round(F.col("res") / F.col("n"), 6).alias("resolution"),
+        F.round(oall * (1.0 - oall), 6).alias("uncertainty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
