@@ -22440,6 +22440,250 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Borda-count fusion of the BM25 and query-likelihood rankings
+# ---------------------------------------------------------------------------
+
+@query(
+    "borda_fusion_ranking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM toks),
+    n AS (SELECT CAST(SUM(dl) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(dl AS DOUBLE)) AS avgdl
+          FROM dl),
+    tf AS (
+      SELECT doc_id, lower(t.term) AS term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, unnest(tok) AS t(term)
+      WHERE lower(t.term) IN {tuple(_BM25_TERMS)}
+      GROUP BY doc_id, lower(t.term)
+    ),
+    idf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    cf AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY term),
+    bm25_scored AS (
+      SELECT tf.doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(
+               ln(1 + (s.n_docs - i.df + 0.5) / (i.df + 0.5))
+               * (tf.c * (CAST(1.2 AS DOUBLE) + 1))
+               / (tf.c + CAST(1.2 AS DOUBLE)
+                  * (1 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)), 9)
+               AS DECIMAL(20,9))) AS DOUBLE), 4) AS score
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN idf i ON tf.term = i.term CROSS JOIN n s
+      GROUP BY tf.doc_id
+    ),
+    rank_a AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm25_scored
+    ),
+    ql_scored AS (
+      SELECT d.doc_id,
+             CAST(SUM(CAST(ROUND(ln(CAST(COALESCE(tf.c, 0) * s.n_tokens
+                                        + 2000 * cf.cf AS DOUBLE)
+                                     / CAST(s.n_tokens * (d.dl + 2000) AS DOUBLE))
+                                  * 1000000.0) AS BIGINT)) AS BIGINT) AS score6
+      FROM dl d CROSS JOIN cf CROSS JOIN n s
+      LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = cf.term
+      GROUP BY d.doc_id
+    ),
+    rank_b AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(score6 AS DOUBLE) / 1000000.0, 4) DESC, doc_id
+             ) AS r
+      FROM ql_scored
+    ),
+    points AS (
+      SELECT doc_id, CAST(21 - r AS BIGINT) AS pts FROM rank_a WHERE r <= 20
+      UNION ALL
+      SELECT doc_id, CAST(21 - r AS BIGINT) AS pts FROM rank_b WHERE r <= 20
+    ),
+    fused AS (
+      SELECT doc_id, CAST(SUM(pts) AS BIGINT) AS borda_points,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM points GROUP BY doc_id
+    )
+    SELECT doc_id, borda_points, n_lists
+    FROM fused
+    QUALIFY ROW_NUMBER() OVER (ORDER BY borda_points DESC, doc_id) <= 10
+    """,
+)
+def borda_fusion_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BORDA-COUNT FUSION of the BM25 and query-likelihood top-20s —
+    the positional-voting alternative to `hybrid_rrf_fusion`: each
+    list awards 21-rank points, fused score is the plain sum, so a
+    document ranked #1+#15 beats one ranked #8+#8 (Borda rewards
+    peaks where RRF's 1/(k+rank) rewards consistency — comparing
+    the two fusions on the same runs is the point). Pure integer
+    points from the two rankings (each a TakeOrdered over its
+    scorer), one union + groupBy — trivially scalable, and the
+    n_lists column shows which winners had consensus vs a single
+    champion list. Output: top-10 fused."""
+    from pyspark.sql.window import Window
+
+    rank_a = (
+        QUERIES["bm25_keyword_search"](spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("r"),
+        )
+        .filter(F.col("r") <= 20)
+    )
+    rank_b = (
+        QUERIES["query_likelihood_dirichlet"](spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number().over(
+                Window.orderBy(F.desc("ql_log_score"), "doc_id")
+            ).alias("r"),
+        )
+        .filter(F.col("r") <= 20)
+    )
+    points = rank_a.select(
+        "doc_id", (21 - F.col("r")).cast("bigint").alias("pts")
+    ).unionAll(
+        rank_b.select("doc_id", (21 - F.col("r")).cast("bigint").alias("pts"))
+    )
+    fused = points.groupBy("doc_id").agg(
+        F.sum("pts").cast("bigint").alias("borda_points"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    return (
+        fused.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("borda_points"), "doc_id")),
+        )
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pinball-loss evaluation of quantile forecasts (train/eval split, exact)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pinball_loss_quantile_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    train AS (
+      SELECT brand, d,
+             ROW_NUMBER() OVER (PARTITION BY brand ORDER BY d, day) AS rn,
+             COUNT(*) OVER (PARTITION BY brand) AS n
+      FROM daily WHERE day < DATE '1996-07-01'
+    ),
+    fc AS (
+      SELECT brand,
+             MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN d END) AS q50,
+             MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN d END) AS q90
+      FROM train GROUP BY brand
+    ),
+    eval_days AS (
+      SELECT brand, d FROM daily WHERE day >= DATE '1996-07-01'
+    ),
+    losses AS (
+      SELECT e.brand,
+             CAST(COUNT(*) AS BIGINT) AS n_eval,
+             MAX(f.q50) AS q50, MAX(f.q90) AS q90,
+             CAST(SUM(CASE WHEN e.d >= f.q50 THEN 5 * (e.d - f.q50)
+                           ELSE 5 * (f.q50 - e.d) END) AS BIGINT) AS pin50_x10,
+             CAST(SUM(CASE WHEN e.d >= f.q90 THEN 9 * (e.d - f.q90)
+                           ELSE 1 * (f.q90 - e.d) END) AS BIGINT) AS pin90_x10,
+             CAST(SUM(CASE WHEN e.d <= f.q90 THEN 1 ELSE 0 END) AS BIGINT) AS n_under_q90
+      FROM eval_days e JOIN fc f ON f.brand = e.brand
+      GROUP BY e.brand
+    )
+    SELECT brand, n_eval, q50 AS q50_forecast, q90 AS q90_forecast,
+           ROUND(CAST(pin50_x10 AS DOUBLE) / 10.0 / n_eval, 4) AS pinball_q50,
+           ROUND(CAST(pin90_x10 AS DOUBLE) / 10.0 / n_eval, 4) AS pinball_q90,
+           ROUND(CAST(n_under_q90 AS DOUBLE) / n_eval, 4) AS q90_coverage
+    FROM losses
+    """,
+)
+def pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PINBALL (quantile) LOSS evaluation — the proper scoring rule
+    for quantile forecasts: train-half (H1'96) exact P50/P90 of each
+    brand's daily demand become the forecasts, eval-half (H2'96)
+    days score L_q = q·(y-ŷ)⁺ + (1-q)·(ŷ-y)⁺ — minimized in
+    expectation ONLY by the true quantile, which is why it's the
+    M5-competition metric and not MAE (MAE can't rank a P90). The
+    x10 trick keeps every loss term exact INT64 (5|d| and 9/1-
+    weighted deviations of integer demand); coverage (frac of days
+    ≤ P90, should be ≈0.9) comes free as a calibration cross-check
+    against `conformal_interval_coverage`. Exact train quantiles by
+    positional selection in per-brand windows; one join + one
+    partial-agg for the eval. Output: per brand, both losses and
+    the q90 coverage."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part")
+    from pyspark.sql.window import Window
+
+    daily = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    wb = Window.partitionBy("brand")
+    train = daily.filter(F.col("day") < F.lit("1996-07-01").cast("date")).select(
+        "brand", "d",
+        F.row_number().over(wb.orderBy("d", "day")).alias("rn"),
+        F.count(F.lit(1)).over(wb).alias("n"),
+    )
+    fc = train.groupBy("brand").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("int"), F.col("d"))
+        ).alias("q50"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.9 * F.col("n")).cast("int"), F.col("d"))
+        ).alias("q90"),
+    )
+    ev = daily.filter(F.col("day") >= F.lit("1996-07-01").cast("date"))
+    j = ev.join(F.broadcast(fc), "brand")
+    losses = j.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.max("q50").alias("q50_forecast"),
+        F.max("q90").alias("q90_forecast"),
+        F.sum(
+            F.when(F.col("d") >= F.col("q50"), 5 * (F.col("d") - F.col("q50")))
+            .otherwise(5 * (F.col("q50") - F.col("d")))
+        ).cast("bigint").alias("pin50_x10"),
+        F.sum(
+            F.when(F.col("d") >= F.col("q90"), 9 * (F.col("d") - F.col("q90")))
+            .otherwise(F.col("q90") - F.col("d"))
+        ).cast("bigint").alias("pin90_x10"),
+        F.sum(F.when(F.col("d") <= F.col("q90"), 1).otherwise(0))
+        .cast("bigint").alias("n_under_q90"),
+    )
+    return losses.select(
+        "brand", "n_eval", "q50_forecast", "q90_forecast",
+        F.round(F.col("pin50_x10").cast("double") / 10.0 / F.col("n_eval"), 4)
+        .alias("pinball_q50"),
+        F.round(F.col("pin90_x10").cast("double") / 10.0 / F.col("n_eval"), 4)
+        .alias("pinball_q90"),
+        F.round(F.col("n_under_q90").cast("double") / F.col("n_eval"), 4)
+        .alias("q90_coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
