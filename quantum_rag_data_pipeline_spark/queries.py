@@ -22684,6 +22684,224 @@ def pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V-optimal 3-bucket histogram — exact two-cut enumeration by integer SSE
+# ---------------------------------------------------------------------------
+
+@query(
+    "v_optimal_histogram_3buckets",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT day, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(SUM(y) OVER (ORDER BY day) AS BIGINT) AS c1,
+             CAST(SUM(y * y) OVER (ORDER BY day) AS BIGINT) AS c2,
+             CAST(SUM(y) OVER () AS BIGINT) AS t1,
+             CAST(SUM(y * y) OVER () AS BIGINT) AS t2,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    cuts AS (
+      SELECT a.day AS cut1, b.day AS cut2,
+             a.i AS i1, b.i AS i2, a.n,
+             a.c1 AS s1a, a.c2 AS s2a,
+             b.c1 - a.c1 AS s1b, b.c2 - a.c2 AS s2b,
+             a.t1 - b.c1 AS s1c, a.t2 - b.c2 AS s2c
+      FROM pre a JOIN pre b ON b.i > a.i
+      WHERE a.i >= 1 AND b.i < a.n
+    ),
+    scored AS (
+      SELECT cut1, cut2, i1, i2, n, s1a, s1b, s1c,
+             (i2 - i1) * (n - i2) * (i1 * s2a - s1a * s1a)
+             + i1 * (n - i2) * ((i2 - i1) * s2b - s1b * s1b)
+             + i1 * (i2 - i1) * ((n - i2) * s2c - s1c * s1c) AS g
+      FROM cuts
+    )
+    SELECT cut1 AS bucket1_end, cut2 AS bucket2_end,
+           i1 AS n_b1, i2 - i1 AS n_b2, n - i2 AS n_b3,
+           ROUND(CAST(s1a AS DOUBLE) / i1, 4) AS mean_b1,
+           ROUND(CAST(s1b AS DOUBLE) / (i2 - i1), 4) AS mean_b2,
+           ROUND(CAST(s1c AS DOUBLE) / (n - i2), 4) AS mean_b3
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY g, cut1, cut2) = 1
+    """,
+)
+def v_optimal_histogram_3buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-OPTIMAL HISTOGRAM with 3 buckets — the optimizer-statistics
+    construction (Jagadish et al. 1998) that minimizes total within-
+    bucket variance, which is exactly what makes a histogram's
+    selectivity estimates trustworthy (equi-width buckets
+    `equiwidth_histogram_stats` can hide a spike; V-optimal cannot).
+    The two-cut search ENUMERATES all O(n²) cut pairs as a prefix-
+    sum self-join — each candidate's SSE compares as the exact
+    INT64 quantity g (the `binary_segmentation_changepoint` common-
+    denominator trick extended to three segments with weights
+    i1·(i2-i1)·(n-i2)/lcm), so the argmin is pure integer
+    comparison, tie-broken by cut dates. On the ~30-row daily
+    rollup that's 435 candidates; the identical plan at 1000
+    buckets is where a real system switches to the DP. Output: the
+    optimal cuts with per-bucket counts and means."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"),
+        F.sum("y").over(wcum).cast("bigint").alias("c1"),
+        F.sum(F.col("y") * F.col("y")).over(wcum).cast("bigint").alias("c2"),
+        F.sum("y").over(wall).cast("bigint").alias("t1"),
+        F.sum(F.col("y") * F.col("y")).over(wall).cast("bigint").alias("t2"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)
+    b = pre.select(
+        F.col("day").alias("cut2"), F.col("i").alias("i2"),
+        F.col("c1").alias("b1"), F.col("c2").alias("b2"),
+    )
+    cuts = pre.join(b, F.col("i2") > F.col("i")).filter(F.col("i2") < F.col("n")).select(
+        F.col("day").alias("cut1"), "cut2",
+        F.col("i").alias("i1"), "i2", "n",
+        F.col("c1").alias("s1a"), F.col("c2").alias("s2a"),
+        (F.col("b1") - F.col("c1")).alias("s1b"),
+        (F.col("b2") - F.col("c2")).alias("s2b"),
+        (F.col("t1") - F.col("b1")).alias("s1c"),
+        (F.col("t2") - F.col("b2")).alias("s2c"),
+    )
+    i1, i2, n = F.col("i1"), F.col("i2"), F.col("n")
+    g = (
+        (i2 - i1) * (n - i2) * (i1 * F.col("s2a") - F.col("s1a") * F.col("s1a"))
+        + i1 * (n - i2) * ((i2 - i1) * F.col("s2b") - F.col("s1b") * F.col("s1b"))
+        + i1 * (i2 - i1) * ((n - i2) * F.col("s2c") - F.col("s1c") * F.col("s1c"))
+    )
+    best = cuts.withColumn("g", g).withColumn(
+        "rn", F.row_number().over(Window.orderBy("g", "cut1", "cut2"))
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("cut1").alias("bucket1_end"), F.col("cut2").alias("bucket2_end"),
+        i1.alias("n_b1"), (i2 - i1).alias("n_b2"), (n - i2).alias("n_b3"),
+        F.round(F.col("s1a").cast("double") / i1, 4).alias("mean_b1"),
+        F.round(F.col("s1b").cast("double") / (i2 - i1), 4).alias("mean_b2"),
+        F.round(F.col("s1c").cast("double") / (n - i2), 4).alias("mean_b3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event recommender evaluated by hit rate (train/test split)
+# ---------------------------------------------------------------------------
+
+@query(
+    "markov_next_event_hitrate",
+    oracle="""
+    WITH mid AS (
+      SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) AS m
+      FROM events
+    ),
+    seq AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             (e.ts < d.m) AS is_train,
+             LEAD(e.event_type) OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS nxt,
+             LEAD(e.ts < d.m) OVER (PARTITION BY e.user_id
+                                    ORDER BY e.ts, e.event_id) AS nxt_train
+      FROM events e CROSS JOIN mid d
+    ),
+    trans AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE is_train AND nxt_train AND nxt IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT src, dst AS predicted
+      FROM trans
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst) = 1
+    ),
+    evals AS (
+      SELECT s.event_type AS src, s.nxt AS actual, p.predicted
+      FROM seq s JOIN pred p ON p.src = s.event_type
+      WHERE NOT s.is_train AND s.nxt IS NOT NULL
+    )
+    SELECT src AS from_event,
+           MAX(predicted) AS predicted_next,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS hit_rate
+    FROM evals GROUP BY src
+    """,
+)
+def markov_next_event_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV next-event recommender with an honest
+    TRAIN/TEST evaluation — `markov_transition_matrix` builds the
+    matrix; this closes the loop: transitions from the first half
+    of time train it, the mode of each row becomes the prediction,
+    and SECOND-half transitions score hit rate per source state —
+    the baseline every sequence model (and every 'smart' session
+    recommender) must beat before its complexity is justified.
+    Train/test transitions are both emitted by one LEAD window per
+    user (a transition is train only if BOTH endpoints are — edge
+    transitions straddling the split are dropped from training, the
+    subtle leak); the argmax is a deterministic mode with
+    lexicographic tiebreak. Output: per source event, the
+    prediction, eval volume, and hit rate (compare against the
+    ~1/|types| random floor)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    mid = ev.agg(
+        F.timestamp_micros(
+            F.floor(
+                (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
+            ).cast("long")
+        ).alias("m")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.crossJoin(F.broadcast(mid)).select(
+        "user_id", "event_type",
+        (F.col("ts") < F.col("m")).alias("is_train"),
+        F.lead("event_type").over(wu).alias("nxt"),
+        F.lead(F.col("ts") < F.col("m")).over(wu).alias("nxt_train"),
+    ).localCheckpoint(eager=False)
+    trans = (
+        seq.filter(F.col("is_train") & F.col("nxt_train") & F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pred = (
+        trans.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("c"), "dst")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("predicted"))
+    )
+    evals = (
+        seq.filter(~F.col("is_train") & F.col("nxt").isNotNull())
+        .join(F.broadcast(pred), F.col("event_type") == F.col("src"))
+        .select("src", F.col("nxt").alias("actual"), "predicted")
+    )
+    return evals.groupBy(F.col("src").alias("from_event")).agg(
+        F.max("predicted").alias("predicted_next"),
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+        .cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+            .cast("double") / F.count(F.lit(1)), 6,
+        ).alias("hit_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
