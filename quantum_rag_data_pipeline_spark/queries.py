@@ -22902,6 +22902,96 @@ def markov_next_event_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DBSCAN density classification — core / border / noise on one label slice
+# ---------------------------------------------------------------------------
+
+@query(
+    "dbscan_core_border_noise",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+      FROM embeddings WHERE label = 0
+    ),
+    sims AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb,
+             list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))) AS cos
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    neigh AS (
+      SELECT pa AS vec_id,
+             CAST(1 + SUM(CASE WHEN cos >= 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS n_eps
+      FROM sims GROUP BY pa
+    ),
+    core AS (SELECT vec_id FROM neigh WHERE n_eps >= 4),
+    border AS (
+      SELECT DISTINCT s.pa AS vec_id
+      FROM sims s
+      JOIN core c ON c.vec_id = s.pb
+      WHERE s.cos >= 0.15
+        AND s.pa NOT IN (SELECT vec_id FROM core)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_points,
+           CAST((SELECT COUNT(*) FROM core) AS BIGINT) AS n_core,
+           CAST((SELECT COUNT(*) FROM border) AS BIGINT) AS n_border,
+           CAST((SELECT COUNT(*) FROM v)
+                - (SELECT COUNT(*) FROM core)
+                - (SELECT COUNT(*) FROM border) AS BIGINT) AS n_noise
+    """,
+)
+def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN's DENSITY CLASSIFICATION — core (≥ minPts=4 neighbors
+    within the ε-ball, similarity ≥ 0.15), border (non-core but
+    ε-reachable from a core), noise (neither) — the stage that gives
+    density clustering its outlier story, which `kmeans_one_step`
+    structurally cannot have (k-means MUST assign every point;
+    DBSCAN is allowed to say 'junk'). For LLM data work this is the
+    embedding-space junk detector: noise points are the candidates
+    `semdedup_prune` should never prune against. Exact ε-neighbor
+    counts via a label-sliced pairwise pass (the slice bounds the
+    O(n²) the way `kendall_tau_blocked` blocks its pairs; the full-
+    corpus scale path is SRP-LSH bucketing per `ann_lsh_topk`);
+    border-reachability is one semi-join from the similarity pairs
+    to the core set. Output: the three class counts (a partition of
+    the slice — the test pins n_core+n_border+n_noise = n)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("label") == 0)
+    vec = F.col("embedding").cast("array<double>")
+    v = e.select("vec_id", vec.alias("vec")).localCheckpoint(eager=False)
+    b = v.select(F.col("vec_id").alias("pb"), F.col("vec").alias("vec_b"))
+    sims = (
+        v.join(F.broadcast(b), F.col("vec_id") != F.col("pb"))
+        .select(
+            F.col("vec_id").alias("pa"), "pb",
+            sim_ops.cosine(F.col("vec"), F.col("vec_b")).alias("cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    neigh = sims.groupBy(F.col("pa").alias("vec_id")).agg(
+        (1 + F.sum(F.when(F.col("cos") >= 0.15, 1).otherwise(0)))
+        .cast("bigint").alias("n_eps")
+    )
+    core = neigh.filter(F.col("n_eps") >= 4).select("vec_id")
+    core = core.localCheckpoint(eager=False)
+    border = (
+        sims.filter(F.col("cos") >= 0.15)
+        .join(F.broadcast(core.withColumnRenamed("vec_id", "pb")), "pb")
+        .select(F.col("pa").alias("vec_id"))
+        .join(core, "vec_id", "left_anti")
+        .distinct()
+    )
+    n_points = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    n_core = core.agg(F.count(F.lit(1)).cast("bigint").alias("n_core"))
+    n_border = border.agg(F.count(F.lit(1)).cast("bigint").alias("n_border"))
+    j = n_points.crossJoin(F.broadcast(n_core)).crossJoin(F.broadcast(n_border))
+    return j.select(
+        "n_points", "n_core", "n_border",
+        (F.col("n_points") - F.col("n_core") - F.col("n_border"))
+        .cast("bigint").alias("n_noise"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export ordering — COVERAGE ROTATION, not a showcase. The driver's
 # correctness gate verifies a 50-entry prefix of queries() (observed
 # rounds 2-3). With 99 queries, any fixed order leaves 49 permanently
