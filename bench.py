@@ -310,6 +310,70 @@ HEADLINE = [
     "session_abandonment_rate",
     "slo_burn_rate_multiwindow",
     "littles_law_identity",
+    # round-4 session-2 waves: statistics, IR, causal, graph, OR
+    "record_linkage_fellegi_sunter",
+    "l_diversity_audit",
+    "mutual_information_features",
+    "spearman_rank_correlation",
+    "chi_square_independence",
+    "decision_stump_best_split",
+    "holt_brown_double_smoothing",
+    "mmr_diversified_rerank",
+    "naive_bayes_lang_classifier",
+    "hits_hubs_authorities",
+    "query_likelihood_dirichlet",
+    "rocchio_relevance_feedback",
+    "burstiness_fano_factor",
+    "period_over_period_growth",
+    "mann_kendall_theil_sen",
+    "kendall_tau_blocked",
+    "stratified_treatment_effect",
+    "quantile_normalization",
+    "degree_assortativity",
+    "modularity_by_brand",
+    "autocorrelation_function",
+    "nelson_aalen_hazard",
+    "gini_coefficient_revenue",
+    "higher_moments_skew_kurtosis",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "dp_noisy_histogram",
+    "wilcoxon_signed_rank",
+    "runs_test_randomness",
+    "permutation_entropy",
+    "skipgram_cooccurrence_pmi",
+    "heaps_law_vocab_growth",
+    "mahalanobis_outliers_2d",
+    "difference_in_differences",
+    "cuped_variance_reduction",
+    "sprt_sequential_test",
+    "empirical_bayes_shrinkage",
+    "functional_dependency_profile",
+    "price_elasticity_loglog",
+    "regression_discontinuity_local",
+    "simpsons_paradox_detector",
+    "rich_club_coefficient",
+    "burrows_delta_stylometry",
+    "newsvendor_optimal_stock",
+    "safety_stock_reorder_point",
+    "cohort_ltv_accumulation",
+    "hurst_exponent_rs",
+    "shapley_channel_attribution",
+    "hill_tail_index",
+    "forecast_reconciliation",
+    "gumbel_block_maxima_fit",
+    "binary_segmentation_changepoint",
+    "huber_m_estimator_one_step",
+    "rank_biased_overlap",
+    "brier_score_decomposition",
+    "borda_fusion_ranking",
+    "pinball_loss_quantile_eval",
+    "v_optimal_histogram_3buckets",
+    "markov_next_event_hitrate",
+    "dbscan_core_border_noise",
 ]
 
 
