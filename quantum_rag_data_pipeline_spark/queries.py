@@ -21332,7 +21332,7 @@ def cohort_ltv_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w,
              CAST(COUNT(*) AS BIGINT) AS n_blocks,
              CAST(SUM(CAST(ROUND(
-               (CAST(dmax - dmin AS DOUBLE) / w / w)
+               (CAST(dmax - dmin AS DOUBLE) / w)
                / SQRT(CAST(ss_b AS DOUBLE) / w
                       - (CAST(s_b AS DOUBLE) / w) * (CAST(s_b AS DOUBLE) / w)), 9)
                AS DECIMAL(20,9))) AS DOUBLE) AS sum_rs
@@ -21429,7 +21429,7 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("s_b").cast("double") / F.col("w"))
         * (F.col("s_b").cast("double") / F.col("w"))
     )
-    rs_val = (F.col("dmax") - F.col("dmin")).cast("double") / F.col("w") / F.col("w") / sd
+    rs_val = (F.col("dmax") - F.col("dmin")).cast("double") / F.col("w") / sd
     rs = (
         devs.filter(F.col("ss_b") * F.col("w") > F.col("s_b") * F.col("s_b"))
         .groupBy("w")
@@ -21955,31 +21955,36 @@ def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits AS (
       SELECT day AS split_day, i AS n_left, n - i AS n_right,
              c1 AS s1l, t1 - c1 AS s1r,
-             (n - i) * (i * c2 - c1 * c1)
-               + i * ((n - i) * (t2 - c2) - (t1 - c1) * (t1 - c1)) AS g,
+             CAST((n - i) * (i * c2 - c1 * c1)
+               + i * ((n - i) * (t2 - c2) - (t1 - c1) * (t1 - c1)) AS DOUBLE)
+               / (i * (n - i)) AS sse,
              n, t1, t2
       FROM pre WHERE i BETWEEN 2 AND n - 2
     )
     SELECT split_day, n_left, n_right,
            ROUND(CAST(s1l AS DOUBLE) / n_left, 4) AS mean_left,
            ROUND(CAST(s1r AS DOUBLE) / n_right, 4) AS mean_right,
-           ROUND(1.0 - (CAST(g AS DOUBLE) / (n_left * n_right))
+           ROUND(1.0 - sse
                        / (CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * t1 / n), 6)
              AS variance_explained
     FROM splits
-    QUALIFY ROW_NUMBER() OVER (ORDER BY g, split_day) = 1
+    QUALIFY ROW_NUMBER() OVER (ORDER BY sse, split_day) = 1
     """,
 )
 def binary_segmentation_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BINARY SEGMENTATION changepoint — the OFFLINE mean-shift
     locator (`cusum_changepoint_detection` is the online cousin):
     try every split of the daily series and keep the one minimizing
-    total within-segment SSE. The whole search is EXACT INTEGER
-    arithmetic: SSE_l + SSE_r has denominators n_l·n_r, so the
-    comparison multiplies through to g = n_r(n_l·S2_l - S1_l²) +
-    n_l(n_r·S2_r - S1_r²) — int64 sufficient statistics from ONE
-    cumulative window pass, argmin by integer comparison with a
-    date tiebreak (no float argmin instability, ever). Full
+    total within-segment SSE. Sufficient statistics are EXACT INTEGER:
+    g = n_r(n_l·S2_l - S1_l²) + n_l(n_r·S2_r - S1_r²) is int64 from
+    ONE cumulative window pass, and g = n_l·n_r·(SSE_l + SSE_r) — the
+    multiplier is split-dependent, so argmin must divide it back out:
+    sse = double(g) / (n_l·n_r). One int64→double conversion and one
+    correctly-rounded IEEE division produce bit-identical doubles in
+    Spark and DuckDB, so argmin(sse) with a date tiebreak is still
+    deterministic across engines (round-4 advice: ranking by raw g
+    biased the split toward the extremes because the n_l·n_r weight
+    is maximal in the middle). Full
     recursive segmentation = re-run on each side; one level is the
     textbook unit. Output: the best split with both means and the
     fraction of variance the single break explains."""
@@ -22007,17 +22012,17 @@ def binary_segmentation_changepoint(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("day").alias("split_day"),
         i.alias("n_left"), (n - i).alias("n_right"),
         c1.alias("s1l"), (t1 - c1).alias("s1r"),
-        g.alias("g"), "n", "t1", "t2",
+        (g.cast("double") / (i * (n - i))).alias("sse"), "n", "t1", "t2",
     )
     best = splits.withColumn(
-        "rn", F.row_number().over(Window.orderBy("g", "split_day"))
+        "rn", F.row_number().over(Window.orderBy("sse", "split_day"))
     ).filter(F.col("rn") == 1)
     return best.select(
         "split_day", "n_left", "n_right",
         F.round(F.col("s1l").cast("double") / F.col("n_left"), 4).alias("mean_left"),
         F.round(F.col("s1r").cast("double") / F.col("n_right"), 4).alias("mean_right"),
         F.round(
-            1.0 - (F.col("g").cast("double") / (F.col("n_left") * F.col("n_right")))
+            1.0 - F.col("sse")
             / (F.col("t2").cast("double") - F.col("t1").cast("double") * F.col("t1") / F.col("n")),
             6,
         ).alias("variance_explained"),
@@ -22715,9 +22720,10 @@ def pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT cut1, cut2, i1, i2, n, s1a, s1b, s1c,
-             (i2 - i1) * (n - i2) * (i1 * s2a - s1a * s1a)
+             CAST((i2 - i1) * (n - i2) * (i1 * s2a - s1a * s1a)
              + i1 * (n - i2) * ((i2 - i1) * s2b - s1b * s1b)
-             + i1 * (i2 - i1) * ((n - i2) * s2c - s1c * s1c) AS g
+             + i1 * (i2 - i1) * ((n - i2) * s2c - s1c * s1c) AS DOUBLE)
+             / (i1 * (i2 - i1) * (n - i2)) AS sse
       FROM cuts
     )
     SELECT cut1 AS bucket1_end, cut2 AS bucket2_end,
@@ -22726,7 +22732,7 @@ def pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(s1b AS DOUBLE) / (i2 - i1), 4) AS mean_b2,
            ROUND(CAST(s1c AS DOUBLE) / (n - i2), 4) AS mean_b3
     FROM scored
-    QUALIFY ROW_NUMBER() OVER (ORDER BY g, cut1, cut2) = 1
+    QUALIFY ROW_NUMBER() OVER (ORDER BY sse, cut1, cut2) = 1
     """,
 )
 def v_optimal_histogram_3buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -22736,11 +22742,14 @@ def v_optimal_histogram_3buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     selectivity estimates trustworthy (equi-width buckets
     `equiwidth_histogram_stats` can hide a spike; V-optimal cannot).
     The two-cut search ENUMERATES all O(n²) cut pairs as a prefix-
-    sum self-join — each candidate's SSE compares as the exact
-    INT64 quantity g (the `binary_segmentation_changepoint` common-
-    denominator trick extended to three segments with weights
-    i1·(i2-i1)·(n-i2)/lcm), so the argmin is pure integer
-    comparison, tie-broken by cut dates. On the ~30-row daily
+    sum self-join — the exact INT64 quantity g equals
+    i1·(i2-i1)·(n-i2)·(SSE_a+SSE_b+SSE_c), and because that
+    multiplier is CANDIDATE-DEPENDENT the argmin divides it back
+    out: sse = double(g)/(i1·(i2-i1)·(n-i2)), one int64→double
+    conversion + one IEEE division, bit-identical in Spark and
+    DuckDB, tie-broken by cut dates (round-4 advice: ranking by raw
+    g weighted candidates by the product of bucket sizes and drove
+    the cuts toward degenerate edge buckets). On the ~30-row daily
     rollup that's 435 candidates; the identical plan at 1000
     buckets is where a real system switches to the DP. Output: the
     optimal cuts with per-bucket counts and means."""
@@ -22780,8 +22789,9 @@ def v_optimal_histogram_3buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         + i1 * (n - i2) * ((i2 - i1) * F.col("s2b") - F.col("s1b") * F.col("s1b"))
         + i1 * (i2 - i1) * ((n - i2) * F.col("s2c") - F.col("s1c") * F.col("s1c"))
     )
-    best = cuts.withColumn("g", g).withColumn(
-        "rn", F.row_number().over(Window.orderBy("g", "cut1", "cut2"))
+    sse = g.cast("double") / (i1 * (i2 - i1) * (n - i2))
+    best = cuts.withColumn("sse", sse).withColumn(
+        "rn", F.row_number().over(Window.orderBy("sse", "cut1", "cut2"))
     ).filter(F.col("rn") == 1)
     return best.select(
         F.col("cut1").alias("bucket1_end"), F.col("cut2").alias("bucket2_end"),

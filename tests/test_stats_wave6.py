@@ -31,9 +31,21 @@ def test_q8_share_is_a_fraction_of_total(spark, sf_dir):
 
 def test_q13_histogram_covers_all_customers(spark, sf_dir):
     rows = QUERIES["tpch_q13_customer_distribution"](spark, sf_dir).collect()
-    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n_cust = cust.count()
     assert sum(r.custdist for r in rows) == n_cust
-    assert any(r.c_count == 0 for r in rows) or all(r.c_count > 0 for r in rows)
+    # The Q13 trick under test: zero-order customers must SURVIVE the left
+    # join. Recompute the expected 0-bucket independently (customers with no
+    # non-urgent orders at all) and pin the histogram's 0-bucket to it —
+    # round-4 advice: the old any/all disjunction here was a tautology.
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    n_zero_expected = cust.join(
+        o, cust["c_custkey"] == o["o_custkey"], "left_anti"
+    ).count()
+    zero_bucket = sum(r.custdist for r in rows if r.c_count == 0)
+    assert zero_bucket == n_zero_expected
 
 
 def test_q14_promo_pct_bounded(spark, sf_dir):

@@ -1,0 +1,234 @@
+"""Invariants for the last round-4 wave (newsvendor → dbscan) — the 17
+queries the round-4 advisor found had NO tests despite docstrings
+claiming otherwise. Each test pins the mathematical property the
+docstring advertises; the changepoint / V-optimal tests brute-force the
+true min-SSE answer with numpy, which is exactly the check that would
+have caught the size-weighted-argmin bugs fixed this round.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from pyspark.sql import functions as F
+
+from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+
+def _daily_counts(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    con.close()
+    return [r[0] for r in rows], np.array([r[1] for r in rows], dtype=np.float64)
+
+
+def _sse(y):
+    return float(((y - y.mean()) ** 2).sum()) if len(y) else 0.0
+
+
+def test_changepoint_is_true_min_sse_split(spark, sf_dir):
+    """The fix under test: argmin over sse, not the n_l*n_r-weighted g."""
+    days, y = _daily_counts(sf_dir)
+    n = len(y)
+    best_i, best_sse = None, float("inf")
+    for i in range(2, n - 1):  # i in [2, n-2] as in the query
+        s = _sse(y[:i]) + _sse(y[i:])
+        if s < best_sse - 1e-9:
+            best_i, best_sse = i, s
+    r = QUERIES["binary_segmentation_changepoint"](spark, sf_dir).first()
+    assert r.n_left == best_i
+    assert r.split_day == days[best_i - 1]
+    assert 0.0 <= r.variance_explained <= 1.0
+    # and it must beat the trivial extreme splits it used to collapse onto
+    assert best_sse <= _sse(y[:2]) + _sse(y[2:]) + 1e-9
+    assert best_sse <= _sse(y[: n - 2]) + _sse(y[n - 2:]) + 1e-9
+
+
+def test_v_optimal_cuts_are_true_min_sse(spark, sf_dir):
+    days, y = _daily_counts(sf_dir)
+    n = len(y)
+    best, best_sse = None, float("inf")
+    for i1 in range(1, n - 1):
+        for i2 in range(i1 + 1, n):
+            s = _sse(y[:i1]) + _sse(y[i1:i2]) + _sse(y[i2:])
+            if s < best_sse - 1e-9:
+                best, best_sse = (i1, i2), s
+    r = QUERIES["v_optimal_histogram_3buckets"](spark, sf_dir).first()
+    assert (r.n_b1, r.n_b1 + r.n_b2) == best
+    assert r.n_b1 + r.n_b2 + r.n_b3 == n
+
+
+def test_hurst_h_in_unit_interval(spark, sf_dir):
+    """Pre-fix the extra /w made white noise fit H-1 ≈ -0.44."""
+    r = QUERIES["hurst_exponent_rs"](spark, sf_dir).first()
+    assert r.n_window_sizes == 3
+    assert 0.0 < r.hurst_h < 1.0
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Σ_i φ_i must equal v(grand coalition) − v(∅)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.window import Window
+
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    exposure = (
+        ev.select("user_id", "event_type",
+                  F.row_number().over(wu).alias("rn"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max(F.when((F.col("event_type") == "click") & (F.col("rn") <= 5), 1).otherwise(0))
+                + 2 * F.max(F.when((F.col("event_type") == "view") & (F.col("rn") <= 5), 1).otherwise(0))
+                + 4 * F.max(F.when((F.col("event_type") == "signup") & (F.col("rn") <= 5), 1).otherwise(0))
+            ).alias("s"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+        )
+    )
+    v = {
+        row.s: row.conv / row.n
+        for row in exposure.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("conv"))
+        .collect()
+    }
+    expected = v.get(7, 0.0) - v.get(0, 0.0)
+    rows = QUERIES["shapley_channel_attribution"](spark, sf_dir).collect()
+    assert {r.channel for r in rows} == {"click", "view", "signup"}
+    total = sum(r.shapley_value for r in rows)
+    assert abs(total - expected) < 5e-6  # 3 values on the 1e-6 output grid
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """Murphy: Brier = REL − RES + UNC, exact only on BINNED forecasts
+    (the docstring's caveat). With decile bins the residual is the
+    within-bin variance/covariance of forecasts: per-point WBV ≤
+    (0.1/2)² = 0.0025 and |WBC| ≤ 2·0.05·0.5 = 0.05 worst-case; the
+    practical bound for rate-valued forecasts is ~0.01."""
+    r = QUERIES["brier_score_decomposition"](spark, sf_dir).first()
+    assert 0.0 <= r.brier_score <= 1.0
+    assert r.reliability >= 0.0 and r.resolution >= 0.0
+    assert 0.0 <= r.uncertainty <= 0.25
+    assert abs(r.brier_score - (r.reliability - r.resolution + r.uncertainty)) < 0.01
+
+
+def test_dbscan_classes_partition_the_slice(spark, sf_dir):
+    r = QUERIES["dbscan_core_border_noise"](spark, sf_dir).first()
+    n_label0 = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("label") == 0).count()
+    )
+    assert r.n_points == n_label0
+    assert r.n_core + r.n_border + r.n_noise == r.n_points
+    assert min(r.n_core, r.n_border, r.n_noise) >= 0
+
+
+def test_forecast_reconciliation_is_coherent(spark, sf_dir):
+    """After reconciliation Σ_type forecasts == total forecast, per day —
+    that coherence IS the operation; the base forecasts must disagree
+    with it somewhere or the query tests nothing."""
+    rows = QUERIES["forecast_reconciliation"](spark, sf_dir).collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r.day, []).append(r)
+    assert by_day
+    for day, rs in by_day.items():
+        total = rs[0].total_forecast
+        assert all(abs(r.total_forecast - total) < 1e-9 for r in rs)
+        assert abs(sum(r.reconciled_forecast for r in rs) - total) < 1e-3
+
+
+def test_safety_stock_reorder_identity(spark, sf_dir):
+    rows = QUERIES["safety_stock_reorder_point"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.safety_stock >= 0.0
+        assert abs(r.reorder_point - (r.mean_demand * 7 + r.safety_stock)) < 1e-2
+
+
+def test_newsvendor_quantile_below_max(spark, sf_dir):
+    rows = QUERIES["newsvendor_optimal_stock"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days >= 1
+        assert 0 <= r.q_star  # 30th percentile of a count series
+        # critical ratio 0.3 < 0.5 → stock at or below the typical day
+        assert r.q_star <= r.mean_daily_demand * r.n_days
+
+
+def test_cohort_ltv_is_nondecreasing(spark, sf_dir):
+    rows = QUERIES["cohort_ltv_accumulation"](spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    assert by_cohort
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.age_wk)
+        for a, b in zip(rs, rs[1:]):
+            assert b.cum_ltv_per_user >= a.cum_ltv_per_user - 1e-9
+
+
+def test_hill_estimator_positive(spark, sf_dir):
+    r = QUERIES["hill_tail_index"](spark, sf_dir).first()
+    assert r.threshold_revenue > 0
+    assert r.hill_h > 0
+    assert r.tail_alpha > 0
+    assert abs(r.tail_alpha * r.hill_h - 1.0) < 1e-4  # α = 1/H on the grid
+
+
+def test_gumbel_return_level_exceeds_location(spark, sf_dir):
+    r = QUERIES["gumbel_block_maxima_fit"](spark, sf_dir).first()
+    assert r.gumbel_beta > 0
+    # 30-day return level = μ − β·ln(−ln(1−1/30)) > μ since 1−1/30 > e^−1
+    assert r.return_level_30d > r.gumbel_mu
+    assert r.n_blocks >= 2
+
+
+def test_rbo_in_unit_interval(spark, sf_dir):
+    r = QUERIES["rank_biased_overlap"](spark, sf_dir).first()
+    assert 0.0 <= r.rbo_truncated <= 1.0
+    assert 0 <= r.overlap_at_depth <= r.depth
+
+
+def test_borda_points_bounded(spark, sf_dir):
+    rows = QUERIES["borda_fusion_ranking"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_lists <= 2
+        # each list awards at most 20 points (21 − rank, rank ≥ 1)
+        assert 1 <= r.borda_points <= 40
+
+
+def test_pinball_losses_nonneg_and_ordered(spark, sf_dir):
+    rows = QUERIES["pinball_loss_quantile_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pinball_q50 >= 0.0 and r.pinball_q90 >= 0.0
+        assert r.q50_forecast <= r.q90_forecast
+        assert 0.0 <= r.q90_coverage <= 1.0
+
+
+def test_markov_hitrate_consistent(spark, sf_dir):
+    rows = QUERIES["markov_next_event_hitrate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_transitions
+        assert abs(r.hit_rate - r.n_hits / r.n_transitions) < 1e-6
+
+
+def test_huber_between_location_estimates(spark, sf_dir):
+    r = QUERIES["huber_m_estimator_one_step"](spark, sf_dir).first()
+    assert r.n_downweighted <= r.n_customers
+    assert r.scaled_mad >= 0.0
+    assert r.median_revenue > 0.0
+    # one-step IRLS bound: μ̂₁ − m = Σw(x−m)/Σw with |w(x−m)| ≤ c·σ̂
+    # (w=1 inside, w=cσ̂/|x−m| outside), and Σw ≥ n − n_down, so
+    # |μ̂₁ − m| ≤ n·c·σ̂ / (n − n_down).  (NOT "between median and mean" —
+    # asymmetric outliers legally pull the estimate outside that interval,
+    # which the first draft of this test learned the hard way.)
+    c = 1.345
+    bound = r.n_customers * c * r.scaled_mad / (r.n_customers - r.n_downweighted)
+    assert abs(r.huber_mean_revenue - r.median_revenue) <= bound
