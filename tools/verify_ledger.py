@@ -1,0 +1,105 @@
+"""Driver-verification ledger: which queries have EVER earned a
+driver-verified row (a triple-green entry in any CORRECTNESS_r*.json),
+and which are still waiting.
+
+The driver's gate checks a 50-entry prefix of ``queries()`` per round, so
+with a 300+ query corpus the prefix must rotate; this tool makes the
+rotation self-auditing (round-4 judge item 8):
+
+    python tools/verify_ledger.py            # summary + next-50 candidates
+    python tools/verify_ledger.py --check    # exit 1 if the current
+                                             # rotation prefix wastes slots
+                                             # on already-verified names
+
+"Verified" counts only rows_match & schema_match & hash_match (or a
+rows-only pass for queries the file marks oracle-less). Registration
+order comes from the literal order of @query decorators in the source,
+NOT from the rotated export order — the rotation must never feed back
+into itself.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def verified_names() -> dict[str, list[str]]:
+    """name -> list of rounds (file stems) with a triple-green row."""
+    out: dict[str, list[str]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        stem = os.path.basename(path).removesuffix(".json")
+        data = json.load(open(path))
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("rows_match") and row.get("schema_match") and (
+                row.get("hash_match") or row.get("hash_match") is None
+            )
+            if green and not row.get("err"):
+                out.setdefault(name, []).append(stem)
+    return out
+
+
+def registration_order() -> list[str]:
+    src = open(
+        os.path.join(REPO, "quantum_rag_data_pipeline_spark", "queries.py")
+    ).read()
+    names = re.findall(r'@query\(\s*\n?\s*"([a-z0-9_]+)"', src)
+    # registration order must be unique and complete
+    assert len(names) == len(set(names)), "duplicate @query registrations"
+    return names
+
+
+def current_rotation() -> list[str]:
+    src = open(
+        os.path.join(REPO, "quantum_rag_data_pipeline_spark", "queries.py")
+    ).read()
+    m = re.search(r"_VERIFY_ROTATION_R\d+\s*=\s*\[(.*?)\]", src, re.S)
+    if not m:
+        return []
+    return re.findall(r'"([a-z0-9_]+)"', m.group(1))
+
+
+def main() -> int:
+    ledger = verified_names()
+    order = registration_order()
+    unknown = set(ledger) - set(order)
+    never = [n for n in order if n not in ledger]
+    print(f"registered queries : {len(order)}")
+    print(f"ever driver-verified: {len(ledger)}"
+          + (f"  (+{len(unknown)} verified names no longer registered: "
+             f"{sorted(unknown)})" if unknown else ""))
+    print(f"never verified      : {len(never)}")
+
+    rotation = current_rotation()
+    wasted = [n for n in rotation if n in ledger]
+    stale = [n for n in rotation if n not in order]
+    if "--check" in sys.argv:
+        ok = True
+        if wasted:
+            print(f"ROTATION WASTE: {len(wasted)} of {len(rotation)} prefix "
+                  f"slots re-verify already-green names: {wasted}")
+            ok = False
+        if stale:
+            print(f"ROTATION STALE: names not registered: {stale}")
+            ok = False
+        if ok:
+            print(f"rotation OK: all {len(rotation)} prefix slots are "
+                  "first-time verifications")
+        return 0 if ok else 1
+
+    print("\nnext-50 rotation candidates (oldest never-verified, "
+          "registration order):")
+    for n in never[:50]:
+        print(f"  {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
