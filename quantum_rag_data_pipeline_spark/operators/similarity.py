@@ -473,6 +473,71 @@ def srp_buckets_udf(planes_by_table: list[list[list[float]]]):
     return buckets
 
 
+def int_srp_buckets_udf(dim: int, n_planes: int, n_tables: int,
+                        scale: int = 1_000_000):
+    """Sign-random-projection buckets in EXACT INTEGER arithmetic — the
+    oracle-replayable cousin of ``srp_buckets_udf``. Vectors snap to the
+    1e-6 grid via floor(x·scale + 0.5) (floor, not round: numpy rounds
+    half-even, SQL rounds half-away — floor(x+0.5) is the one midpoint
+    rule every engine computes identically), and the hyperplanes are
+    ±1 entries from a Knuth multiplicative hash of the flat index
+    idx = d + dim·(p + n_planes·t). Integer addition is associative, so
+    sign(Σ ±q_d) is independent of accumulation order — a numpy int64
+    matmul here and a SQL GROUP BY SUM in DuckDB produce bit-identical
+    buckets, which float Gaussian planes (BLAS vs left-to-right fold,
+    ULP sign flips at proj≈0) cannot guarantee. Returns array<long> of
+    one bucket id per table."""
+    import numpy as np
+
+    idx = np.arange(n_tables * n_planes * dim, dtype=np.int64).reshape(
+        n_tables, n_planes, dim)
+    signs = np.where((idx * 2654435761) % 4294967296 >= 2147483648, 1, -1
+                     ).astype(np.int64)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        Q = np.floor(V * scale + 0.5).astype(np.int64)  # (batch, dim)
+        per_table = [((Q @ signs[t].T) >= 0).astype(np.int64) @ weights
+                     for t in range(n_tables)]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return buckets
+
+
+def int_srp_oracle_ctes(table_expr: str, dim: int, n_planes: int,
+                        n_tables: int, scale: int = 1_000_000) -> str:
+    """DuckDB CTEs replaying ``int_srp_buckets_udf`` exactly: given a
+    relation ``v(vec_id, vec DOUBLE[])`` named by ``table_expr``, emits
+    ``srp_q`` (grid-snapped int components) and ``srp_buckets``
+    (vec_id, t, bucket). Shared by every LSH-bucketed oracle so the two
+    implementations can never drift apart silently."""
+    return f"""
+    srp_q AS (
+      SELECT v.vec_id, d.d AS d,
+             CAST(FLOOR(v.vec[d.d] * {scale}.0 + 0.5) AS BIGINT) AS q
+      FROM {table_expr} v, (SELECT CAST(unnest(range(1, {dim + 1})) AS BIGINT) AS d) d
+    ),
+    srp_proj AS (
+      SELECT s.vec_id, tp.t, tp.p,
+             SUM(CASE WHEN (((s.d - 1) + {dim} * (tp.p + {n_planes} * tp.t))
+                            * 2654435761) % 4294967296 >= 2147483648
+                      THEN s.q ELSE -s.q END) AS proj
+      FROM srp_q s,
+           (SELECT t.t, p.p
+            FROM (SELECT CAST(unnest(range(0, {n_tables})) AS BIGINT) AS t) t,
+                 (SELECT CAST(unnest(range(0, {n_planes})) AS BIGINT) AS p) p) tp
+      GROUP BY s.vec_id, tp.t, tp.p
+    ),
+    srp_buckets AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM srp_proj GROUP BY vec_id, t
+    )"""
+
+
 def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (numpy, fixed seed)."""
     import numpy as np

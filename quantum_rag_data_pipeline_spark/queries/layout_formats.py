@@ -1,0 +1,2874 @@
+"""Corpus segment: storage layout (z-order, zone maps, bloom, merkle), format ingest, streaming state, robust stats.
+
+Queries 100-149 of the registration order. The monolithic queries.py
+was split in round 5 into contiguous registration-order slices; this
+file's internal order plus the package __init__'s import sequence
+preserve the order that tools/verify_ledger.py audits.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — pandas_udf resolves string annotations in module globals
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quantum_rag_data_pipeline_spark.operators import curation as cur_ops
+from quantum_rag_data_pipeline_spark.operators import dedup as dedup_ops
+from quantum_rag_data_pipeline_spark.sources.registry import load_table
+from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
+from quantum_rag_data_pipeline_spark.operators import text as text_ops
+from quantum_rag_data_pipeline_spark.operators import windows as win_ops
+from quantum_rag_data_pipeline_spark.queries._registry import _t, query
+from quantum_rag_data_pipeline_spark.queries.curation_clustering import _Z_BITS, _Z_INTERLEAVE_SQL
+
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave: table-maintenance planning (compaction, zone-map pruning),
+# Bloom membership sketch, and product-quantization ANN — the operational
+# layer a 100 TB lakehouse pipeline runs continuously.
+# ---------------------------------------------------------------------------
+
+@query(
+    "compaction_bin_packing",
+    oracle="""
+    WITH files AS (
+      SELECT source, doc_id % 8 AS file_id,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS size_bytes
+      FROM documents GROUP BY source, doc_id % 8
+    ),
+    binned AS (
+      SELECT source, file_id, size_bytes,
+             CAST(FLOOR(COALESCE(SUM(size_bytes) OVER (
+                    PARTITION BY source ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 2500.0) AS BIGINT) AS bin_id
+      FROM files
+    )
+    SELECT source, CAST(file_id AS BIGINT) AS file_id, size_bytes, bin_id,
+           CAST(SUM(size_bytes) OVER (PARTITION BY source, bin_id) AS BIGINT) AS bin_bytes,
+           CAST(COUNT(*) OVER (PARTITION BY source, bin_id) AS BIGINT) AS bin_files
+    FROM binned
+    """,
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (Delta OPTIMIZE / Iceberg
+    rewrite_data_files bin-packing, planned declaratively): a synthetic
+    file inventory — one "file" per (source, doc_id%8) with its byte
+    size — is packed into ~2.5 KB rewrite bins by sequential-fill cumsum
+    (operators/layout.py:compaction_plan). The plan is ONE window over
+    the partition key: deterministic under any input partitioning and at
+    most 2x optimal bins, which is why real table services use exactly
+    this shape at fleet scale instead of first-fit-decreasing (whose
+    global sort by size breaks streamability)."""
+    from quantum_rag_data_pipeline_spark.operators import layout as layout_ops
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.groupBy(
+        "source", (F.col("doc_id") % 8).cast("bigint").alias("file_id")
+    ).agg(F.sum(F.length("text")).cast("bigint").alias("size_bytes"))
+    return layout_ops.compaction_plan(
+        files, 2500, part_col="source", file_col="file_id", size_col="size_bytes"
+    )
+
+
+@query(
+    "zone_map_pruning",
+    oracle="""
+    WITH zones AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS zone,
+             MIN(l_orderkey) AS okey_min, MAX(l_orderkey) AS okey_max,
+             MIN(l_shipdate) AS ship_min, MAX(l_shipdate) AS ship_max,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY zone
+    )
+    SELECT zone, CAST(okey_min AS BIGINT) AS okey_min,
+           CAST(okey_max AS BIGINT) AS okey_max, n_rows,
+           (ship_max >= DATE '1996-01-01' AND ship_min <= DATE '1996-06-30')
+             AS scanned_by_date,
+           (okey_max >= 3000 AND okey_min <= 6000) AS scanned_by_orderkey
+    FROM zones
+    """,
+)
+def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone maps + pruning report: per-month min/max statistics (the
+    parquet footer stats, surfaced as a table) and, for two range
+    predicates, whether each zone survives the reader's skip test.
+    The date predicate prunes ~90% of zones (data IS clustered by
+    month); the orderkey predicate prunes nothing (orderkeys spread
+    uniformly across months) — the report turns "is this layout good
+    for this workload" into a number. groupBy is partial-aggregable:
+    shuffle volume is n_zones x 4 values regardless of table size."""
+    from quantum_rag_data_pipeline_spark.operators import layout as layout_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    zones = layout_ops.zone_map_stats(
+        li, F.date_format("l_shipdate", "yyyy-MM"), ["l_orderkey", "l_shipdate"]
+    )
+    return zones.select(
+        "zone",
+        F.col("l_orderkey_min").cast("bigint").alias("okey_min"),
+        F.col("l_orderkey_max").cast("bigint").alias("okey_max"),
+        "n_rows",
+        (
+            (F.col("l_shipdate_max") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate_min") <= F.lit("1996-06-30").cast("date"))
+        ).alias("scanned_by_date"),
+        (
+            (F.col("l_orderkey_max") >= 3000) & (F.col("l_orderkey_min") <= 6000)
+        ).alias("scanned_by_orderkey"),
+    )
+
+
+@query(
+    "bloom_filter_membership",
+    oracle="""
+    WITH build AS (
+      SELECT DISTINCT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                      x -> x <> '')) AS term
+      FROM documents WHERE CAST(substr(source, 4) AS INT) < 10),
+    probe AS (
+      SELECT DISTINCT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                      x -> x <> '')) AS term
+      FROM documents WHERE CAST(substr(source, 4) AS INT) >= 10),
+    bits AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5('|' || CAST(g.j AS VARCHAR) || '|' || b.term), 1, 8)) AS BIGINT) % 2048 AS pos
+      FROM build b, LATERAL (SELECT unnest(range(0, 3)) AS j) g),
+    probe_hits AS (
+      SELECT p.term,
+             SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS k_hits,
+             MAX(CASE WHEN bu.term IS NOT NULL THEN 1 ELSE 0 END) AS is_member
+      FROM probe p
+      CROSS JOIN LATERAL (SELECT unnest(range(0, 3)) AS j) g
+      LEFT JOIN bits
+        ON bits.pos = CAST(concat('0x', substr(md5('|' || CAST(g.j AS VARCHAR) || '|' || p.term), 1, 8)) AS BIGINT) % 2048
+      LEFT JOIN build bu ON bu.term = p.term
+      GROUP BY p.term)
+    SELECT CAST(2048 AS BIGINT) AS m, CAST(3 AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_set_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN k_hits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(MIN(CASE WHEN is_member = 1 THEN (k_hits = 3) END) AS BOOLEAN)
+             AS no_false_negatives
+    FROM probe_hits
+    """,
+)
+def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch, driver-verified end-to-end: build
+    an m=2048, k=3 filter over the distinct vocabulary of sources
+    src0-9, probe with the vocabulary of src10-19, and report set bits,
+    maybe-count, true-member count and the structural no-false-negative
+    guarantee. The filter is its SET-BIT-POSITION set (a mergeable
+    representation: OR of partial filters == union of position sets —
+    same partial-aggregable shape the CMS/HLL queries use), salted with
+    md5 buckets so DuckDB replays every bit. At 100 TB this is the
+    pre-join existence check that skips shuffling rows whose keys
+    cannot match (Spark's own runtime row-group bloom pushdown, done as
+    an explicit relational program)."""
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    vocab = lambda pred: (
+        d.filter(pred)
+        .select(F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("term"))
+        .distinct()
+    )
+    build, probe = vocab(src_num < 10), vocab(src_num >= 10)
+    js = F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j")
+    pos_of = lambda term_col: cur_ops.md5_bucket(
+        F.concat(F.col("j").cast("string"), F.lit("|"), term_col), 2048
+    )
+    bits = build.select("term", js).select(pos_of(F.col("term")).alias("pos")).distinct()
+    probed = (
+        probe.select("term", js)
+        .withColumn("pos", pos_of(F.col("term")))
+        .join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left_outer")
+        .groupBy("term")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("k_hits"))
+        .join(build.withColumn("_member", F.lit(1)), "term", "left_outer")
+        .select("term", "k_hits", F.coalesce("_member", F.lit(0)).alias("is_member"))
+    )
+    n_keys = build.agg(F.count(F.lit(1)).alias("c"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("c"))
+    return (
+        probed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum((F.col("k_hits") == 3).cast("int")).cast("bigint").alias("n_maybe"),
+            F.sum("is_member").cast("bigint").alias("n_members"),
+            F.min(
+                F.when(F.col("is_member") == 1, F.col("k_hits") == 3)
+            ).alias("no_false_negatives"),
+        )
+        .crossJoin(F.broadcast(n_keys.select(F.col("c").cast("bigint").alias("n_keys"))))
+        .crossJoin(F.broadcast(n_bits.select(F.col("c").cast("bigint").alias("n_set_bits"))))
+        .select(
+            F.lit(2048).cast("bigint").alias("m"),
+            F.lit(3).cast("bigint").alias("k"),
+            "n_keys",
+            "n_set_bits",
+            "n_probes",
+            "n_maybe",
+            "n_members",
+            "no_false_negatives",
+        )
+    )
+
+
+# PQ geometry: M subspaces of dsub dims over the 64-dim embeddings; the
+# codebook is the first K corpus vectors (deterministic seeds, like the
+# IVF query's centroids). The oracle replays every distance as the same
+# left-to-right 8-term sum Spark's aggregate() fold computes.
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 16, 8
+_PQ_D2 = " + ".join(
+    f"((av[m*{_PQ_DSUB}+{i}] - cv[m*{_PQ_DSUB}+{i}]) * (av[m*{_PQ_DSUB}+{i}] - cv[m*{_PQ_DSUB}+{i}]))"
+    for i in range(1, _PQ_DSUB + 1)
+)
+
+@query(
+    "pq_ann_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    cent AS (SELECT vec_id AS k, vec AS cv FROM v WHERE vec_id < {_PQ_K}),
+    m_ AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    assign AS (
+      SELECT d.vec_id, m_.m, cent.k,
+             {_PQ_D2.replace('av[', 'd.vec[').replace('cv[', 'cent.cv[')} AS d2
+      FROM v d CROSS JOIN m_ CROSS JOIN cent),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+        FROM assign) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5),
+    lut AS (
+      SELECT q.query_id, m_.m, cent.k,
+             {_PQ_D2.replace('av[', 'q.qv[').replace('cv[', 'cent.cv[')} AS d2q
+      FROM q CROSS JOIN m_ CROSS JOIN cent),
+    adc AS (
+      SELECT l.query_id, c.vec_id,
+             SUM(CAST(l.d2q AS DECIMAL(30,12))) AS dist
+      FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code
+      GROUP BY l.query_id, c.vec_id)
+    SELECT query_id, vec_id,
+           ROUND(CAST(dist AS DOUBLE), 6) AS adc_dist
+    FROM (
+      SELECT query_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+      FROM adc) WHERE rn <= 10
+    """,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS IndexPQ shape, relationally):
+    corpus vectors are coded as M=8 subspace centroids (codebook =
+    first K=16 corpus vectors, deterministic like the IVF query's
+    seeds), and queries scan CODES with an asymmetric-distance lookup
+    table instead of raw vectors. Completes the ANN family alongside
+    brute-force (exact), SRP-LSH (bucketed) and IVF (partitioned).
+
+    Scale shape: the M*K codebook broadcasts everywhere; code
+    assignment is a broadcast nested-loop (M*K distance evals per doc,
+    the PQ invariant) + one partial-aggregable argmin; the query-time
+    lookup table is n_queries*M*K floats (tiny, broadcast); the scan
+    touches only codes — 8 small ints per doc instead of 64 floats,
+    the 8-32x memory compression that makes billion-vector serving
+    fit in RAM. Decimal-cast ADC sums keep the ranking replayable."""
+    e = _t(spark, sf_dir, "embeddings")
+    sub = lambda c: F.array(
+        *[F.slice(c, m * _PQ_DSUB + 1, _PQ_DSUB) for m in range(_PQ_M)]
+    )
+    d2 = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cent = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("k"), F.posexplode(sub(F.col("embedding"))).alias("m", "cv"))
+    )
+    corpus = e.select("vec_id", F.posexplode(sub(F.col("embedding"))).alias("m", "av"))
+    codes = (
+        corpus.join(F.broadcast(cent), "m")
+        .withColumn("d2", d2(F.col("av"), F.col("cv")))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "k")).alias("_best"))
+        .select("vec_id", "m", F.col("_best.k").alias("code"))
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(sub(F.col("embedding"))).alias("m", "qv"),
+    )
+    lut = queries.join(F.broadcast(cent), "m").select(
+        "query_id", "m", "k", d2(F.col("qv"), F.col("cv")).alias("d2q")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), (codes["m"] == lut["m"]) & (codes["code"] == lut["k"]))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("d2q").cast("decimal(30,12)")).alias("dist"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", F.round(F.col("dist").cast("double"), 6).alias("adc_dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 2: operational statistics & storage efficiency — join-key
+# skew diagnostics, snapshot diffing (CDC), optimizer-style column
+# histograms, int8 scalar quantization with recall evaluation.
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             ROUND(AVG(cnt), 4) AS mean_cnt,
+             ROUND(MAX(cnt) / AVG(cnt), 4) AS skew_factor
+      FROM counts
+    ),
+    top AS (
+      SELECT user_id, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk
+      FROM counts
+    )
+    SELECT t.user_id, t.cnt, t.rnk, s.n_keys, s.max_cnt, s.mean_cnt, s.skew_factor
+    FROM top t CROSS JOIN stats s WHERE t.rnk <= 5
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the report you run BEFORE deciding a
+    join needs salting (operators/skew.py) or AQE skew splitting: per-key
+    row counts, the global key count / max / mean, and max/mean as the
+    skew factor, with the top-5 hottest keys. Two partial-aggregable
+    aggregations; the single-row stats side broadcasts onto the top-k.
+    At 100 TB this is the cheap scan that tells you whether the
+    expensive shuffle will stall on one reducer. The top-5 cut is
+    TakeOrderedAndProject (per-partition k-heaps), NOT a global rank
+    window — the counts frame has one row per key and would otherwise
+    single-partition-sort millions of keys; ranks are re-derived on the
+    5 surviving rows."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("mean_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+    )
+    top = win_ops.top_k(counts, [F.col("cnt").desc(), F.col("user_id")], 5).withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("user_id")))
+        .cast("bigint"),
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "user_id", "cnt", "rnk", "n_keys", "max_cnt", "mean_cnt", "skew_factor"
+    )
+
+
+@query(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(ROUND(o_totalprice * 1.1, 2) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderdate < DATE '1997-07-01' AND o_orderkey % 13 <> 3
+    ),
+    classified AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS okey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS change_class
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_class, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(okey) AS BIGINT) AS min_key, CAST(MAX(okey) AS BIGINT) AS max_key
+    FROM classified GROUP BY change_class
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the CDC / table-format time-travel comparison):
+    two simulated snapshots of orders — snapshot B extends the date
+    range, bumps every 7th order's price, and purges every 13th key —
+    classified added / removed / changed / unchanged by one full-outer
+    join on the key plus value compare, so all four classes occur. This is how incremental pipelines reconcile a table against
+    its previous version without a transaction log. The join shuffles
+    only (key, compare-value); class rollup is partial-aggregable."""
+    o = _t(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    snap_b = o.filter(
+        (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+        & (F.col("o_orderkey") % 13 != 3)
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    cls = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("okey"),
+            cls.alias("change_class"),
+        )
+        .groupBy("change_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("okey").cast("bigint").alias("min_key"),
+            F.max("okey").cast("bigint").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "equidepth_histogram_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS rk,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT CAST(FLOOR(rk * 16.0 / n) + 1 AS BIGINT) AS bucket,
+           MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM ranked GROUP BY 1
+    """,
+)
+def equidepth_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) column histogram — the statistic ANALYZE
+    TABLE ... COMPUTE STATISTICS FOR COLUMNS feeds the cost-based
+    optimizer for selectivity estimation: 16 buckets of (+-1) equal row
+    count with their value bounds, bucket = floor(rank * 16 / N).
+
+    The exact global rank is built WITHOUT a single-partition window
+    (the WindowExec scale trap): rows pre-group on a coarse value range
+    whose sort order prefixes the total order, and
+    ``curation.assign_global_ids`` composes within-group row_numbers
+    with broadcast per-group offsets — the same two-level construction
+    as global_id_assignment. The oracle is the naive global ROW_NUMBER
+    the construction provably equals. The GK sketch
+    (quantile_sketch_bounds) is the one-pass approximate sibling."""
+    li = _t(spark, sf_dir, "lineitem")
+    graded = li.select(
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") / 5000).cast("bigint").alias("_grp"),
+    )
+    ranked = cur_ops.assign_global_ids(
+        graded, "_grp", ["l_extendedprice", "l_orderkey", "l_linenumber"], id_name="rk"
+    )
+    n = graded.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "l_extendedprice",
+            (F.floor(F.col("rk") * 16.0 / F.col("_n")) + 1).cast("bigint").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "sq_int8_recall",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    longf AS (
+      SELECT vec_id, g.dim, vec[g.dim] AS val
+      FROM v, LATERAL (SELECT unnest(range(1, 65)) AS dim) g),
+    dimstats AS (
+      SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM longf GROUP BY dim),
+    codes AS (
+      SELECT l.vec_id, l.dim,
+             CASE WHEN s.hi - s.lo <= 0 THEN 0
+                  ELSE LEAST(CAST(FLOOR((l.val - s.lo) * 255.0 / (s.hi - s.lo) + 0.5) AS BIGINT), 255)
+             END AS code
+      FROM longf l JOIN dimstats s USING (dim)),
+    dq AS (
+      SELECT c.vec_id, c.dim, s.lo + c.code * (s.hi - s.lo) / 255.0 AS dval
+      FROM codes c JOIN dimstats s USING (dim)),
+    q AS (SELECT vec_id AS query_id, dim, val FROM longf WHERE vec_id < 5),
+    exact_dot AS (
+      SELECT q.query_id, l.vec_id,
+             SUM(CAST(q.val * l.val AS DECIMAL(38,18))) AS dot
+      FROM q JOIN longf l USING (dim) GROUP BY q.query_id, l.vec_id),
+    sq_dot AS (
+      SELECT q.query_id, d.vec_id,
+             SUM(CAST(q.val * d.dval AS DECIMAL(38,18))) AS dot
+      FROM q JOIN dq d USING (dim) GROUP BY q.query_id, d.vec_id),
+    exact_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rn
+        FROM exact_dot) WHERE rn <= 10),
+    sq_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rn
+        FROM sq_dot) WHERE rn <= 10)
+    SELECT e.query_id, CAST(10 AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+    FROM exact_top e LEFT JOIN sq_top s
+      ON s.query_id = e.query_id AND s.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization with recall evaluation — the 4x memory
+    compression every production vector store offers (per-dimension
+    min/max linear quantization to 0..255), scored honestly: top-10 by
+    dot product over DEQUANTIZED vectors vs exact top-10, overlap
+    reported per query. Per-dimension stats are one partial-aggregable
+    pass (64 x 2 values — broadcast everywhere); dot products run on the
+    decimal grid in long form, so summation order cannot perturb the
+    ranking and DuckDB replays the whole evaluation including the
+    floor(x+0.5) rounding."""
+    e = _t(spark, sf_dir, "embeddings")
+    longf = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    dimstats = longf.groupBy("dim").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    span = F.col("hi") - F.col("lo")
+    codes = (
+        longf.join(F.broadcast(dimstats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.when(span <= 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("val") - F.col("lo")) * 255.0 / span + 0.5).cast("bigint"),
+                    F.lit(255).cast("bigint"),
+                )
+            )
+            .alias("code"),
+        )
+    )
+    dq = codes.join(F.broadcast(dimstats), "dim").select(
+        "vec_id", "dim", (F.col("lo") + F.col("code") * span / 255.0).alias("dval")
+    )
+    q = longf.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("val").alias("qval")
+    )
+    from pyspark.sql.window import Window
+
+    def topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+        return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+    exact_dot = (
+        longf.join(F.broadcast(q), "dim")
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum((F.col("qval") * F.col("val")).cast("decimal(38,18)")).alias("dot"))
+    )
+    sq_dot = (
+        dq.join(F.broadcast(q), "dim")
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum((F.col("qval") * F.col("dval")).cast("decimal(38,18)")).alias("dot"))
+    )
+    exact_top = topk(exact_dot).select("query_id", "vec_id")
+    sq_top = topk(sq_dot).select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    return (
+        exact_top.join(sq_top, ["query_id", "vec_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.lit(10).cast("bigint").alias("k"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_overlap"),
+        )
+        .select("query_id", "k", "n_overlap")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 3: layout effectiveness measurement, adaptive-retrieval
+# evaluation, and table fingerprinting.
+# ---------------------------------------------------------------------------
+
+@query(
+    "zorder_pruning_effectiveness",
+    oracle=f"""
+    WITH stats AS (
+      SELECT MIN(o_custkey) AS alo, MAX(o_custkey) AS ahi,
+             MIN(o_totalprice) AS blo, MAX(o_totalprice) AS bhi
+      FROM orders
+    ),
+    pred AS (
+      SELECT alo + 0.45 * (ahi - alo) AS clo, alo + 0.55 * (ahi - alo) AS chi,
+             blo + 0.45 * (bhi - blo) AS plo, blo + 0.55 * (bhi - blo) AS phi
+      FROM stats
+    ),
+    bucketed AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN ahi - alo <= 0 THEN 0
+                  ELSE LEAST(CAST(FLOOR((o_custkey - alo) * 256.0 / (ahi - alo + 1)) AS BIGINT), 255)
+             END AS za,
+             CASE WHEN bhi - blo <= 0 THEN 0
+                  ELSE LEAST(CAST(FLOOR((o_totalprice - blo) * 256.0 / (bhi - blo + 1)) AS BIGINT), 255)
+             END AS zb
+      FROM orders CROSS JOIN stats
+    ),
+    zoned AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(FLOOR(o_orderkey / 1000.0) AS BIGINT) AS zone_linear,
+             CAST(FLOOR(CAST({_Z_INTERLEAVE_SQL} AS BIGINT) / 4096.0) AS BIGINT) AS zone_z
+      FROM bucketed
+    ),
+    melted AS (
+      SELECT 'linear' AS layout, zone_linear AS zone, o_custkey, o_totalprice FROM zoned
+      UNION ALL
+      SELECT 'zorder' AS layout, zone_z AS zone, o_custkey, o_totalprice FROM zoned
+    ),
+    zonemaps AS (
+      SELECT layout, zone,
+             MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+             MIN(o_totalprice) AS pmin, MAX(o_totalprice) AS pmax,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM melted GROUP BY layout, zone
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(CASE WHEN cmax >= clo AND cmin <= chi
+                          AND pmax >= plo AND pmin <= phi THEN 1 ELSE 0 END) AS BIGINT)
+             AS zones_scanned,
+           CAST(SUM(CASE WHEN cmax >= clo AND cmin <= chi
+                          AND pmax >= plo AND pmin <= phi THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned
+    FROM zonemaps CROSS JOIN pred
+    GROUP BY layout
+    """,
+)
+def zorder_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measures what Z-ordering actually buys: the same 2-D range
+    predicate (center 10% of custkey x center 10% of price, bounds
+    derived from data stats so the query is SF-independent) evaluated
+    against zone maps of two layouts of orders — insertion order
+    (zones = orderkey ranges) vs Z-order (zones = Morton-curve
+    segments via operators/layout.py:zorder_key). Emits zones/rows
+    scanned per layout; on uniform data the linear layout scans ~every
+    zone (custkey and price are uncorrelated with insertion order)
+    while the Z-order layout scans the few curve segments intersecting
+    the query rectangle — the row-group-skipping argument for OPTIMIZE
+    ZORDER BY stated as a measurement, not a slogan."""
+    from quantum_rag_data_pipeline_spark.operators import layout as layout_ops
+
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_custkey").alias("alo"), F.max("o_custkey").alias("ahi"),
+        F.min("o_totalprice").alias("blo"), F.max("o_totalprice").alias("bhi"),
+    )
+    zoned = layout_ops.zorder_key(o, "o_custkey", "o_totalprice", bits=_Z_BITS).select(
+        "o_custkey",
+        "o_totalprice",
+        F.floor(F.col("o_orderkey") / 1000.0).cast("bigint").alias("zone_linear"),
+        F.floor(F.col("z_key") / 4096.0).cast("bigint").alias("zone_z"),
+    )
+    melted = zoned.select(
+        F.lit("linear").alias("layout"), F.col("zone_linear").alias("zone"),
+        "o_custkey", "o_totalprice",
+    ).unionByName(
+        zoned.select(
+            F.lit("zorder").alias("layout"), F.col("zone_z").alias("zone"),
+            "o_custkey", "o_totalprice",
+        )
+    )
+    zonemaps = melted.groupBy("layout", "zone").agg(
+        F.min("o_custkey").alias("cmin"), F.max("o_custkey").alias("cmax"),
+        F.min("o_totalprice").alias("pmin"), F.max("o_totalprice").alias("pmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    pred = stats.select(
+        (F.col("alo") + 0.45 * (F.col("ahi") - F.col("alo"))).alias("clo"),
+        (F.col("alo") + 0.55 * (F.col("ahi") - F.col("alo"))).alias("chi"),
+        (F.col("blo") + 0.45 * (F.col("bhi") - F.col("blo"))).alias("plo"),
+        (F.col("blo") + 0.55 * (F.col("bhi") - F.col("blo"))).alias("phi"),
+    )
+    hit = (
+        (F.col("cmax") >= F.col("clo")) & (F.col("cmin") <= F.col("chi"))
+        & (F.col("pmax") >= F.col("plo")) & (F.col("pmin") <= F.col("phi"))
+    )
+    return (
+        zonemaps.crossJoin(F.broadcast(pred))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_zones"),
+            F.sum(hit.cast("int")).cast("bigint").alias("zones_scanned"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("bigint").alias("rows_scanned"),
+        )
+    )
+
+
+@query(
+    "mrl_truncation_recall",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    longf AS (
+      SELECT vec_id, g.dim, vec[g.dim] AS val
+      FROM v, LATERAL (SELECT unnest(range(1, 65)) AS dim) g),
+    q AS (SELECT vec_id AS query_id, dim, val FROM longf WHERE vec_id < 5),
+    dots AS (
+      SELECT q.query_id, l.vec_id,
+             SUM(CAST(q.val * l.val AS DECIMAL(38,18))) AS dot_full,
+             SUM(CASE WHEN l.dim <= 16 THEN CAST(q.val * l.val AS DECIMAL(38,18))
+                      ELSE CAST(0 AS DECIMAL(38,18)) END) AS dot_16,
+             SUM(CASE WHEN l.dim <= 32 THEN CAST(q.val * l.val AS DECIMAL(38,18))
+                      ELSE CAST(0 AS DECIMAL(38,18)) END) AS dot_32
+      FROM q JOIN longf l USING (dim) GROUP BY q.query_id, l.vec_id),
+    t_full AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY dot_full DESC, vec_id) AS rn FROM dots)
+      WHERE rn <= 10),
+    t_16 AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY dot_16 DESC, vec_id) AS rn FROM dots)
+      WHERE rn <= 10),
+    t_32 AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY dot_32 DESC, vec_id) AS rn FROM dots)
+      WHERE rn <= 10)
+    SELECT f.query_id, CAST(10 AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_16,
+           CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_32
+    FROM t_full f
+    LEFT JOIN t_16 a ON a.query_id = f.query_id AND a.vec_id = f.vec_id
+    LEFT JOIN t_32 b ON b.query_id = f.query_id AND b.vec_id = f.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-embedding evaluation: recall@10 of
+    prefix-dimension retrieval (16 and 32 of 64 dims) against full-dim
+    exact top-k — the measurement behind adaptive retrieval (coarse
+    search on a prefix, rerank on the full vector, 2-4x less memory
+    bandwidth). One long-form pass computes all three rankings from the
+    same join (the truncations are conditional sums, not re-scans);
+    decimal-grid dots keep every ranking replayable."""
+    e = _t(spark, sf_dir, "embeddings")
+    longf = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    q = longf.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("val").alias("qval")
+    )
+    prod = (F.col("qval") * F.col("val")).cast("decimal(38,18)")
+    zero = F.lit(0).cast("decimal(38,18)")
+    dots = (
+        longf.join(F.broadcast(q), "dim")
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(prod).alias("dot_full"),
+            F.sum(F.when(F.col("dim") <= 16, prod).otherwise(zero)).alias("dot_16"),
+            F.sum(F.when(F.col("dim") <= 32, prod).otherwise(zero)).alias("dot_32"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    def topk(col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.col(col).desc(), F.col("vec_id"))
+        return (
+            dots.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("query_id", "vec_id")
+        )
+
+    t_full = topk("dot_full")
+    t16 = topk("dot_16").withColumn("_h16", F.lit(1))
+    t32 = topk("dot_32").withColumn("_h32", F.lit(1))
+    return (
+        t_full.join(t16, ["query_id", "vec_id"], "left_outer")
+        .join(t32, ["query_id", "vec_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.lit(10).cast("bigint").alias("k"),
+            F.sum(F.coalesce("_h16", F.lit(0))).cast("bigint").alias("n_overlap_16"),
+            F.sum(F.coalesce("_h32", F.lit(0))).cast("bigint").alias("n_overlap_32"),
+        )
+        .select("query_id", "k", "n_overlap_16", "n_overlap_32")
+    )
+
+
+@query(
+    "table_fingerprint_merkle",
+    oracle="""
+    WITH hashed AS (
+      SELECT CAST(FLOOR(o_orderkey / 1000.0) AS BIGINT) AS zone,
+             CAST(concat('0x', substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d')), 1, 15)) AS BIGINT) AS row_hash
+      FROM orders
+    )
+    SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(row_hash AS DECIMAL(38,0))) AS VARCHAR) AS content_hash
+    FROM hashed GROUP BY zone
+    """,
+)
+def table_fingerprint_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level content fingerprinting (the Merkle/anti-entropy
+    primitive behind table sync and replica repair): an
+    order-independent content hash per orderkey-range zone — rows are
+    md5-hashed over a canonical `|`-joined encoding (numerics cast to
+    integers so float formatting can never diverge between engines),
+    then SUMMED per zone on the decimal grid. Sum-of-hashes is
+    commutative and mergeable: two replicas compare n_zones hashes
+    instead of n_rows rows, and recursion over zone groups gives the
+    full Merkle tree. Cheap one-pass scan, partial-aggregable."""
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (
+        o.select(
+            F.floor(F.col("o_orderkey") / 1000.0).cast("bigint").alias("zone"),
+            row_hash.alias("row_hash"),
+        )
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("row_hash").cast("decimal(38,0)")).cast("string").alias("content_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 4: streaming session windows, linear interpolation, and
+# the remaining Python-execution API surface (UDTF, grouped-agg UDAF).
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2) AS session_value
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows in Structured Streaming: the same 30-min
+    inactivity-gap sessionization as the batch query, but computed by a
+    watermarked ``session_window`` streaming aggregation over the file
+    source and drained with availableNow — and checked against the SAME
+    gaps-and-islands oracle, so stream == batch is driver-verified.
+    Session-window state is merged incrementally as events arrive (the
+    watermark bounds how long an open session lingers); at production
+    rates this runs forever with per-key state ~ one open session."""
+    import os
+
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import drain_available_now
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    landing = f"/tmp/spark_graft_landing/{os.path.basename(os.path.normpath(sf_dir))}/events"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2).alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "session_value"
+        )
+    )
+    return drain_available_now(agg, "stream_sessions")
+
+
+@query(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total
+      FROM orders WHERE (CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 3 = 0
+      GROUP BY day
+    ),
+    cal AS (
+      SELECT unnest(generate_series(
+        (SELECT MIN(day) FROM daily), (SELECT MAX(day) FROM daily), INTERVAL 1 DAY))::DATE AS day
+    ),
+    joined AS (
+      SELECT c.day, d.total FROM cal c LEFT JOIN daily d USING (day)
+    ),
+    anchored AS (
+      SELECT day, total,
+             MAX(CASE WHEN total IS NOT NULL THEN day END) OVER
+               (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prev_day,
+             MIN(CASE WHEN total IS NOT NULL THEN day END) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day,
+             LAST_VALUE(total IGNORE NULLS) OVER
+               (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prev_v,
+             FIRST_VALUE(total IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+      FROM joined
+    )
+    SELECT day,
+           ROUND(CASE
+             WHEN total IS NOT NULL THEN total
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (day - prev_day) / (next_day - prev_day)
+           END, 4) AS value_interp,
+           (total IS NULL) AS was_gap
+    FROM anchored
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over calendar gaps — the analytical sibling
+    of timeseries_gap_fill's LOCF: a daily revenue series sampled every
+    3rd day is densified to the full calendar (sequence + explode, no
+    driver loop) and missing days take the straight line between their
+    neighboring anchors (edges fall back to nearest-anchor). Both
+    anchor scans are running min/max windows over (day, value) structs
+    — one pass each direction, no self-join per gap. The 1-day grid is
+    TIME-partitionable at scale (anchors only cross partition bounds,
+    the classic re-anchor trick)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) % 3 == 0
+        )
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2
+            ).alias("total")
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    joined = cal.join(daily, "day", "left_outer")
+    anchor = F.when(F.col("total").isNotNull(), F.struct("day", "total"))
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    anchored = joined.select(
+        "day",
+        "total",
+        F.max(anchor).over(w_prev).alias("prev_row"),
+        F.min(anchor).over(w_next).alias("next_row"),
+    )
+    prev_d, prev_v = F.col("prev_row.day"), F.col("prev_row.total")
+    next_d, next_v = F.col("next_row.day"), F.col("next_row.total")
+    interp = (
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .when(F.col("prev_row").isNull(), next_v)
+        .when(F.col("next_row").isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * F.datediff(F.col("day"), prev_d)
+            / F.datediff(next_d, prev_d)
+        )
+    )
+    return anchored.select(
+        "day",
+        F.round(interp, 4).alias("value_interp"),
+        F.col("total").isNull().alias("was_gap"),
+    )
+
+
+@query(
+    "python_udtf_word_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tok
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, CAST((i - 1) / 4 AS BIGINT) AS pos,
+           array_to_string(tok[i:i+7], ' ') AS chunk,
+           CAST(LEAST(8, len(tok) - i + 1) AS BIGINT) AS n_tokens
+    FROM toks, LATERAL (SELECT unnest(range(1, len(tok) + 1, 4)) AS i) g
+    WHERE len(tok) > 0
+    """,
+)
+def python_udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) — the last
+    piece of the UDF/UDAF/UDTF API surface: a lateral-joined generator
+    emitting overlapping 8-token/stride-4 word windows per document.
+    Registered via ``spark.udtf.register`` and invoked with SQL
+    ``LATERAL``. UDTFs are row-at-a-time Python — the declarative twin
+    (rag_chunk_documents, pure column expressions) is the 100 TB path;
+    this query pins the API's semantics on a bounded 100-doc slice and
+    proves the two formulations agree via the SQL oracle."""
+    from pyspark.sql.functions import udtf
+
+    # Arrow-optimized UDTF execution (Spark 4) — batches rows over Arrow
+    # instead of pickling one at a time; the honest production setting
+    # for any UDTF that must run at scale.
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="pos bigint, chunk string, n_tokens bigint")
+    class WordChunks:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split() if t]
+            for j, i in enumerate(range(0, len(toks), 4)):
+                window = toks[i : i + 8]
+                yield j, " ".join(window), len(window)
+
+    spark.udtf.register("word_chunks", WordChunks)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, c.pos, c.chunk, c.n_tokens "
+        "FROM _udtf_docs, LATERAL word_chunks(text) c"
+    )
+
+
+@query(
+    "pandas_udaf_geomean",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized user-defined AGGREGATE function (grouped-agg
+    pandas_udf, Arrow-batched — the [absent] UDAF row of SURVEY §2.8):
+    geometric mean of order value per priority class, the right average
+    for multiplicative quantities. The UDF sorts the log vector before
+    reducing so the result is independent of row arrival order — the
+    same determinism discipline the decimal-grid SUMs follow — and the
+    4-decimal round absorbs the one remaining ulp of float noise vs the
+    oracle's sequential AVG(LN(x))."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        logs = np.sort(np.log(v.to_numpy(dtype="float64")))
+        return float(np.exp(logs.mean()))
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — two partial-aggregable groupBys on
+    # the same key, joined broadcast (5 priority classes).
+    gm = o.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geomean_price")
+    )
+    cnt = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    return gm.join(F.broadcast(cnt), "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 5: SQL-surface depth — recursive CTEs (new in Spark 4),
+# correlated-subquery decorrelation, and trailing-window distinct counts.
+# ---------------------------------------------------------------------------
+
+@query(
+    "recursive_cte_ancestors",
+    oracle="""
+    WITH RECURSIVE anc(c_custkey, ancestor, depth) AS (
+      SELECT c_custkey, CAST(FLOOR(c_custkey / 10) AS BIGINT), CAST(1 AS BIGINT)
+      FROM customer WHERE c_custkey > 0
+      UNION ALL
+      SELECT a.c_custkey, CAST(FLOOR(a.ancestor / 10) AS BIGINT), a.depth + 1
+      FROM anc a WHERE a.ancestor > 0
+    )
+    SELECT c_custkey, ancestor, depth FROM anc
+    """,
+)
+def recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE landed in Spark 4) — transitive
+    closure over a synthetic containment hierarchy (each customer's
+    parent is custkey/10, a decimal trie rooted at 0): every
+    (customer, ancestor, depth) path edge. The fixpoint iteration runs
+    inside the engine — each round is one join + filter, exactly the
+    shape of graph_connected_components' manual loop but declared in
+    SQL and terminated by the engine's own convergence check. Depth is
+    bounded by log10(max key) ≈ 5, so the closure is ~5x the input —
+    linear, not quadratic. The DuckDB oracle runs the identical
+    recursion."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(c_custkey, ancestor, depth) AS (
+          SELECT c_custkey, CAST(FLOOR(c_custkey / 10) AS BIGINT) AS ancestor,
+                 CAST(1 AS BIGINT) AS depth
+          FROM customer WHERE c_custkey > 0
+          UNION ALL
+          SELECT a.c_custkey, CAST(FLOOR(a.ancestor / 10) AS BIGINT), a.depth + 1
+          FROM anc a WHERE a.ancestor > 0
+        )
+        SELECT c_custkey, ancestor, depth FROM anc
+        """
+    )
+
+
+@query(
+    "correlated_subquery_decorrelated",
+    oracle="""
+    SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_above_avg,
+           ROUND(MAX(o.o_totalprice), 2) AS max_above
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    GROUP BY o.o_custkey
+    """,
+)
+def correlated_subquery_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — "orders 50% above their own
+    customer's average" — written AS the subquery so Catalyst's
+    decorrelation rewrite does the work: the per-customer average
+    becomes one aggregate joined back on the correlation key (check
+    .explain: no per-row re-execution, one shuffle on o_custkey).
+    This is the SQL-surface twin of the window-function formulation —
+    the engine must make the naive nested query run like the hand-
+    rewritten one, because 100 TB users write the naive form."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_above_avg,
+               ROUND(MAX(o.o_totalprice), 2) AS max_above
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+          SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        GROUP BY o.o_custkey
+        """
+    )
+
+
+@query(
+    "sliding_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    grid AS (SELECT DISTINCT day FROM du)
+    SELECT g.day, CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS distinct_users_7d
+    FROM grid g JOIN du d ON d.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+    GROUP BY g.day
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (the rolling-MAU/WAU shape
+    every product dashboard runs). Distinct counts don't decompose over
+    sliding frames, so the honest plan dedups (day, user) FIRST — the
+    only pass over the raw events — then range-joins the small deduped
+    set against the day grid (≤7x expansion) and counts distinct per
+    day. Never a distinct-inside-window over raw events."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    grid = du.select("day").distinct()
+    return (
+        grid.alias("g")
+        .join(
+            du.alias("d"),
+            (F.col("d.day") <= F.col("g.day"))
+            & (F.col("d.day") >= F.date_sub(F.col("g.day"), 6)),
+        )
+        .groupBy(F.col("g.day").alias("day"))
+        .agg(F.count_distinct("d.user_id").cast("bigint").alias("distinct_users_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 6: Spark-4 VARIANT semi-structured shredding + the
+# stream-static enrichment join (the one streaming join shape not yet
+# covered).
+# ---------------------------------------------------------------------------
+
+@query(
+    "variant_json_shredding",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS max_k,
+           CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS INT) AS DECIMAL(30,0))) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through the VARIANT type (new in
+    Spark 4): ``parse_json`` turns the JSON payload column into a
+    binary variant ONCE, and ``variant_get`` extracts typed paths
+    without re-parsing per access — the open-format answer to JSON
+    columns at scale (shredded variant subcolumns are what the parquet
+    variant spec stores). Aggregates the extracted field per event
+    type; the oracle extracts the same paths with DuckDB's JSON
+    functions."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum(F.col("k").cast("decimal(30,0)")).cast("bigint").alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining streaming join
+    shape (stream-stream and streaming dedup are covered elsewhere): a
+    stream of events joins the static customer dimension per
+    micro-batch (no watermark needed on the static side; Spark
+    re-plans the broadcast each batch, which is how slowly-changing
+    dimensions stay fresh in production), then a complete-mode
+    aggregation per market segment. Drained availableNow and checked
+    against the equivalent batch join by the oracle — stream == batch
+    again."""
+    import os
+
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import drain_available_now
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    landing = f"/tmp/spark_graft_landing/{os.path.basename(os.path.normpath(sf_dir))}/events"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"], "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+    )
+    return drain_available_now(agg, "stream_enrich")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 7: data-quality audit suite — referential integrity,
+# delivery completeness, robust (winsorized) statistics, first-digit
+# (Benford) distribution audit. The checks a 100 TB pipeline runs on
+# every ingest batch before anything downstream trusts the data.
+# ---------------------------------------------------------------------------
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's three foreign
+    keys: orphan counts via LEFT ANTI joins (the only join shape that
+    never moves matching rows — each check shuffles keys, not rows, and
+    the dimension sides broadcast). A lakehouse has no FK enforcement;
+    this query IS the constraint, run per ingest batch. All three
+    checks here return 0 orphans — the audit proves integrity rather
+    than assuming it."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def check(name: str, child: DataFrame, parent: DataFrame, ck: str, pk: str) -> DataFrame:
+        orphans = child.join(
+            F.broadcast(parent), child[ck] == parent[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        return (
+            orphans.crossJoin(total)
+            .select(F.lit(name).alias("relationship"), "n_orphans", "n_rows")
+        )
+
+    return (
+        check("lineitem->orders", li, o.select("o_orderkey"), "l_orderkey", "o_orderkey")
+        .unionByName(check("orders->customer", o, c.select("c_custkey"), "o_custkey", "c_custkey"))
+        .unionByName(check("customer->nation", c, n, "c_nationkey", "n_nationkey"))
+    )
+
+
+@query(
+    "delivery_completeness_audit",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+    ),
+    cal AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY day
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cal) AS BIGINT) AS n_days_expected,
+           CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days_present,
+           CAST((SELECT COUNT(*) FROM cal c LEFT JOIN daily d USING (day)
+                 WHERE d.day IS NULL) AS BIGINT) AS n_days_missing,
+           CAST((SELECT MIN(n) FROM daily) AS BIGINT) AS min_daily_rows,
+           CAST((SELECT MAX(n) FROM daily) AS BIGINT) AS max_daily_rows
+    """,
+)
+def delivery_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-completeness audit: does every calendar day between the
+    table's first and last event actually have data, and how lumpy is
+    the volume? Calendar = sequence+explode from one min/max aggregate
+    (no driver loop); gaps = anti-join of calendar vs present days.
+    This is the freshness/completeness SLA check schedulers alert on —
+    a silent one-day ingest gap is invisible to every other query here
+    until it skews a window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    missing = cal.join(daily, "day", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_missing")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_present"),
+        F.min("n").cast("bigint").alias("min_daily_rows"),
+        F.max("n").cast("bigint").alias("max_daily_rows"),
+    )
+    expected = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_days_expected"))
+    return (
+        expected.crossJoin(stats)
+        .crossJoin(missing)
+        .select(
+            "n_days_expected", "n_days_present", "n_days_missing",
+            "min_daily_rows", "max_daily_rows",
+        )
+    )
+
+
+@query(
+    "winsorized_robust_stats",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.01) AS p01,
+             quantile_cont(o_totalprice, 0.99) AS p99
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, q.p01), q.p99)
+                 AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 2) AS winsorized_mean,
+           CAST(SUM(CASE WHEN o.o_totalprice < q.p01 OR o.o_totalprice > q.p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders o JOIN q ON q.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p1/p99-clipped) robust mean per priority class — the
+    outlier-resistant statistic monitoring uses where a single fat-
+    finger order would swing a plain mean. Two passes: exact
+    interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, same linear-interpolation definition)
+    broadcast back onto the data, then a decimal-grid clipped sum.
+    At 100 TB the exact percentile swaps for the GK sketch bounds
+    (quantile_sketch_bounds) with the same downstream shape."""
+    o = _t(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(clipped.cast("decimal(30,4)")).cast("double") / F.count(F.lit(1)), 2
+            ).alias("winsorized_mean"),
+            F.sum(
+                ((F.col("o_totalprice") < F.col("p01")) | (F.col("o_totalprice") > F.col("p99"))).cast("int")
+            ).cast("bigint").alias("n_clipped"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT d, CAST(n AS BIGINT) AS n_observed,
+           ROUND(CAST(n AS DOUBLE) / t, 6) AS p_observed,
+           ROUND(LOG10(1.0 + 1.0 / d), 6) AS p_benford
+    FROM obs CROSS JOIN tot
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) distribution audit — the classic
+    fabricated-data sniff test: leading-digit frequencies of order
+    values against log10(1 + 1/d). One partial-aggregable groupBy over
+    a digit extracted with integer/string ops (no regex); the 9-row
+    result broadcasts anywhere. TPC-H's uniform synthetic prices will
+    NOT follow Benford — the audit reports the divergence rather than
+    asserting conformance, which is exactly its job on real ledgers."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # explicit FLOOR: DuckDB's double->BIGINT cast rounds half-even while
+    # Spark's truncates — floor first so both engines see the same integer
+    digits = o.select(
+        F.substring(F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.col("n").cast("bigint").alias("n_observed"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p_observed"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("p_benford"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 8: behavioral sequence analytics + grouped-map Python
+# (the applyInPandas surface, closed-form-verified).
+# ---------------------------------------------------------------------------
+
+@query(
+    "markov_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS t FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n_transitions,
+           ROUND(CAST(p.n AS DOUBLE) / t.t, 6) AS p_transition
+    FROM pairs p JOIN tot t ON t.prev_type = p.prev_type
+    """,
+)
+def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model behind next-action prediction and
+    anomalous-flow detection: P(next event type | previous) from one
+    lag window per user partition plus two partial-aggregable
+    groupBys. The |types|² matrix is tiny and broadcasts anywhere;
+    the sequence pass shuffles each event once on user_id."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p_transition"),
+    )
+
+
+@query(
+    "group_trend_ols",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+             o_totalprice AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM pts GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 2)
+             AS intercept,
+           CAST(n AS BIGINT) AS n_points
+    FROM s
+    """,
+)
+def group_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line via GROUPED-MAP applyInPandas — the one
+    Pandas-on-Spark execution shape the corpus didn't yet exercise
+    (scalar pandas_udf, grouped-agg UDAF, mapInPandas,
+    applyInPandasWithState, and UDTF are covered elsewhere). Each
+    priority class's (day-index, price) points arrive as one pandas
+    frame; the UDF computes the closed-form least-squares slope /
+    intercept from decimal-grid-equivalent float64 sufficient sums.
+    The oracle recomputes the identical closed form from SQL decimal
+    sums — proving the Python stage agrees with the relational one to
+    the rounded precision. At 100 TB the SQL formulation wins (pure
+    partial aggregation); the grouped-map form is for models with no
+    closed form — this query pins the API with one that has one."""
+    import numpy as np
+
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = pdf["y"].to_numpy(dtype="float64")
+        # sort for deterministic summation regardless of partition order
+        idx = np.lexsort((y, x))
+        x, y = x[idx], y[idx]
+        n = float(len(x))
+        sx, sy = float(x.sum()), float(y.sum())
+        sxx, sxy = float((x * x).sum()), float((x * y).sum())
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "slope": [round(slope, 4)],
+                "intercept": [round(intercept, 2)],
+                "n_points": [int(n)],
+            }
+        )
+
+    return pts.groupBy("o_orderpriority").applyInPandas(
+        fit, "o_orderpriority string, slope double, intercept double, n_points bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 9: the equi-width histogram sibling and per-source
+# duplication-rate monitoring.
+# ---------------------------------------------------------------------------
+
+@query(
+    "equiwidth_histogram_stats",
+    oracle="""
+    WITH stats AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
+    )
+    SELECT CAST(LEAST(CAST(FLOOR((l_extendedprice - lo) * 16.0 / (hi - lo + 1e-9)) AS BIGINT), 15)
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS lo_seen,
+           ROUND(MAX(l_extendedprice), 2) AS hi_seen
+    FROM lineitem CROSS JOIN stats
+    GROUP BY 1
+    """,
+)
+def equiwidth_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-WIDTH histogram — the fully partial-aggregable sibling of
+    equidepth_histogram_stats: 16 fixed-width value buckets from one
+    min/max aggregate broadcast back over the scan, then a plain
+    groupBy. No rank, no sort, no window anywhere — this is the
+    histogram you compute on every 100 TB scan for free, at the cost
+    of unequal bucket populations (the equi-depth query is the exact
+    complement; GK the sketch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo")) * 16.0 / (F.col("hi") - F.col("lo") + 1e-9)
+        ).cast("bigint"),
+        F.lit(15).cast("bigint"),
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo_seen"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi_seen"),
+        )
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+      SELECT source, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT f) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+    FROM fp GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate monitoring per source — the per-ingest metric a
+    training-data pipeline tracks over time (a source whose dup rate
+    jumps is re-crawling itself): exact-duplicate rate from the
+    md5-normalized fingerprint (operators/text.fingerprint, same hash
+    the exact-dedup tier keys on). One groupBy over (source, hash) —
+    shuffles 16-byte hashes, never text."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("source", text_ops.fingerprint("text").alias("f"))
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("f").cast("bigint").alias("n_unique"),
+        F.round(
+            1.0 - F.count_distinct("f").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave: corpus-health analytics — cross-source contamination
+# matrix, robust (MAD) length outliers, Zipf vocabulary fit, EWMA event
+# smoothing. The monitoring layer that runs beside every big ingest.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cross_source_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    raw_shingles AS (
+      SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM toks
+    ),
+    kept AS (
+      SELECT r.source, r.shingle FROM raw_shingles r
+      JOIN (SELECT shingle FROM raw_shingles GROUP BY shingle HAVING COUNT(*) <= 64) k
+        USING (shingle)
+    ),
+    sfp AS (SELECT DISTINCT source, shingle FROM kept)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_shingles
+    FROM sfp a JOIN sfp b USING (shingle)
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct word-5-gram shingles they share — the leakage signal that
+    tells a corpus curator two crawls overlap (and that an eval set
+    built from one is contaminated by the other) BEFORE any pairwise
+    doc comparison runs. Reuses the dedup tier's inverted index with
+    the same max_df=64 boilerplate cut, collapsed to (source, shingle)
+    before the self-join, so the join fans out over sources (bounded,
+    ~hundreds) rather than documents — at 100 TB the shuffle carries
+    one row per distinct (source, shingle), never text."""
+    d = _t(spark, sf_dir, "documents")
+    idx = dedup_ops.shingle_index(d, n=5, max_df=64)
+    sfp = (
+        idx.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .localCheckpoint(eager=False)  # two join consumers — materialize once
+    )
+    a = sfp.select(F.col("source").alias("src_a"), "shingle")
+    b = sfp.select(F.col("source").alias("src_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
+    )
+
+
+@query(
+    "length_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT lang, percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS med
+      FROM documents GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.lang, d.n_chars, m.med, ABS(d.n_chars - m.med) AS adev
+      FROM documents d JOIN med m USING (lang)
+    ),
+    mad AS (
+      SELECT lang, ANY_VALUE(med) AS med,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ABS(d.n_chars - m.med) > 3 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(ANY_VALUE(m.med), 6) AS med_chars,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad_chars
+    FROM documents d JOIN mad m USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier detection per language: median + MAD (the
+    1.4826 factor makes MAD sigma-consistent under normality), flagging
+    docs beyond 3 robust sigmas — the trim rule that, unlike mean±3σ,
+    is not dragged by the very outliers it hunts. Two grouped exact
+    percentiles (per-lang groups, partial-aggregable percentile buffers)
+    plus one broadcast join back over the scan; the doc table itself is
+    never shuffled — at 100 TB the only wide exchange carries one row
+    per language."""
+    d = _t(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    dev = d.join(F.broadcast(med), "lang").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("lang").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    flagged = d.join(F.broadcast(mad), "lang")
+    is_out = (F.abs(F.col("n_chars") - F.col("med")) > 3 * 1.4826 * F.col("mad")).cast("bigint")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(is_out).cast("bigint").alias("n_outliers"),
+        F.round(F.first("med"), 6).alias("med_chars"),
+        F.round(F.first("mad"), 6).alias("mad_chars"),
+    )
+
+
+@query(
+    "zipf_vocabulary_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+    top AS (
+      SELECT tok, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM freq QUALIFY rnk <= 100
+    ),
+    pts AS (
+      SELECT CAST(ln(rnk) AS DECIMAL(38,18)) AS x,
+             CAST(ln(freq) AS DECIMAL(38,18)) AS y,
+             CAST(ln(rnk) * ln(freq) AS DECIMAL(38,18)) AS xy,
+             CAST(ln(rnk) * ln(rnk) AS DECIMAL(38,18)) AS xx
+      FROM top
+    )
+    , moments AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM moments
+    """,
+)
+def zipf_vocabulary_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-health check: OLS slope of log-frequency vs log-rank
+    over the top-100 tokens — natural text tracks Zipf's law (slope
+    ≈ −1); a corpus whose slope drifts toward 0 is template/boilerplate
+    heavy, one plunging below −1.5 has a collapsed vocabulary. The
+    top-k is `orderBy(desc).limit(k)` → Catalyst's TakeOrderedAndProject
+    (per-partition heaps merged at the driver, k rows moved — no global
+    sort even over a 100 TB vocabulary); the regression itself is one
+    global aggregate over 100 rows with decimal-summed moments so the
+    result is partition-order independent."""
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(text_ops.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freq.orderBy(F.desc("freq"), F.asc("tok")).limit(100)
+    from pyspark.sql.window import Window
+
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+    )
+    x = F.log(F.col("rnk"))
+    y = F.log(F.col("freq"))
+    pts = ranked.select(
+        x.cast("decimal(38,18)").alias("x"),
+        y.cast("decimal(38,18)").alias("y"),
+        (x * y).cast("decimal(38,18)").alias("xy"),
+        (x * x).cast("decimal(38,18)").alias("xx"),
+    )
+    moments = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return moments.select(
+        n.cast("bigint").alias("n_points"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+    )
+
+
+# EWMA weights alpha*(1-alpha)^j, alpha=0.3, truncated at 8 taps. Literal
+# doubles embedded identically on both sides so no runtime pow() is
+# involved (Java Math.pow and C libm pow are not bit-identical).
+_EWMA_W = [0.3 * 0.7 ** j for j in range(8)]
+
+
+@query(
+    "ewma_event_smoothing",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             {" ".join(f"LAG(value, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v{j}," for j in range(1, 8))}
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ROUND(
+             ({" + ".join(f"COALESCE({w!r} * v{j}, 0.0)" if j else f"{w!r} * value" for j, w in enumerate(_EWMA_W))})
+             /
+             ({" + ".join(f"CASE WHEN v{j} IS NULL THEN 0.0 ELSE {w!r} END" if j else f"{w!r}" for j, w in enumerate(_EWMA_W))}),
+           6) AS ewma_value
+    FROM r WHERE rn = n
+    """,
+)
+def ewma_event_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value (alpha=0.3, truncated at 8 taps —
+    the tail weight beyond 8 is 0.7^8 < 6%, and truncation is what makes
+    the operator a FIXED-frame window instead of a sequential recurrence:
+    8 LAGs over one (user, time) window, so Spark runs it as a single
+    shuffle-per-key window with no iteration and no UDF. Weights are
+    literal constants (no runtime pow — Java and C libm disagree in the
+    last ulp), products/sums are fixed-order double ops, so the result
+    is bitwise deterministic. Emits the smoothed value at each user's
+    LATEST event — the online feature a serving store would upsert."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    r = e.select(
+        "user_id", "event_id", "value",
+        F.row_number().over(w).alias("rn"),
+        *[F.lag("value", j).over(w).alias(f"v{j}") for j in range(1, 8)],
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    num = F.lit(_EWMA_W[0]) * F.col("value")
+    den = F.lit(_EWMA_W[0])
+    for j in range(1, 8):
+        num = num + F.coalesce(F.lit(_EWMA_W[j]) * F.col(f"v{j}"), F.lit(0.0))
+        den = den + F.when(F.col(f"v{j}").isNull(), F.lit(0.0)).otherwise(F.lit(_EWMA_W[j]))
+    return (
+        r.filter(F.col("rn") == F.col("n"))
+        .select("user_id", "event_id", F.round(num / den, 6).alias("ewma_value"))
+    )
+
+
+@query(
+    "knn_graph_mutual",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))) AS cos
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cos,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+      FROM scored
+    ),
+    knn AS (SELECT src, dst, cos, rnk FROM ranked WHERE rnk <= 5)
+    SELECT k1.src, k1.dst, ROUND(k1.cos, 6) AS cos_sim, CAST(k1.rnk AS BIGINT) AS rnk,
+           (k2.src IS NOT NULL) AS is_mutual
+    FROM knn k1 LEFT JOIN knn k2 ON k2.src = k1.dst AND k2.dst = k1.src
+    """,
+)
+def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact directed 5-NN graph over the embedding corpus with a
+    mutual-edge flag — mutual kNN (both endpoints rank each other) is
+    the edge set density-based semantic clustering and graph-ANN index
+    builders start from. Block-pair matmul candidate generation (each
+    node pair scored in exactly one BLAS slice, per-node top-(k+pad)
+    kept) + sequential-dot rescore makes ranks bit-identical to the
+    O(n²) oracle while shuffling only candidate id pairs. The mutuality
+    join is kNN-output-sized (n·k rows), self-joined on the reversed
+    key."""
+    e = _t(spark, sf_dir, "embeddings")
+    edges = sim_ops.knn_graph(e, k=5, dim=64)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("_m")
+    )
+    return (
+        edges.join(rev, ["src", "dst"], "left")
+        .select("src", "dst", "cos_sim", "rnk",
+                F.coalesce(F.col("_m"), F.lit(False)).alias("is_mutual"))
+    )
+
+
+@query(
+    "embedding_norm_audit",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN ABS(nrm - 1.0) <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm,
+           ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+    FROM v GROUP BY label
+    """,
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA before any index build: per-label norm distribution,
+    zero-vector count (the embedding-service error sentinel — reference
+    embedding_service returns zero vectors on failure, so n_zero IS the
+    upstream error rate), and how many vectors are already unit-norm
+    (decides whether the ANN tier can use plain dot instead of full
+    cosine). One partial-aggregable pass; norms are the unrolled
+    sequential dot so the stats replay exactly in the oracle; the mean
+    goes through DECIMAL for partition-order independence."""
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = sim_ops.norm(F.col("embedding"), 64)
+    v = e.select("label", nrm.alias("nrm"))
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum((F.col("nrm") == 0).cast("bigint")).cast("bigint").alias("n_zero"),
+        F.sum((F.abs(F.col("nrm") - 1.0) <= 0.01).cast("bigint")).cast("bigint").alias("n_unit"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_norm"),
+    )
+
+
+@query(
+    "streaming_dedup_exactly_once",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once under at-least-once delivery: the landing directory
+    contains the SAME events file twice (two symlinks — a re-delivered
+    batch, the classic upstream retry), and the stream collapses the
+    duplicate deliveries with ``dropDuplicatesWithinWatermark(event_id)``
+    before a batch count by type. The oracle is the single-copy batch
+    answer, and n_events == n_unique per type proves each event survived
+    exactly once. The watermark delay bounds dedup state retention in a
+    real deployment (here it exceeds the data's span, so the proof is
+    exact regardless of file-processing order)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    landing = (
+        f"/tmp/spark_graft_landing/{os.path.basename(os.path.normpath(sf_dir))}/events_dup2"
+    )
+    os.makedirs(landing, exist_ok=True)
+    for link_name in ("delivery1.parquet", "delivery2.parquet"):
+        link = f"{landing}/{link_name}"
+        if not os.path.exists(link):
+            os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import drain_available_now
+
+    deduped = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    drained = drain_available_now(deduped, "stream_dedup_once", output_mode="append")
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("event_id").cast("bigint").alias("n_unique"),
+    )
+
+
+@query(
+    "join_strategy_parity",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    )
+    SELECT s.strategy, j.n AS n_rows
+    FROM j CROSS JOIN (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) s(strategy)
+    """,
+)
+def join_strategy_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-join-strategy parity: the SAME logical join executed under
+    the three hint-forced physical strategies — BroadcastHashJoin (dim
+    shipped to every task, zero shuffle of the fact), SortMergeJoin
+    (both sides shuffled+sorted on the key — the safe default when both
+    sides are huge), ShuffledHashJoin (shuffle both, hash the smaller —
+    skips the sort) — and proven to agree row-for-row. This is the
+    parity check you run before forcing a hint in production: Catalyst
+    honors the hint, the answer must not move. The invariant test
+    additionally asserts each plan really contains its forced operator."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    outs = []
+    for strategy, hint in (
+        ("broadcast", "broadcast"),
+        ("merge", "merge"),
+        ("shuffle_hash", "shuffle_hash"),
+    ):
+        joined = o.join(c.hint(hint), o["o_custkey"] == c["c_custkey"])
+        outs.append(
+            joined.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .select(F.lit(strategy).alias("strategy"), "n_rows")
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+@query(
+    "scd1_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS k, 'PROMO' AS new_segment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS k, 'NEWCUST' AS new_segment
+      FROM customer WHERE c_custkey < 50
+    )
+    SELECT ch.k AS c_custkey,
+           c.c_mktsegment AS old_segment,
+           ch.new_segment,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert' ELSE 'update' END AS action
+    FROM changes ch LEFT JOIN customer c ON c.c_custkey = ch.k
+    WHERE c.c_custkey IS NULL OR c.c_mktsegment <> ch.new_segment
+    """,
+)
+def scd1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD type-1) expressed as a pure DataFrame
+    plan — WHEN MATCHED AND value-changed THEN UPDATE, WHEN NOT MATCHED
+    THEN INSERT — emitting the change audit a lakehouse merge would
+    write to its commit log. The change-set joins the dimension on the
+    key (broadcast when dim-sized, shuffle-on-key at fact scale) and the
+    no-op updates (same value) are filtered out, which is exactly the
+    rewrite Delta/Iceberg MERGE does under the hood. Cf. reference
+    src/storage/timestream.py upsert path for the K1 sink analog."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    changes = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("k"), F.lit("PROMO").alias("new_segment"))
+        .unionByName(
+            c.filter(F.col("c_custkey") < 50).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.lit("NEWCUST").alias("new_segment"),
+            )
+        )
+    )
+    merged = changes.join(c, changes["k"] == c["c_custkey"], "left")
+    return (
+        merged.filter(
+            F.col("c_custkey").isNull() | (F.col("c_mktsegment") != F.col("new_segment"))
+        )
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.col("c_mktsegment").alias("old_segment"),
+            "new_segment",
+            F.when(F.col("c_custkey").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+    )
+
+
+@query(
+    "grouped_topk_with_ties",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, c.c_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DECIMAL(30,2)) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey
+    ),
+    ranked AS (
+      SELECT nation, c_custkey, revenue,
+             RANK() OVER (PARTITION BY nation ORDER BY revenue DESC) AS rnk
+      FROM rev
+    )
+    SELECT nation, c_custkey, CAST(revenue AS DOUBLE) AS revenue, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def grouped_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by revenue per nation KEEPING TIES — rank() not
+    row_number(), so equal-revenue customers at the boundary all
+    survive: the semantics leaderboards and quota cuts actually need
+    (row_number would silently drop tied rows by id order). Revenue
+    stays DECIMAL through the sum AND the rank comparison so tie
+    detection itself is exact — ranking on a double sum would make
+    'tied' partition-order dependent. One shuffle for the agg, one for
+    the per-nation window."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("decimal(30,2)").alias("revenue"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("nation").orderBy(F.col("revenue").desc())
+    return (
+        rev.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("nation", "c_custkey", F.col("revenue").cast("double").alias("revenue"),
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+@query(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE), 2) AS F_sum_qty,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F_n_rows,
+           ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE), 2) AS O_sum_qty,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O_n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value — Spark names the
+    output columns '{value}_{agg alias}', and pinning the pivot values
+    explicitly ( .pivot(col, values) ) keeps the plan a single pass:
+    without the value list Spark runs an extra distinct-scan job to
+    discover them, and the output schema becomes data-dependent — a
+    deploy hazard at 100 TB (a new status value would silently widen
+    the table). Compiles to one hash aggregate with CASE projections —
+    the same plan the oracle writes by hand."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH base AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT text FROM documents WHERE doc_id % 3 = 0
+    ),
+    fp AS (SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f FROM base),
+    cl AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM fp GROUP BY f)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM cl GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the report that sizes a
+    dedup run BEFORE it happens: singleton share, 2-copy share, how
+    heavy the worst template cluster is, and n_removable (= docs −
+    clusters) is exactly the row count dedup will delete. Runs over the
+    corpus with INJECTED exact dups (every 3rd doc re-delivered, as in
+    dedup_exact) so the histogram provably has a ≥2 bucket. Two
+    partial-aggregable groupBys over 16-byte fingerprints; the second
+    one's key space is cluster SIZES (tiny), so at 100 TB the only real
+    shuffle carries (hash, count) pairs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select("text").unionByName(d.filter(F.col("doc_id") % 3 == 0).select("text"))
+    cl = (
+        base.select(text_ops.fingerprint("text").alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    )
+    return cl.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
+    )
+
+
+@query(
+    "dedup_keep_longest_canonical",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string(list_slice(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               1, 15), ' ')
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    fp AS (
+      SELECT doc_id, LENGTH(text) AS n_chars,
+             md5(array_to_string(list_slice(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''),
+               1, 10), ' ')) AS f
+      FROM base
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, f,
+             ROW_NUMBER() OVER (PARTITION BY f ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY f) AS sz
+      FROM fp
+    )
+    SELECT doc_id AS keeper_id,
+           CAST(sz AS BIGINT) AS cluster_size,
+           CAST(n_chars AS BIGINT) AS keeper_chars
+    FROM ranked WHERE rn = 1 AND sz > 1
+    """,
+)
+def dedup_keep_longest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-selection POLICY: cluster by a truncation-invariant key
+    (md5 of the first 10 tokens) and keep the LONGEST member (ties →
+    lowest id) — the curation rule when near-identical pages differ by
+    clipping, where min-id selection (dedup_exact) would happily keep
+    the truncated copy. Exercised against injected truncations: every
+    5th doc is re-delivered clipped to its first 15 tokens, so each
+    injected cluster MUST resolve to the untruncated original. One
+    key-partitioned window — the policy is a sort order, not extra
+    passes."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(text_ops.tokens("text"), 1, 15), " ").alias("text"),
+    )
+    base = d.unionByName(trunc)
+    from pyspark.sql.window import Window
+
+    fp = base.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.md5(F.array_join(F.slice(text_ops.tokens("text"), 1, 10), " ")).alias("f"),
+    )
+    w = Window.partitionBy("f").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    wall = Window.partitionBy("f")
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(wall))
+        .filter((F.col("rn") == 1) & (F.col("sz") > 1))
+        .select(
+            F.col("doc_id").alias("keeper_id"),
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_chars").cast("bigint").alias("keeper_chars"),
+        )
+    )
+
+
+@query(
+    "range_frame_trailing_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DECIMAL(30,2)) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           ROUND(CAST(rev AS DOUBLE), 2) AS day_revenue,
+           ROUND(CAST(SUM(rev) OVER (
+             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS trailing_7d_revenue
+    FROM daily
+    """,
+)
+def range_frame_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frames over event-time — the frame ROWS can't
+    express: a trailing-7-CALENDAR-day revenue sum that stays correct
+    when days are MISSING from the data (a ROWS BETWEEN 6 PRECEDING
+    frame would silently reach back further across gaps). Spark's RANGE
+    frame needs a numeric ordering key, so the day becomes its epoch-day
+    integer — the standard idiom — while the oracle uses DuckDB's
+    native INTERVAL range frame; both must land on identical sums via
+    the decimal grid. One shuffle for the daily rollup; the global
+    window runs over one row per day (calendar-bounded, not
+    data-bounded)."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("decimal(30,2)").alias("rev")
+    )
+    w = Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))) \
+        .rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("rev").cast("double"), 2).alias("day_revenue"),
+        F.round(F.sum("rev").over(w).cast("double"), 2).alias("trailing_7d_revenue"),
+    )
+
+
+@query(
+    "null_safe_join_semantics",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS k FROM orders WHERE o_orderkey < 4000
+    ),
+    b AS (
+      SELECT NULLIF(o_orderstatus, 'O') AS k, COUNT(*) AS cnt
+      FROM orders WHERE o_orderkey < 4000 GROUP BY 1
+    )
+    SELECT 'equals' AS join_semantics,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM a JOIN b ON a.k = b.k
+    UNION ALL
+    SELECT 'null_safe', CAST(COUNT(*) AS BIGINT)
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL join semantics pinned: standard ``=`` drops every NULL key
+    (NULL = NULL is UNKNOWN), while the null-safe operator (Spark
+    ``<=>`` / SQL IS NOT DISTINCT FROM) matches NULL with NULL — the
+    difference between losing and keeping the 'status unknown'
+    population when joining on a nullable dimension key. Both joins run
+    in the same query and the row-count gap IS the NULL-keyed
+    population, driver-verified. ``<=>`` still hash-joins (Catalyst
+    treats it as an equi-join key), so the null-safe form costs no plan
+    degradation — the point of using it over COALESCE sentinels."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    a = o.select("o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"))
+    b = (
+        o.select(F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    eq = a.join(b, a["k"] == b["k"]).agg(
+        F.lit("equals").alias("join_semantics"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+    )
+    ns = a.join(b, a["k"].eqNullSafe(b["k"])).agg(
+        F.lit("null_safe").alias("join_semantics"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+    )
+    return eq.unionByName(ns)
+
+
+@query(
+    "format_matrix_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id < 300
+    )
+    SELECT 'orc' AS format,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS payload_metric
+    FROM base
+    UNION ALL
+    SELECT 'text', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT),
+           CAST(SUM(LENGTH(CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR))) AS BIGINT)
+    FROM base
+    """,
+)
+def format_matrix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-format matrix closure: the same slice round-trips through
+    ORC (the other columnar format Spark ships a vectorized reader for
+    — schema, predicates, and column pruning work exactly as in
+    parquet) and the raw TEXT format (one string per line — the lowest
+    common denominator every log pipeline starts from, parsed back with
+    split()). Together with the parquet/CSV/JSONL/XML queries this
+    closes the built-in format matrix; each branch emits an id checksum
+    so silent row corruption in either codec fails the hash gate."""
+    import os
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/spark_graft_landing/{tag}/format_matrix"
+    if not os.path.exists(f"{base}/orc/_SUCCESS"):
+        d.select("doc_id", "n_chars").write.mode("overwrite").orc(f"{base}/orc")
+        d.select(
+            F.concat_ws("|", F.col("doc_id").cast("string"), F.col("n_chars").cast("string"))
+            .alias("value")
+        ).write.mode("overwrite").text(f"{base}/text")
+    orc = spark.read.orc(f"{base}/orc").agg(
+        F.lit("orc").alias("format"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.sum("n_chars").cast("bigint").alias("payload_metric"),
+    )
+    txt_lines = spark.read.text(f"{base}/text")
+    parsed = txt_lines.select(
+        F.split("value", r"\|").getItem(0).cast("bigint").alias("doc_id"),
+        F.length("value").alias("line_len"),
+    )
+    txt = parsed.agg(
+        F.lit("text").alias("format"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.sum("line_len").cast("bigint").alias("payload_metric"),
+    )
+    return orc.unionByName(txt)
+
+
+@query(
+    "csv_ingest_typed",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_good,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS total,
+           CAST(2 AS BIGINT) AS n_corrupt
+    FROM orders WHERE o_orderkey < 5000
+    GROUP BY o_orderstatus
+    """,
+)
+def csv_ingest_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CSV ingest with malformed-row accounting: the landing file
+    carries real rows plus 2 INJECTED garbage lines (truncated record,
+    non-numeric price — what actual feeds deliver), read back under an
+    explicit schema in PERMISSIVE mode with a ``_corrupt_record``
+    column. Good rows aggregate normally; the corrupt count rides along
+    in the result so bad data is a VISIBLE metric, not a silent drop
+    (DROPMALFORMED) or a dead job (FAILFAST — the ANSI-mode equivalent
+    of this query's try_divide sibling). Schema-on-read, header
+    skipped, decimal prices parsed exactly."""
+    import os
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/spark_graft_landing/{tag}/orders_csv"
+    marker = f"{base}/landing/extra.csv"
+    if not os.path.exists(marker):
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice") \
+            .coalesce(1).write.mode("overwrite").option("header", True).csv(f"{base}/clean")
+        os.makedirs(f"{base}/landing", exist_ok=True)
+        part = next(f for f in os.listdir(f"{base}/clean") if f.endswith(".csv"))
+        os.replace(f"{base}/clean/{part}", f"{base}/landing/orders.csv")
+        with open(marker, "w") as f:
+            f.write("o_orderkey,o_orderstatus,o_totalprice\n"
+                    "99999998,XX\n"                       # truncated record
+                    "99999999,YY,not_a_number\n")         # non-numeric price
+    df = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, _corrupt_record STRING"
+        )
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{base}/landing")
+    )
+    df = df.cache()  # one scan feeds both the good-row agg and the corrupt count
+    n_corrupt = F.lit(
+        df.filter(F.col("_corrupt_record").isNotNull()).count()
+    ).cast("bigint")
+    return (
+        df.filter(F.col("_corrupt_record").isNull())
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_good"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double"), 2)
+            .alias("total"),
+            n_corrupt.alias("n_corrupt"),
+        )
+    )
+
+
+@query(
+    "jsonl_ingest_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (
+      SELECT event_type, value, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events WHERE event_id < 2000
+    ) GROUP BY event_type
+    """,
+)
+def jsonl_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest through ``spark.read.json`` with a declared
+    schema (never inference at scale — a schema-inference pass over
+    100 TB of JSONL is a full extra scan): events round-trip through a
+    JSONL landing file including their NESTED props object, and the
+    typed scan aggregates the nested field directly. The cents grid
+    keeps the money sum exact; nested max proves the struct path
+    survived the round-trip."""
+    import os
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/spark_graft_landing/{tag}/events_jsonl"
+    if not os.path.exists(f"{base}/_SUCCESS"):
+        ev.select(
+            "event_id", "event_type", "value",
+            F.from_json("props", "k INT").alias("props"),
+        ).coalesce(2).write.mode("overwrite").json(base)
+    df = spark.read.schema(
+        "event_id BIGINT, event_type STRING, value DOUBLE, props STRUCT<k: INT>"
+    ).json(base)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).cast("bigint")
+        .alias("value_cents"),
+        F.max("props.k").cast("bigint").alias("max_k"),
+    )
+
+
+@query(
+    "bfs_levels_copurchase",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN sup USING (l_partkey)
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    nodes AS (SELECT DISTINCT u AS n FROM und),
+    src AS (SELECT MIN(n) AS s FROM nodes),
+    l1 AS (SELECT DISTINCT e.v AS n FROM und e JOIN src ON e.u = src.s),
+    l2 AS (SELECT DISTINCT e.v AS n FROM und e JOIN l1 ON e.u = l1.n
+           WHERE e.v <> (SELECT s FROM src) AND e.v NOT IN (SELECT n FROM l1)),
+    l3 AS (SELECT DISTINCT e.v AS n FROM und e JOIN l2 ON e.u = l2.n
+           WHERE e.v <> (SELECT s FROM src)
+             AND e.v NOT IN (SELECT n FROM l1) AND e.v NOT IN (SELECT n FROM l2))
+    SELECT CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS n_nodes
+    UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM l1
+    UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM l2
+    UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM l3
+    UNION ALL SELECT -1, CAST((SELECT COUNT(*) FROM nodes) - 1
+                 - (SELECT COUNT(*) FROM l1) - (SELECT COUNT(*) FROM l2)
+                 - (SELECT COUNT(*) FROM l3) AS BIGINT)
+    """,
+)
+def bfs_levels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS levels (bounded-depth shortest paths) over the
+    co-purchase graph, from its minimum node id: 3 rounds of frontier
+    expansion — frontier ⋈ edges, minus the visited set, distinct —
+    with a localCheckpoint per round to keep the iterative lineage
+    flat, exactly the Pregel-style loop shape CC and PageRank use.
+    Level −1 counts the nodes unreachable within 3 hops. At 100 TB the
+    per-round shuffle carries only (node) ids; the visited set stays a
+    distributed anti-join, never a driver structure."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("no"))
+        .filter(F.col("no") >= 8)
+        .select("l_partkey")
+    )
+    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    und = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+        .localCheckpoint(eager=False)
+    nodes = und.select(F.col("u").alias("n")).distinct().localCheckpoint(eager=False)
+    src = nodes.agg(F.min("n").alias("n"))
+    visited = src.select("n")
+    frontier = src.select("n")
+    counts = [(0, src)]
+    for lvl in (1, 2, 3):
+        nxt = (
+            und.join(frontier.withColumnRenamed("n", "u"), "u")
+            .select(F.col("v").alias("n"))
+            .distinct()
+            .join(visited, "n", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        counts.append((lvl, nxt))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    out = None
+    for lvl, df in counts:
+        row = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")) \
+            .select(F.lit(lvl).cast("bigint").alias("level"), "n_nodes")
+        out = row if out is None else out.unionByName(row)
+    unreachable = (
+        nodes.join(visited, "n", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.lit(-1).cast("bigint").alias("level"), "n_nodes")
+    )
+    return out.unionByName(unreachable)
+
+
+@query(
+    "collation_aware_grouping",
+    oracle="""
+    WITH x AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type) ELSE event_type END AS et
+      FROM events
+    )
+    SELECT lower(et) AS event_type_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT et) AS BIGINT) AS n_case_variants
+    FROM x GROUP BY lower(et)
+    """,
+)
+def collation_aware_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: a mixed-case column (every 2nd row
+    upper-cased) grouped under UTF8_LCASE collation — the engine-native
+    way to get case-insensitive grouping/joins WITHOUT wrapping every
+    key in lower() (which would break predicate pushdown and dictionary
+    encoding on a real 100 TB column; collation keeps the comparison
+    rule in the type, where the scanner and the optimizer can see it).
+    n_case_variants counts the binary-distinct spellings each CI group
+    absorbed. The oracle emulates with lower() — same partition, so the
+    hash must match."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et")
+    )
+    ci = F.collate(F.col("et"), "UTF8_LCASE")
+    return x.groupBy(F.lower(ci).alias("event_type_ci")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct(F.collate(F.col("et"), "UTF8_BINARY")).cast("bigint")
+        .alias("n_case_variants"),
+    )
+
+
+@query(
+    "xml_ingest_shredding",
+    oracle="""
+    WITH x AS (
+      SELECT '<event><id>' || event_id || '</id><type>' || event_type ||
+             '</type><value>' || CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+             || '</value></event>' AS xml,
+             event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_id < 1000
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MAX(LENGTH(xml)) AS BIGINT) AS max_xml_len
+    FROM x GROUP BY event_type
+    """,
+)
+def xml_ingest_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest with Spark 4's native ``from_xml``: serialize events
+    to XML envelopes (the shape a legacy feed delivers), then shred
+    them back through a declared schema and aggregate the TYPED fields
+    — proving the round-trip is lossless (the oracle aggregates the
+    original values; the Spark side touches them only through the XML).
+    Schema-on-read XML without a UDF, same plan shape as the JSON and
+    VARIANT shredding queries."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    xml = F.concat(
+        F.lit("<event><id>"), F.col("event_id").cast("string"),
+        F.lit("</id><type>"), F.col("event_type"),
+        F.lit("</type><value>"), cents.cast("string"),
+        F.lit("</value></event>"),
+    )
+    x = ev.select(xml.alias("xml"))
+    parsed = x.select(
+        "xml",
+        F.from_xml("xml", "id BIGINT, type STRING, value BIGINT").alias("p"),
+    )
+    return parsed.groupBy(F.col("p.type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("p.value").cast("bigint").alias("total_cents"),
+        F.max(F.length("xml")).cast("bigint").alias("max_xml_len"),
+    )
+
+
+@query(
+    "streaming_stateful_key_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS min_id
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator at the gate:
+    ``applyInPandasWithState`` with arbitrary per-key state (running
+    count + min id) over the event stream — the escape hatch for
+    stateful logic the built-in windows can't express. The state
+    transition is commutative/associative, so the emitted totals are
+    order-free and hash-match the batch GROUP BY oracle exactly — the
+    design rule for ANY custom stateful operator that must be
+    exactly-once-replayable at 100 TB (non-commutative state would make
+    recovery order-visible)."""
+    import os
+
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import drain_available_now
+    from quantum_rag_data_pipeline_spark.streaming.stateful import (
+        streaming_stateful_accumulate,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    landing = f"/tmp/spark_graft_landing/{tag}/events"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).parquet(landing).select("user_id", "event_id")
+    out = streaming_stateful_accumulate(
+        stream, "user_id", "event_id", "user_id long, n_events long, min_id long"
+    )
+    return drain_available_now(out, "stateful_key_counts", output_mode="append")

@@ -46,20 +46,28 @@ def verified_names() -> dict[str, list[str]]:
     return out
 
 
+def _queries_pkg() -> str:
+    return os.path.join(REPO, "quantum_rag_data_pipeline_spark", "queries")
+
+
 def registration_order() -> list[str]:
-    src = open(
-        os.path.join(REPO, "quantum_rag_data_pipeline_spark", "queries.py")
-    ).read()
-    names = re.findall(r'@query\(\s*\n?\s*"([a-z0-9_]+)"', src)
-    # registration order must be unique and complete
+    """Literal @query order across segment modules, replayed in the
+    package __init__'s import sequence — independent of the rotation."""
+    init = open(os.path.join(_queries_pkg(), "__init__.py")).read()
+    mods = re.findall(
+        r"from quantum_rag_data_pipeline_spark\.queries import (\w+)", init)
+    names: list[str] = []
+    for mod in mods:
+        path = os.path.join(_queries_pkg(), mod + ".py")
+        if not os.path.exists(path):  # _registry import line
+            continue
+        names += re.findall(r'@query\(\s*\n?\s*"([a-z0-9_]+)"', open(path).read())
     assert len(names) == len(set(names)), "duplicate @query registrations"
     return names
 
 
 def current_rotation() -> list[str]:
-    src = open(
-        os.path.join(REPO, "quantum_rag_data_pipeline_spark", "queries.py")
-    ).read()
+    src = open(os.path.join(_queries_pkg(), "__init__.py")).read()
     m = re.search(r"_VERIFY_ROTATION_R\d+\s*=\s*\[(.*?)\]", src, re.S)
     if not m:
         return []
