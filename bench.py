@@ -74,6 +74,14 @@ def main() -> None:
             continue
         runs = []
         for _ in range(2):
+            # drop plan-matched cache entries between the paired runs:
+            # Spark's CacheManager matches by LOGICAL PLAN, so a query
+            # using .cache() internally would hand run 2 its expensive
+            # middle for free and min-of-2 would record the cached tail
+            # (measured round 5: 15 s -> 2.4 s on the LSH DBSCAN). A
+            # bare clearCache is cheap; the costly GC+drain hygiene
+            # below stays every 8th query.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

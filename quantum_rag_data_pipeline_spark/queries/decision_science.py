@@ -1895,8 +1895,17 @@ def markov_next_event_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DBSCAN density classification — SRP-LSH bucket-bounded pair stage
 # ---------------------------------------------------------------------------
 
-_DBSCAN_DIM, _DBSCAN_PLANES, _DBSCAN_TABLES = 64, 6, 8
+_DBSCAN_DIM, _DBSCAN_TABLES = 64, 8
 _DBSCAN_EPS, _DBSCAN_MINPTS = 0.30, 4
+# adaptive bucket count (operators.similarity.adaptive_planes): P = 6 at
+# the driver's gate/bench scales (n <= 2000), +1 per corpus doubling
+# beyond — keeps per-point candidates constant so the pair stage scales
+# ~linearly (fixed P=6 measured >30x wall at a 10x data step, round 5)
+_DBSCAN_PLANES_SQL = (
+    "6 + CAST(FLOOR(LOG2(GREATEST("
+    "CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) / 2000.0, 1.0"
+    "))) AS BIGINT)"
+)
 
 @query(
     "dbscan_core_border_noise",
@@ -1904,7 +1913,7 @@ _DBSCAN_EPS, _DBSCAN_MINPTS = 0.30, 4
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
     ),
-    {sim_ops.int_srp_oracle_ctes("v", _DBSCAN_DIM, _DBSCAN_PLANES, _DBSCAN_TABLES)},
+    {sim_ops.int_srp_oracle_ctes("v", _DBSCAN_DIM, _DBSCAN_PLANES_SQL, _DBSCAN_TABLES)},
     cand AS (
       SELECT DISTINCT a.vec_id AS pa, b.vec_id AS pb
       FROM srp_buckets a
@@ -1950,7 +1959,9 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     be (`kmeans_one_step` MUST assign every point; DBSCAN may say
     'junk'). Round 5 wired the scale path the round-4 docstring only
     NAMED: the pair stage is SRP-LSH BUCKET-BOUNDED — vectors hash into
-    2^4 buckets × 8 tables via `int_srp_buckets_udf` (EXACT-INTEGER
+    2^P buckets × 8 tables via `int_srp_buckets_udf` (P from the
+    `adaptive_planes` schedule: 6 at gate/bench scales, +1 per corpus
+    doubling, so per-point candidate counts stay ~constant as n grows) (EXACT-INTEGER
     sign projections: 1e-6-grid components against ±1 Knuth-hash
     hyperplanes, so a numpy int64 matmul and the oracle's SQL GROUP BY
     SUM agree bit-for-bit — float Gaussian planes could flip signs at
@@ -1978,8 +1989,9 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ops.norm(F.col("embedding").cast("array<double>"), _DBSCAN_DIM)
         .alias("nrm"),
     ).cache()
+    n_vecs = e.count()  # one tiny eager job; drives the bucket schedule
     buckets = sim_ops.int_srp_buckets_udf(
-        _DBSCAN_DIM, _DBSCAN_PLANES, _DBSCAN_TABLES)
+        _DBSCAN_DIM, sim_ops.adaptive_planes(n_vecs), _DBSCAN_TABLES)
     # IDS ONLY through the bucket join and the multi-table dedup — the
     # first cut shuffled both 64-double vectors per candidate (~1 KB/row,
     # 12 GB at sf0.1); pair ids are 16 bytes. The bucket table is

@@ -127,7 +127,10 @@ def _dbscan_numpy(sf_dir):
     con.close()
     V = np.array([r[1] for r in rows])
     n, D = V.shape
-    EPS, MP, P, T = 0.30, 4, 6, 8
+    from quantum_rag_data_pipeline_spark.operators.similarity import adaptive_planes
+
+    EPS, MP, T = 0.30, 4, 8
+    P = adaptive_planes(n)  # 6 at the test scales; grows with the corpus
     nrm = np.linalg.norm(V, axis=1)
     C = (V @ V.T) / np.outer(nrm, nrm)
     np.fill_diagonal(C, 0)

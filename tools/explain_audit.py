@@ -33,7 +33,10 @@ UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_fr
                 "python_udtf_word_chunks", "pandas_udaf_geomean",
                 "group_trend_ols",
                 # round 4 wave: block-pair matmul candidate generation
-                "knn_graph_mutual", "knn_graph_incremental_parity"}
+                "knn_graph_mutual", "knn_graph_incremental_parity",
+                # round 5: int-SRP bucket hashing feeds the LSH-bounded
+                # DBSCAN pair stage
+                "dbscan_core_border_noise"}
 # streaming queries start a real stream; skip static explain
 SKIP = {"streaming_sliding_window", "streaming_sessionization",
         "streaming_static_enrich", "streaming_dedup_exactly_once",
