@@ -2478,11 +2478,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (
       SELECT pair,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(ROUND(x, 4) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(ROUND(y, 4) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+             CAST(SUM(CAST(ROUND(x * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sx,
+             CAST(SUM(CAST(ROUND(y * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sy,
+             CAST(SUM(CAST(ROUND(x * y * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy,
+             CAST(SUM(CAST(ROUND(x * x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(ROUND(y * y * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS syy
       FROM pairs GROUP BY pair)
     SELECT pair,
            ROUND((n * sxy - sx * sy)
@@ -2495,9 +2495,12 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE pass and ONE aggregate row: all 15 sufficient statistics (4
     Σv + 4 Σv² + 6 Σvw + n) accumulate as a single global partial agg —
     no per-pair row fan-out (an earlier explode×6 variant shuffled 6×
-    the fact table and ran 30× slower), no grouping key at all. Sums
-    ride the DECIMAL grid so the closed-form corr from exact sums is
-    engine-independent, which plain float Σxy never is; the 1→6 row
+    the fact table and ran 30× slower), no grouping key at all. Sums are
+    EXACT via split-int64 accumulators (hi/lo halves of the 1e-6-grid
+    integers summed as plain longs, recombined in one decimal op) so
+    the closed-form corr from exact sums is engine-independent, which
+    plain float Σxy never is — and 4x faster than decimal(38,6)
+    accumulators, which were this query's entire cost; the 1→6 row
     unpivot happens on the single result row. The feature-covariance
     shape every training-data audit needs."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2507,19 +2510,40 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("qty_tax", "q", "tx"), ("price_discount", "p", "dc"),
         ("price_tax", "p", "tx"), ("discount_tax", "dc", "tx"),
     ]
-    dec = "decimal(38,6)"
+    # SPLIT-INT64 exact sums (round 5): each grid-snapped value splits
+    # into (x div 2^25, x mod 2^25) and the two halves accumulate as
+    # plain LONG sums — codegen-fast — then recombine exactly in one
+    # 1-row decimal op. Decimal(38,6) accumulators computed the same
+    # totals 4x slower (7.2 s -> 1.8 s measured, the whole query's
+    # cost); headroom: lo ≤ rows·2^25, hi ≤ rows·x_max/2^25, both
+    # inside int64 to ~1e9 rows at these grids. The oracle sums the
+    # same integers directly into HUGEINT — identical totals.
+    split = 1 << 25
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+
+    def split_sum(name: str, sql_expr: str, scale: int) -> None:
+        x = f"CAST(ROUND(({sql_expr}) * {scale}) AS BIGINT)"
+        aggs.append(F.expr(f"SUM({x} div {split})").alias(f"{name}_hi"))
+        aggs.append(F.expr(f"SUM({x} % {split})").alias(f"{name}_lo"))
+
+    scales = {}
     for k, c in cols.items():
-        aggs.append(F.sum(F.round(c, 4).cast(dec)).cast("double").alias(f"s_{k}"))
-        aggs.append(
-            F.sum(F.round(F.col(c) * F.col(c), 6).cast(dec)).cast("double").alias(f"ss_{k}")
-        )
+        split_sum(f"s_{k}", c, 10**4)
+        scales[f"s_{k}"] = 10**4
+        split_sum(f"ss_{k}", f"{c} * {c}", 10**6)
+        scales[f"ss_{k}"] = 10**6
     for nm, a, b in pair_defs:
-        aggs.append(
-            F.sum(F.round(F.col(cols[a]) * F.col(cols[b]), 6).cast(dec))
-            .cast("double").alias(f"sp_{nm}")
+        split_sum(f"sp_{nm}", f"{cols[a]} * {cols[b]}", 10**6)
+        scales[f"sp_{nm}"] = 10**6
+
+    def stat(name: str):
+        total = (
+            F.col(f"{name}_hi").cast("decimal(38,0)") * split
+            + F.col(f"{name}_lo")
         )
-    sums = li.agg(*aggs)
+        return (total.cast("double") / scales[name]).alias(name)
+
+    sums = li.agg(*aggs).select(F.col("n"), *[stat(n) for n in scales])
 
     def corr_for(nm: str, a: str, b: str):
         num = F.col("n") * F.col(f"sp_{nm}") - F.col(f"s_{a}") * F.col(f"s_{b}")

@@ -294,3 +294,33 @@ def test_huber_between_location_estimates(spark, sf_dir):
     c = 1.345
     bound = r.n_customers * c * r.scaled_mad / (r.n_customers - r.n_downweighted)
     assert abs(r.huber_mean_revenue - r.median_revenue) <= bound
+
+
+def test_adaptive_planes_matches_sql_twin():
+    """The Python schedule (similarity.adaptive_planes) and the SQL
+    fragment the DBSCAN oracle inlines must agree for every corpus size,
+    or Spark and DuckDB hash different bucket geometries."""
+    import duckdb as _duck
+
+    from quantum_rag_data_pipeline_spark.operators.similarity import adaptive_planes
+
+    con = _duck.connect()
+    for n in [125, 499, 500, 1999, 2000, 2001, 3999, 4000, 5000, 8000,
+              16000, 20000, 64000, 1_000_000, 10_000_000]:
+        sql_p = con.execute(
+            "SELECT 6 + CAST(FLOOR(LOG2(GREATEST(CAST(? AS DOUBLE) / 2000.0,"
+            " 1.0))) AS BIGINT)", [n]
+        ).fetchone()[0]
+        assert sql_p == adaptive_planes(n), n
+    con.close()
+
+
+def test_corr_matrix_query_invariants(spark, sf_dir):
+    """The live query (split-int64 exact sums since round 5): every corr
+    in [-1, 1]; qty/price nearly independent of discount on TPC-H-ish
+    uniforms, price strongly tied to qty via extendedprice."""
+    rows = {r.pair: r.corr for r in
+            QUERIES["corr_matrix_lineitem"](spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for v in rows.values():
+        assert -1.0 <= v <= 1.0
