@@ -324,3 +324,22 @@ def test_corr_matrix_query_invariants(spark, sf_dir):
     assert len(rows) == 6
     for v in rows.values():
         assert -1.0 <= v <= 1.0
+
+
+def test_semdedup_k_schedule_matches_sql_twin():
+    """semdedup's k = max(8, n/250): Spark computes GREATEST(8,
+    FLOOR(count/250)) with a double division, the oracle uses DuckDB
+    integer div — they agree for all n because n/250 is either exactly
+    representable (250 | n) or has a fractional part >= 1/250 >> ulp."""
+    import duckdb as _duck
+    import math
+
+    con = _duck.connect()
+    for n in [1, 249, 250, 251, 500, 1999, 2000, 2001, 19_999, 20_000,
+              1_000_000, 123_456_789]:
+        sql_k = con.execute(
+            "SELECT GREATEST(8, CAST(? AS BIGINT) // 250)", [n]
+        ).fetchone()[0]
+        py_k = max(8, math.floor(n / 250))
+        assert sql_k == py_k, n
+    con.close()
