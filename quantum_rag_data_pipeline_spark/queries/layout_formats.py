@@ -1785,7 +1785,10 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.join(d.select("doc_id", "source"), "doc_id")
         .select("source", "shingle")
         .distinct()
-        .localCheckpoint(eager=False)  # two join consumers — materialize once
+        # two join consumers — materialize once; cache(), not
+        # localCheckpoint: the checkpoint call does physical planning
+        # eagerly on the driver (~1-2 s on this plan, round-5 measured)
+        .cache()
     )
     a = sfp.select(F.col("source").alias("src_a"), "shingle")
     b = sfp.select(F.col("source").alias("src_b"), "shingle")
