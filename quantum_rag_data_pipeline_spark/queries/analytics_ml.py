@@ -1342,7 +1342,7 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= 2)
         .select("u", "v")
-        .localCheckpoint(eager=False)
+        .cache()
     )
     adj = edges.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
@@ -1744,7 +1744,7 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is engine-specific Datasketches state, so the bound — not
     the value — is the stable contract)."""
     ev = _t(spark, sf_dir, "events")
-    ut = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    ut = ev.select("event_type", "user_id").distinct().cache()
     totals = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     sk = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -2306,7 +2306,7 @@ def rendezvous_hashing_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") * 8 + F.col("s")) * 2654435761) % 4294967296 * 8
             + F.col("s")
         ).alias("key"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     before = scores.groupBy("doc_id").agg(F.max_by("s", "key").alias("b_shard"))
     after = (
         scores.filter(F.col("s") != 3)
@@ -2315,7 +2315,7 @@ def rendezvous_hashing_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both the per-shard rollup and the global stability scalar consume
     # `moved`; checkpoint it so the argmax pipeline runs once, not twice
-    moved = before.join(after, "doc_id").localCheckpoint(eager=False)
+    moved = before.join(after, "doc_id").cache()
     stability = moved.agg(
         (
             F.sum(

@@ -1521,7 +1521,7 @@ def copurchase_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both self-join branches consume items; materialize once
         # (lazy localCheckpoint, ContextCleaner-reclaimed — the same
         # measured pattern as operators/dedup.py)
-        .localCheckpoint(eager=False)
+        .cache()
     )
     a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
     b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
@@ -1798,7 +1798,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     items = (
         li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
-        .localCheckpoint(eager=False)
+        .cache()
     )
     a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
@@ -1809,7 +1809,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= 2)
         .select("u", "v")
-        .localCheckpoint(eager=False)
+        .cache()
     )
     deg = (
         edges.select(F.col("u").alias("n"))
@@ -1827,7 +1827,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = e.select(
         F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     e1 = oriented.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
     e2 = oriented.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
     e3 = oriented.select(F.col("s").alias("s3"), F.col("t").alias("t3"))
@@ -2765,7 +2765,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3 consumers (sizes, both join sides) would re-evaluate the shingle
     # explode 3x — same exchange-reuse miss fixed for the other dedup
     # queries; one lazy localCheckpoint materializes it once.
-    idx = dedup_ops.shingle_index(d, n=5, max_df=64).localCheckpoint(eager=False)
+    idx = dedup_ops.shingle_index(d, n=5, max_df=64).cache()
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = idx.select(F.col("doc_id").alias("id_a"), "shingle")
     b = idx.select(F.col("doc_id").alias("id_b"), "shingle")

@@ -540,7 +540,7 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     vfull = subsets.join(v, "s", "left").select(
         "s",
         F.coalesce(F.col("conv").cast("double") / F.col("n"), F.lit(0.0)).alias("rate"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     chans = spark.range(0, 3).select(
         F.element_at(
             F.array(F.lit(1), F.lit(2), F.lit(4)), F.col("id").cast("int") + 1
@@ -632,7 +632,7 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rev.select(
         "cents",
         F.row_number().over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("rnk"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     thresh = ranked.filter(F.col("rnk") == 51).select(F.col("cents").alias("xk1"))
     terms = (
         ranked.filter(F.col("rnk") <= 50)
@@ -741,7 +741,7 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).localCheckpoint(eager=False)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).cache()
     last7 = daily.agg(
         F.date_add(F.max("day"), -6).alias("d0"), F.max("day").alias("d1")
     )
@@ -779,7 +779,7 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("y_h").cast("decimal(20,9)")).cast("double")
              / F.count(F.lit(1))).alias("fc")
         )
-        .localCheckpoint(eager=False)
+        .cache()
     )
     dtot = daily.groupBy("day").agg(F.sum("y").cast("bigint").alias("ty"))
     ttargets = (
@@ -1083,7 +1083,7 @@ def huber_m_estimator_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint").alias("x")
-    ).localCheckpoint(eager=False)
+    ).cache()
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = rev.select(
         "x",
@@ -1257,7 +1257,7 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked_a.join(ranked_b, "doc_id")
         .filter((F.col("ra") <= 20) & (F.col("rb") <= 20))
         .select(F.greatest("ra", "rb").alias("m"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     depths = spark.range(1, 21).select(
         F.col("id").cast("bigint").alias("d"),
@@ -1385,7 +1385,7 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = F.col("x1").cast("double") / F.col("n1")
     scored = peruser.filter(F.col("n1") > 0).select(
         F.floor(f * 10).cast("bigint").alias("bin"), f.alias("f"), "o"
-    ).localCheckpoint(eager=False)
+    ).cache()
     bins = scored.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("nk"),
         F.sum(F.round("f", 9).cast("decimal(20,9)")).cast("double").alias("sf"),
@@ -1624,7 +1624,7 @@ def pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate").cast("date").alias("day"),
         )
         .agg(F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("d"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     wb = Window.partitionBy("brand")
     train = daily.filter(F.col("day") < F.lit("1996-07-01").cast("date")).select(
@@ -1749,7 +1749,7 @@ def v_optimal_histogram_3buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").over(wall).cast("bigint").alias("t1"),
         F.sum(F.col("y") * F.col("y")).over(wall).cast("bigint").alias("t2"),
         F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     b = pre.select(
         F.col("day").alias("cut2"), F.col("i").alias("i2"),
         F.col("c1").alias("b1"), F.col("c2").alias("b2"),
@@ -1858,7 +1858,7 @@ def markov_next_event_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") < F.col("m")).alias("is_train"),
         F.lead("event_type").over(wu).alias("nxt"),
         F.lead(F.col("ts") < F.col("m")).over(wu).alias("nxt_train"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     trans = (
         seq.filter(F.col("is_train") & F.col("nxt_train") & F.col("nxt").isNotNull())
         .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))

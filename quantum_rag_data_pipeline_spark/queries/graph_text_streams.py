@@ -110,7 +110,7 @@ def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.round(F.col("dt").cast("double") - F.col("s"), 4)
         .cast("decimal(30,4)").alias("r"),
-    ).localCheckpoint(eager=False)
+    ).cache()
 
     def exact_median(df: DataFrame, col: str, out: str) -> DataFrame:
         ranked = df.select(
@@ -128,7 +128,7 @@ def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     absdev = resid.crossJoin(F.broadcast(med)).select(
         "day", "r",
         F.abs((F.col("r") - F.col("m")).cast("decimal(30,4)")).alias("ad"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     mad = exact_median(absdev, "ad", "mm")
     return (
         absdev.crossJoin(F.broadcast(mad))
@@ -979,7 +979,7 @@ def strict_funnel_bounded_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "v_ts")
         .agg(F.min("cts").alias("c_ts"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     purch = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("pu"), F.col("ts").alias("pts")
@@ -993,7 +993,7 @@ def strict_funnel_bounded_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "v_ts", "c_ts")
         .agg(F.min("pts").alias("p_ts"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
 
     def stage(df: DataFrame, name: str, gap: Column | None) -> DataFrame:
@@ -1089,7 +1089,7 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     weekly = ev.select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().cache()
     firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
     prev = weekly.select(
         F.col("user_id").alias("p_user"), F.col("wk").alias("p_wk")
@@ -1218,7 +1218,7 @@ def peak_concurrency_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "sid")
         .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     deltas = sess.select(
         F.col("s_ts").alias("t"), F.lit(1).alias("d"), "user_id"
@@ -1230,7 +1230,7 @@ def peak_concurrency_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     swept = deltas.select(
         "t", F.sum("d").over(sweep).alias("concurrent")
-    ).localCheckpoint(eager=False)
+    ).cache()
     peak = swept.agg(F.max("concurrent").alias("pk"))
     first_at = (
         swept.crossJoin(F.broadcast(peak))
@@ -1309,7 +1309,7 @@ def pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     swept = pts.withColumn("best", F.max("ed").over(w))
     sky = swept.filter(
         F.col("best").isNull() | (F.col("ed") > F.col("best"))
-    ).localCheckpoint(eager=False)
+    ).cache()
     size = sky.agg(F.count(F.lit(1)).cast("bigint").alias("skyline_size"))
     return (
         sky.crossJoin(F.broadcast(size))
@@ -2096,7 +2096,7 @@ def calibration_reliability_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("y").cast("bigint").alias("n_pos"),
         F.sum(F.round(F.col("p") * 1000000.0).cast("bigint")).alias("p6_sum"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     tot = bins.agg(F.sum("n").cast("bigint").alias("nt"))
     ece = (
         bins.agg(
@@ -2202,7 +2202,7 @@ def cumulative_gains_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("y").cast("bigint").alias("n_pos"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     tot = per.agg(
         F.sum("n_pos").cast("bigint").alias("p"),
         F.sum("n_docs").cast("bigint").alias("n"),
@@ -2567,7 +2567,7 @@ def recsys_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
         ).alias("rk"),
-    ).filter(F.col("rk") <= 5).localCheckpoint(eager=False)
+    ).filter(F.col("rk") <= 5).cache()
     a = lists.select("query_id", F.col("vec_id").alias("ia"), F.col("v").alias("va"))
     b = lists.select("query_id", F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     dist6 = F.round(

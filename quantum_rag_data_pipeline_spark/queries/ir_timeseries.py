@@ -339,7 +339,7 @@ def naive_bayes_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr = train.select("lang", F.explode(text_ops.tokens("text")).alias("term"))
     cws = ttr.groupBy("lang", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    ).localCheckpoint(eager=False)
+    ).cache()
     ns = cws.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_s"))
     vocab = cws.select("term").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
@@ -550,7 +550,7 @@ def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = d.select("doc_id", text_ops.tokens("text").alias("tok"))
     dl = toks.select("doc_id", F.size("tok").cast("bigint").alias("dl"))
-    dl = dl.localCheckpoint(eager=False)
+    dl = dl.cache()
     n = dl.agg(F.sum("dl").cast("bigint").alias("n_tokens"))
     tf = (
         toks.select("doc_id", F.explode("tok").alias("term"))
@@ -558,7 +558,7 @@ def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     cf = tf.groupBy("term").agg(F.sum("c").cast("bigint").alias("cf"))
     scored = (
@@ -698,7 +698,7 @@ def rocchio_relevance_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("qp"),
         )
-        .localCheckpoint(eager=False)
+        .cache()
     )
     scored = (
         e.filter(F.col("vec_id") != 0)
@@ -961,7 +961,7 @@ def mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("y")
-    ).localCheckpoint(eager=False)
+    ).cache()
     idx = daily.select(
         "y",
         F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"),
@@ -977,7 +977,7 @@ def mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("yj") > F.col("y"), 1)
         .when(F.col("yj") < F.col("y"), -1).otherwise(0).alias("sgn"),
         ((F.col("yj") - F.col("y")).cast("double") / (F.col("j") - F.col("i"))).alias("slope"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     s_stat = pairs.agg(
         F.sum("sgn").cast("bigint").alias("s"),
         F.max("n").alias("n"),
@@ -1275,7 +1275,7 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("event_type").orderBy("c", "day")
         ).alias("rnk"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     ref = ranked.groupBy("rnk").agg(
         F.sum("c").cast("bigint").alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -1335,7 +1335,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= 2)
         .select("u", "v")
-        .localCheckpoint(eager=False)
+        .cache()
     )
     both = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
@@ -1559,7 +1559,7 @@ def autocorrelation_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("y")
-    ).localCheckpoint(eager=False)
+    ).cache()
     g = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("s"),

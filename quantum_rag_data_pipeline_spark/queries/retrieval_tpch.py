@@ -160,7 +160,7 @@ def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             w.orderBy(F.col("c_ts").desc(), F.col("c_id").desc())
         ).alias("rn_last"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     first = ranked.filter(F.col("rn_first") == 1).select(
         F.lit("first_touch").alias("model"), "wd",
         F.round(F.col("v") * 100.0).cast("bigint").alias("cents"),
@@ -555,7 +555,7 @@ def null_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("o_orderstatus") == "O", F.lit(None).cast("decimal(30,2)")
         ).otherwise(F.col("o_totalprice").cast("decimal(30,2)")).alias("v"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     first_sorted = t.orderBy(
         F.col("st").asc_nulls_first(), "o_orderkey"
     ).limit(1).select(F.col("st").isNull().alias("leads_null"))
@@ -1151,7 +1151,7 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("v") - F.col("pred")).alias("abs_resid"),
             (F.col("day") > F.date_sub(F.col("end_day"), 7)).alias("is_test"),
         )
-        .localCheckpoint(eager=False)
+        .cache()
     )
     cal = scored.filter(~F.col("is_test"))
     ranked = cal.select(
@@ -1329,7 +1329,7 @@ def feature_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = daily.select(
         "user_id", "day", F.sum("spend").over(w).alias("cum_spend")
-    ).localCheckpoint(eager=False)
+    ).cache()
     latest = cum.groupBy("user_id").agg(
         F.max_by("cum_spend", "day").alias("final_spend")
     )
@@ -1896,7 +1896,7 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     items = (
         li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
-        .localCheckpoint(eager=False)
+        .cache()
     )
     n = items.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets"))
     isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
@@ -2591,7 +2591,7 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = pop.mapInPandas(
         ahash,
         "media_id long, is_twin boolean, b0 long, b1 long, b2 long, b3 long",
-    ).localCheckpoint(eager=False)
+    ).cache()
     blocks = hashed.select(
         "media_id",
         F.explode(

@@ -622,7 +622,7 @@ def permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("hr3") == F.col("hr") + F.expr("INTERVAL 2 HOURS"))
     ).select(pattern.alias("pattern"))
     cnt = pats.groupBy("pattern").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
-    cnt = cnt.localCheckpoint(eager=False)
+    cnt = cnt.cache()
     tot = cnt.agg(F.sum("k").cast("bigint").alias("n"))
     npat = cnt.agg(F.count(F.lit(1)).cast("bigint").alias("n_patterns_seen"))
     terms = (
@@ -714,7 +714,7 @@ def skipgram_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id", "tpos"],
     )
     cp = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    cp = cp.localCheckpoint(eager=False)
+    cp = cp.cache()
     m1 = cp.groupBy("w1").agg(F.sum("c").cast("bigint").alias("c1"))
     m2 = cp.groupBy("w2").agg(F.sum("c").cast("bigint").alias("c2"))
     tot = cp.agg(F.sum("c").cast("bigint").alias("n"))
@@ -821,9 +821,9 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(text_ops.tokens("text")).alias("term")
     ).select("doc_id", F.lower("term").alias("term"))
     doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("l"))
-    doc_len = doc_len.localCheckpoint(eager=False)
+    doc_len = doc_len.cache()
     first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
-    first_seen = first_seen.localCheckpoint(eager=False)
+    first_seen = first_seen.cache()
     maxd = doc_len.agg(F.max("doc_id").alias("md"))
     cuts = (
         spark.range(1, 11).select(F.col("id").cast("bigint").alias("decile"))
@@ -842,7 +842,7 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     )
-    points = ntok.join(vsize, "decile").localCheckpoint(eager=False)
+    points = ntok.join(vsize, "decile").cache()
     logs = points.select(
         "decile", "n_tok", "v",
         F.round(F.log(F.col("n_tok").cast("double")) * 1000000.0)
@@ -952,7 +952,7 @@ def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k"),
         (F.col("o_totalprice") * 0.001).alias("x"),
         (F.col("qty").cast("double") * 0.1).alias("y"),
-    ).localCheckpoint(eager=False)
+    ).cache()
 
     def gsum(c, name):
         return F.sum(F.round(c, 9).cast("decimal(20,9)")).cast("double").alias(name)
@@ -1362,7 +1362,7 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("bigint").alias("x"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    ).localCheckpoint(eager=False)
+    ).cache()
     r = F.col("x").cast("double") / F.col("n")
     mom = peruser.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -1786,7 +1786,7 @@ def simpsons_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum("purch").cast("bigint").alias("p"),
         F.sum("n_events").cast("bigint").alias("n"),
-    ).localCheckpoint(eager=False)
+    ).cache()
 
     def rates(df):
         return df.agg(
@@ -1971,7 +1971,7 @@ def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode(text_ops.tokens("text")).alias("t0")
     ).select("source", F.lower("t0").alias("term"))
-    toks = toks.localCheckpoint(eager=False)
+    toks = toks.cache()
     top_terms = (
         toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
         .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("c"), "term")))
@@ -1991,7 +1991,7 @@ def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term", "source",
             (F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n")).alias("f"),
         )
-        .localCheckpoint(eager=False)
+        .cache()
     )
     stats = grid.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),

@@ -54,6 +54,7 @@ def main() -> int:
     for name, fn in QUERIES.items():
         if name in SKIP:
             continue
+        spark.catalog.clearCache()  # cache() registers at plan time; don't accumulate
         df = fn(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

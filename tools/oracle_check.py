@@ -99,6 +99,11 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # queries may cache() internal frames (round-5: single-shot reuse
+        # is cache, not localCheckpoint); drop them so entries never
+        # accumulate across a 327-query sweep (round-1 lesson: resident
+        # blocks degraded later queries 2-4x)
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
