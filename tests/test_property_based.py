@@ -95,3 +95,70 @@ def test_kv_flatten_never_throws_and_rejects_null_ids(spark, items):
     for r in out:
         assert r["dataId"] is not None
         assert r["efficiency_value"] is not None  # coerced, 0 fallback
+
+
+def test_split_int64_sum_reconstruction_property():
+    """The split-int64 exact-sum trick (corr_matrix_lineitem, round 5):
+    for any int64 values on the grid, 2^25·Σ(x div 2^25) + Σ(x mod 2^25)
+    must equal Σx exactly — the identity the fast aggregate relies on."""
+    from hypothesis import given, settings, strategies as st
+
+    SPLIT = 1 << 25
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=10**16), max_size=50))
+    def check(xs):
+        hi = sum(x // SPLIT for x in xs)
+        lo = sum(x % SPLIT for x in xs)
+        assert SPLIT * hi + lo == sum(xs)
+        # and both halves stay inside int64 headroom at corpus row counts
+        assert lo <= len(xs) * SPLIT
+        assert hi <= len(xs) * (10**16 // SPLIT + 1)
+
+    check()
+
+
+def test_int_srp_bucket_determinism_property():
+    """int_srp_buckets_udf's kernel: floor-snap + Knuth-hash ±1 planes.
+    Property: bucket ids are invariant to the accumulation ORDER of the
+    integer projection (associativity is the cross-engine guarantee) and
+    to float noise below the 1e-6 grid."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    D, P, T = 8, 4, 2
+    idx = np.arange(T * P * D, dtype=np.int64).reshape(T, P, D)
+    signs = np.where((idx * 2654435761) % 4294967296 >= 2147483648, 1, -1
+                     ).astype(np.int64)
+
+    def buckets(V):
+        Q = np.floor(np.asarray(V) * 1_000_000 + 0.5).astype(np.int64)
+        out = []
+        for t in range(T):
+            bits = (Q @ signs[t].T >= 0).astype(np.int64)
+            out.append(bits @ (1 << np.arange(P, dtype=np.int64)))
+        return np.stack(out, axis=1)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                             min_size=D, max_size=D), min_size=1, max_size=8))
+    def check(vecs):
+        V = np.array(vecs, dtype=np.float64)
+        b1 = buckets(V)
+        # reversed-dimension accumulation: same integer sums -> same signs
+        Q = np.floor(V * 1_000_000 + 0.5).astype(np.int64)
+        for t in range(T):
+            proj_rev = (Q[:, ::-1] @ signs[t][:, ::-1].T)
+            bits = (proj_rev >= 0).astype(np.int64)
+            b_rev = bits @ (1 << np.arange(P, dtype=np.int64))
+            assert (b_rev == b1[:, t]).all()
+        # sub-grid noise cannot flip a bucket unless it crosses the
+        # floor boundary — nudge by 1e-9 away from .5 boundaries
+        frac = np.modf(V * 1_000_000 + 0.5)[0]
+        safe = (np.abs(frac - 0.5) > 1e-3).all() and (frac > 1e-3).all() \
+            and (frac < 1 - 1e-3).all()
+        if safe:
+            b2 = buckets(V + 1e-10)
+            assert (b2 == b1).all()
+
+    check()

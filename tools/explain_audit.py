@@ -36,7 +36,12 @@ UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_fr
                 "knn_graph_mutual", "knn_graph_incremental_parity",
                 # round 5: int-SRP bucket hashing feeds the LSH-bounded
                 # DBSCAN pair stage
-                "dbscan_core_border_noise"}
+                "dbscan_core_border_noise",
+                # the perceptual-hash pandas UDF is the query's subject;
+                # pre-round-5 a localCheckpoint TRUNCATED the displayed
+                # plan and hid this stage from the audit — the cache()
+                # swap made the full lineage visible
+                "image_phash_near_dup"}
 # streaming queries start a real stream; skip static explain
 SKIP = {"streaming_sliding_window", "streaming_sessionization",
         "streaming_static_enrich", "streaming_dedup_exactly_once",
