@@ -68,10 +68,7 @@ def main() -> None:
         # A failing query must never abort the bench (round 3: one
         # AnalysisException killed the whole run and the round recorded no
         # timings at all). Record the error, keep timing everything else.
-        fn = QUERIES.get(name)
-        if fn is None:
-            errors[name] = "not registered"
-            continue
+        fn = QUERIES[name]  # HEADLINE IS list(QUERIES); no missing names
         runs = []
         for _ in range(2):
             # drop plan-matched cache entries between the paired runs:

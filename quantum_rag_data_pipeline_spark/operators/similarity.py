@@ -29,6 +29,21 @@ from quantum_rag_data_pipeline_spark.operators.windows import top_k_per_group
 
 _IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _DOT_CACHE: dict[tuple[str, str, int], Column] = {}
+_DOT_CACHE_CTX: list = [None]  # active SparkContext the cache was built under
+
+
+def _dot_cache_for_session() -> dict:
+    """Memoized Columns hold py4j references into the active JVM context;
+    a stopped/recreated SparkContext would leave them dangling, so the
+    cache is invalidated whenever the active context changes (review
+    finding, round 5)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if _DOT_CACHE_CTX[0] is not sc:
+        _DOT_CACHE.clear()
+        _DOT_CACHE_CTX[0] = sc
+    return _DOT_CACHE
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -45,20 +60,30 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     the tree is built as ONE ``F.expr`` round trip (the JVM parses the
     identical algebra) and memoized, so repeated dots over the same
     columns — every bench run, every query re-invocation — are free.
-    Non-trivial input expressions fall back to the per-node build."""
+    Non-trivial input expressions fall back to the per-node build.
+
+    CONTRACT for the fast path: name-based F.expr resolves by NAME, not
+    by dataframe binding — ``dot(a["v"], b["v"], d)`` on a join where
+    both sides expose ``v`` stringifies to the bare name and raises
+    AMBIGUOUS_REFERENCE at analysis (the per-node path would have kept
+    the plan-bound references). Callers scoring across a join must alias
+    the two vector columns to distinct names first — every in-repo call
+    site does (vec/vec_b, _qvec, etc.) and the full oracle sweep pins
+    it."""
     if dim is not None:
         jc_a, jc_b = getattr(a, "_jc", None), getattr(b, "_jc", None)
         an = jc_a.toString() if jc_a is not None else ""
         bn = jc_b.toString() if jc_b is not None else ""
         if _IDENT.match(an) and _IDENT.match(bn):
+            cache = _dot_cache_for_session()
             key = (an, bn, dim)
-            if key not in _DOT_CACHE:
-                _DOT_CACHE[key] = F.expr(" + ".join(
+            if key not in cache:
+                cache[key] = F.expr(" + ".join(
                     f"(CAST(element_at(`{an}`, {i + 1}) AS DOUBLE)"
                     f" * CAST(element_at(`{bn}`, {i + 1}) AS DOUBLE))"
                     for i in range(dim)
                 ))
-            return _DOT_CACHE[key]
+            return cache[key]
         terms = [
             F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
             for i in range(dim)

@@ -122,10 +122,11 @@ def _reorder_exports() -> None:
     import warnings
 
     missing = [n for n in _VERIFY_ROTATION_R5 if n not in QUERIES]
-    if missing or len(_VERIFY_ROTATION_R5) != len(set(_VERIFY_ROTATION_R5)):
+    dupes = len(_VERIFY_ROTATION_R5) - len(set(_VERIFY_ROTATION_R5))
+    if missing or dupes:
         warnings.warn(
-            f"verify-rotation prefix stale (missing={missing}); keeping "
-            "registration order", stacklevel=2,
+            f"verify-rotation prefix stale (missing={missing}, "
+            f"duplicates={dupes}); keeping registration order", stacklevel=2,
         )
         return
     prefix = set(_VERIFY_ROTATION_R5)

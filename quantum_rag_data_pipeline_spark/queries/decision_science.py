@@ -1989,7 +1989,8 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ops.norm(F.col("embedding").cast("array<double>"), _DBSCAN_DIM)
         .alias("nrm"),
     ).cache()
-    n_vecs = e.count()  # one tiny eager job; drives the bucket schedule
+    n_vecs = v.count()  # drives the bucket schedule AND warms the cache
+    # (counting e would add a second raw parquet scan per invocation)
     buckets = sim_ops.int_srp_buckets_udf(
         _DBSCAN_DIM, sim_ops.adaptive_planes(n_vecs), _DBSCAN_TABLES)
     # IDS ONLY through the bucket join and the multi-table dedup — the

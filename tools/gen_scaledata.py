@@ -16,10 +16,11 @@ the distributions the heavy operators are sensitive to:
 - documents: 10 tiles, doc_id offset, two tile-salt tokens appended so
   cross-tile copies are near-dups, not byte dups (MinHash/shingle work
   stays realistic; connected components still get cross-tile edges).
-- orders/lineitem: 10 tiles, orderkey/custkey offsets, part/supplier
-  keys UNCHANGED — baskets are disjoint per tile but the co-purchase
-  item universe is shared, so graph density per node scales the way a
-  growing order log over a fixed catalog does.
+- orders/lineitem/customer: 10 tiles, orderkey/custkey offsets (customer
+  tiled with the SAME custkey offsets so FK joins resolve per tile);
+  part/supplier keys UNCHANGED — baskets are disjoint per tile but the
+  co-purchase item universe is shared, so graph density per node scales
+  the way a growing order log over a fixed catalog does.
 - all other tables: copied as-is (dimension-sized).
 
 Usage: python tools/gen_scaledata.py  [--tiles 10]
@@ -109,8 +110,21 @@ def main() -> None:
         ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
     """)
 
-    # --- passthrough tables ------------------------------------------
-    for name in ("region", "nation", "customer", "supplier", "part", "events"):
+    # --- customer: tiled with the SAME custkey offsets as orders, so
+    # orders->customer joins at sf1 resolve for every tile (review
+    # finding: copying customer 1x left 90% of scaled orders dangling
+    # and silently shrank any measured join) ------------------------------
+    con.execute(f"""
+        COPY (
+          SELECT c.* REPLACE (c.c_custkey + t.t * {ckey_span} AS c_custkey)
+          FROM read_parquet('{SRC}/customer.parquet') c,
+               (SELECT unnest(range(0, {tiles})) AS t) t
+        ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
+    """)
+
+    # --- passthrough tables (dimension-sized; events deliberately kept
+    # 1x — no scaled query mixes events with the tiled fact tables) ------
+    for name in ("region", "nation", "supplier", "part", "events"):
         shutil.copyfile(f"{SRC}/{name}.parquet", f"{DST}/{name}.parquet")
 
     for f in sorted(os.listdir(DST)):

@@ -52,7 +52,13 @@ def _queries_pkg() -> str:
 
 def registration_order() -> list[str]:
     """Literal @query order across segment modules, replayed in the
-    package __init__'s import sequence — independent of the rotation."""
+    package __init__'s import sequence — independent of the rotation.
+    AST-parsed, not regex: a reformatting of a decorator must never
+    silently drop a name from the rotation candidate list (review
+    finding, round 5 — a regex miss here would permanently skip that
+    query's driver verification)."""
+    import ast
+
     init = open(os.path.join(_queries_pkg(), "__init__.py")).read()
     mods = re.findall(
         r"from quantum_rag_data_pipeline_spark\.queries import (\w+)", init)
@@ -61,7 +67,16 @@ def registration_order() -> list[str]:
         path = os.path.join(_queries_pkg(), mod + ".py")
         if not os.path.exists(path):  # _registry import line
             continue
-        names += re.findall(r'@query\(\s*\n?\s*"([a-z0-9_]+)"', open(path).read())
+        tree = ast.parse(open(path).read())
+        for node in tree.body:
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            for dec in node.decorator_list:
+                if (isinstance(dec, ast.Call)
+                        and getattr(dec.func, "id", "") == "query"
+                        and dec.args
+                        and isinstance(dec.args[0], ast.Constant)):
+                    names.append(dec.args[0].value)
     assert len(names) == len(set(names)), "duplicate @query registrations"
     return names
 
