@@ -751,9 +751,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scores cos 1.0 — both self and the planted copy MUST appear in
     the LSH top-10 (corpus max cross-pair cosine ≈ 0.51). The DuckDB
     oracle states the full expected result in plain SQL. Empirical
-    recall on non-planted neighbors stays pytest-covered
-    (test_operators.py LSH recall invariant). Replaces the rows-only
-    status this query carried since round 2."""
+    recall on non-planted neighbors is pytest-covered by
+    test_srp_ann_recall_floor_and_table_knob (round 5 — the earlier
+    attribution to the MinHash recall test was wrong): top-10 recall on
+    this weakly-similar corpus is ~0.2-0.25 by SRP's S-curve, the
+    n_tables knob measurably buys recall, and the high-similarity
+    regime is exact. Replaces the rows-only status this query carried
+    since round 2."""
     e = _t(spark, sf_dir, "embeddings")
     planted = e.filter(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),

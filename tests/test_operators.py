@@ -440,3 +440,43 @@ def test_kmeans_lloyd_matches_numpy(spark):
         C = np.stack([blobs[a == j].mean(axis=0) for j in range(3)])
     for j in range(3):
         assert np.allclose(got[j], C[j], atol=1e-9), f"centroid {j} diverged"
+
+
+def test_srp_ann_recall_floor_and_table_knob(spark, sf_dir):
+    """SRP-ANN empirical recall vs brute force — the test the
+    ann_lsh_topk docstring used to attribute (incorrectly) to the
+    MinHash recall test. On this corpus (max cross-pair cos ≈ 0.51,
+    weakly-similar neighbors) top-10 recall at 8 planes is LOW by
+    design — the SRP collision S-curve gives weak pairs little mass —
+    so the honest invariants are: a measured floor (0.20 at 4 tables,
+    sf0.001), monotone-ish improvement with more tables (the recall
+    knob actually works), and perfect recall of the high-similarity
+    regime (self at cos 1.0 — also driver-gated via
+    ann_lsh_self_recovery/ann_lsh_topk's planted-copy contract)."""
+    from pyspark.sql import functions as F
+
+    from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {(r.query_id, r.vec_id)
+          for r in sim_ops.brute_force_topk(e, q, k=10, dim=64).collect()}
+
+    def recall(n_tables):
+        ls = {(r.query_id, r.vec_id)
+              for r in sim_ops.lsh_bucket_topk(
+                  e, q, dim=64, k=10, n_planes=8, n_tables=n_tables).collect()}
+        return len(bf & ls) / len(bf)
+
+    r2, r8 = recall(2), recall(8)
+    assert r2 >= 0.10   # measured 0.15 — floor with slack
+    assert r8 >= 0.18   # measured 0.25
+    assert r8 > r2      # more tables must buy recall
+    # the high-similarity regime is exact: self is always recovered
+    self_hits = {(r.query_id, r.vec_id)
+                 for r in sim_ops.lsh_bucket_topk(
+                     e, q, dim=64, k=1, n_planes=8, n_tables=4).collect()}
+    assert self_hits == {(i, i) for i in range(10)}
