@@ -1558,15 +1558,25 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(j.o * t.n - mx.cx * my.cy AS DOUBLE)
                * CAST(j.o * t.n - mx.cx * my.cy AS DOUBLE)
                / CAST(t.n * mx.cx * my.cy AS DOUBLE) * 1000000.0
-             ) AS BIGINT) AS t6
+             ) AS BIGINT) AS t6,
+             CAST(ROUND(
+               CAST(mx.cx * my.cy AS DOUBLE) / t.n * 1000000.0
+             ) AS BIGINT) AS e6
       FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot t
+    ),
+    s AS (
+      -- zero cells (o=0) each contribute (0-e)^2/e = e; their total is
+      -- n - sum(e over observed cells) in closed form, so no zero-cell
+      -- row ever materializes
+      SELECT SUM(t6) + (SELECT n * 1000000 FROM tot) - SUM(e6) AS s6
+      FROM cells
     )
     SELECT t.n AS n_events,
            (t.kx - 1) * (t.ky - 1) AS dof,
-           ROUND(CAST((SELECT SUM(t6) FROM cells) AS DOUBLE) / 1000000.0, 4) AS chi2,
-           ROUND(CAST((SELECT SUM(t6) FROM cells) AS DOUBLE) / 1000000.0
+           ROUND(CAST((SELECT s6 FROM s) AS DOUBLE) / 1000000.0, 4) AS chi2,
+           ROUND(CAST((SELECT s6 FROM s) AS DOUBLE) / 1000000.0
                  / ((t.kx - 1) * (t.ky - 1)), 4) AS chi2_per_dof,
-           ROUND(SQRT(CAST((SELECT SUM(t6) FROM cells) AS DOUBLE) / 1000000.0
+           ROUND(SQRT(CAST((SELECT s6 FROM s) AS DOUBLE) / 1000000.0
                       / (t.n * CASE WHEN t.kx < t.ky THEN t.kx - 1 ELSE t.ky - 1 END)), 6)
              AS cramers_v
     FROM tot t
@@ -1581,7 +1591,9 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d²/(n·cx·cy) with d = o·n - cx·cy an EXACT int64 (never squared in
     integer space — d² would overflow at sf0.1; the square happens in
     IEEE double where +-*/ are bit-identical across engines), each
-    cell micro-rounds to int, the sum is order-free integer addition.
+    cell micro-rounds to int, the sum is order-free integer addition;
+    ZERO cells' contributions (each (0-e)^2/e = e) enter via the closed
+    form n - Σ_observed e, so no empty cell ever materializes.
     Contingency table is |X|x|Y| (~50 cells) from one partial-agg pass
     over the fact table; marginal joins are broadcast at any scale.
     Output: n, degrees of freedom, chi2, chi2/dof, Cramér's V."""
@@ -1609,12 +1621,22 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 d * d / (F.col("n") * F.col("cx") * F.col("cy")).cast("double")
                 * 1000000.0
-            ).cast("bigint").alias("t6")
+            ).cast("bigint").alias("t6"),
+            F.round(
+                (F.col("cx") * F.col("cy")).cast("double") / F.col("n")
+                * 1000000.0
+            ).cast("bigint").alias("e6"),
         )
-        .agg(F.sum("t6").alias("s6"))
+        .agg(F.sum("t6").alias("s6"), F.sum("e6").alias("se6"))
     )
     j = tot.crossJoin(F.broadcast(cells6))
-    chi2 = F.col("s6").cast("double") / 1000000.0
+    # zero cells (o=0, cx>0, cy>0) each contribute (0-e)^2/e = e to
+    # Pearson's statistic; summing only observed cells UNDERSTATED chi2
+    # (round-5 replication finding: 16.33 vs the true 20.01 at sf0.001).
+    # Their total is n - sum(e over observed) in closed form.
+    chi2 = (
+        F.col("s6") + F.col("n") * 1000000 - F.col("se6")
+    ).cast("double") / 1000000.0
     dof = (F.col("kx") - 1) * (F.col("ky") - 1)
     mindim = F.when(F.col("kx") < F.col("ky"), F.col("kx") - 1).otherwise(F.col("ky") - 1)
     return j.select(
