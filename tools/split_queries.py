@@ -126,7 +126,7 @@ def main():
         if isinstance(node, (ast.Import, ast.ImportFrom)):
             continue
         names = target_names(node)
-        if "_VERIFY_ROTATION_R5" in names:
+        if any(n.startswith("_VERIFY_ROTATION_R") for n in names):
             rotation_text = seg
             continue
         if any(n in ("QUERIES", "ORACLE") for n in names):

@@ -38,9 +38,18 @@ def verified_names() -> dict[str, list[str]]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            green = row.get("rows_match") and row.get("schema_match") and (
-                row.get("hash_match") or row.get("hash_match") is None
-            )
+            # hash_match must be an explicit True unless the row is
+            # EXPLICITLY marked oracle-less (rows-only check): a harness
+            # regression that merely drops the hash_match key must not
+            # silently promote queries to "verified" and eject them from
+            # the rotation forever (round-5 advisor item).
+            oracle_less = (row.get("oracle") is False
+                           or row.get("err") == "no_oracle"
+                           or ("oracle_rows" in row
+                               and row["oracle_rows"] is None))
+            hash_ok = (row.get("hash_match") is True
+                       or (oracle_less and row.get("hash_match") is None))
+            green = row.get("rows_match") and row.get("schema_match") and hash_ok
             if green and not row.get("err"):
                 out.setdefault(name, []).append(stem)
     return out
