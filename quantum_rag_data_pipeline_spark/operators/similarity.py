@@ -46,6 +46,19 @@ def _dot_cache_for_session() -> dict:
     return _DOT_CACHE
 
 
+def _is_unresolved_attr(jc) -> bool:
+    """True iff the column is a bare unresolved attribute (``F.col``-
+    style), i.e. rebuilding it from its NAME via F.expr is semantics-
+    preserving. Plan-bound columns (``df["v"]`` → ExpressionColumnNode)
+    return False and must keep their bound expression tree. Unknown
+    internals (e.g. Spark Connect has no ``_jc``/``node``) return False —
+    the slow path is always safe."""
+    try:
+        return jc.node().getClass().getSimpleName() == "UnresolvedAttribute"
+    except Exception:
+        return False
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product. With a known ``dim`` the sum is UNROLLED into plain
     arithmetic — whole-stage-codegen'd, ~10× the throughput of the
@@ -63,18 +76,21 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     Non-trivial input expressions fall back to the per-node build.
 
     CONTRACT for the fast path: name-based F.expr resolves by NAME, not
-    by dataframe binding — ``dot(a["v"], b["v"], d)`` on a join where
-    both sides expose ``v`` stringifies to the bare name and raises
-    AMBIGUOUS_REFERENCE at analysis (the per-node path would have kept
-    the plan-bound references). Callers scoring across a join must alias
-    the two vector columns to distinct names first — every in-repo call
-    site does (vec/vec_b, _qvec, etc.) and the full oracle sweep pins
-    it."""
+    by dataframe binding, so it is taken ONLY for unresolved attribute
+    inputs (``F.col("v")``), where name resolution is exactly what the
+    caller asked for. PLAN-BOUND columns (``df["v"]``) skip it: on a join
+    where both sides expose ``v`` the bare-name rebind either raises
+    AMBIGUOUS_REFERENCE or — worse, when a rename leaves only one ``v``
+    in scope — silently binds BOTH sides to the survivor and returns
+    dot(v, v) (round-5 advisor finding). The per-node path keeps the
+    bound references, so ``dot(a["v"], b["v"], d)`` across a join stays
+    correct; it just pays the slower tree build."""
     if dim is not None:
         jc_a, jc_b = getattr(a, "_jc", None), getattr(b, "_jc", None)
         an = jc_a.toString() if jc_a is not None else ""
         bn = jc_b.toString() if jc_b is not None else ""
-        if _IDENT.match(an) and _IDENT.match(bn):
+        if (_IDENT.match(an) and _IDENT.match(bn)
+                and _is_unresolved_attr(jc_a) and _is_unresolved_attr(jc_b)):
             cache = _dot_cache_for_session()
             key = (an, bn, dim)
             if key not in cache:

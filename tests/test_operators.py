@@ -480,3 +480,63 @@ def test_srp_ann_recall_floor_and_table_knob(spark, sf_dir):
                  for r in sim_ops.lsh_bucket_topk(
                      e, q, dim=64, k=1, n_planes=8, n_tables=4).collect()}
     assert self_hits == {(i, i) for i in range(10)}
+
+
+def test_dot_fast_path_skips_plan_bound_columns(spark):
+    """Round-5 advisor item: the name-based F.expr fast path must only
+    fire for unresolved F.col inputs. Plan-bound columns (df["v"]) keep
+    their bound expression tree — so scoring across a join binds each
+    side correctly, and a stale bound reference fails LOUDLY instead of
+    silently rebinding both sides to whichever 'v' survived a rename
+    (the old dot(v, v) trap)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
+
+    df1 = spark.createDataFrame([(1, [3.0, 0.0])], "id int, v array<double>")
+    df2 = spark.createDataFrame([(1, [0.0, 5.0])], "id int, v array<double>")
+
+    # 1) cross-binding over a join where BOTH sides expose 'v': the bound
+    #    path must compute the cross dot (0.0), not dot(v, v) (9 or 25),
+    #    and not raise AMBIGUOUS_REFERENCE like the old expr rebind did.
+    j = df1.join(df2, "id")
+    [row] = j.select(sim_ops.dot(df1["v"], df2["v"], 2).alias("d")).collect()
+    assert row.d == 0.0
+
+    # 2) a bound column whose source was renamed OUT of the plan fails at
+    #    analysis — the exact scenario that used to silently self-bind.
+    j2 = df1.join(df2.select("id", F.col("v").alias("w")), "id")
+    with pytest.raises(AnalysisException):
+        j2.select(sim_ops.dot(df1["v"], df2["v"], 2).alias("d")).collect()
+
+    # 3) unresolved F.col inputs still take the memoized expr fast path
+    #    (same value, cache populated under a fresh key).
+    sim_ops._dot_cache_for_session().clear()
+    [row3] = df1.select(sim_ops.dot(F.col("v"), F.col("v"), 2).alias("d")).collect()
+    assert row3.d == 9.0
+    assert ("v", "v", 2) in sim_ops._dot_cache_for_session()
+
+
+def test_cache_scope_releases_entries(spark):
+    """Round-5 advisor item: external long-lived sessions need an
+    in-library guard for the CacheManager-accumulation failure mode.
+    cache_scope must leave the session cache empty on exit, success or
+    raise."""
+    import pytest
+
+    from quantum_rag_data_pipeline_spark.session import cache_scope
+
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    with cache_scope(spark):
+        df = spark.range(100).cache()
+        assert df.count() == 100
+        assert not jcm.isEmpty()
+    assert jcm.isEmpty()
+
+    with pytest.raises(RuntimeError):
+        with cache_scope(spark):
+            spark.range(10).cache().count()
+            raise RuntimeError("boom")
+    assert jcm.isEmpty()
