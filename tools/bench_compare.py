@@ -1,0 +1,70 @@
+"""CI-style bench regression gate: diff a bench run against ANCHORS.json.
+
+    python tools/bench_compare.py                     # BENCH_FULL.json
+    python tools/bench_compare.py path/to/bench.json  # any bench dump
+    python tools/bench_compare.py --factor 2.0        # violation bar
+
+Exit codes: 0 = no query exceeds factor x its anchor; 1 = violations
+(each printed with current / anchor / ratio); 2 = inputs unusable.
+
+A query with NO anchor (first bench after registration) is reported
+informationally and never fails the gate — run tools/bench_anchors.py
+--merge afterwards to ratchet it in. The 2x default is the judge's bar
+from BASELINE.md; the VM's steal-time stalls are already rejected by the
+bench's min-of-2 policy, so a 2x excess here is a plan change, not
+noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = 2.0
+    if "--factor" in sys.argv:
+        factor = float(sys.argv[sys.argv.index("--factor") + 1])
+        args = [a for a in args if a != str(factor)]
+    bench_path = args[0] if args else os.path.join(REPO, "BENCH_FULL.json")
+    anchors_path = os.path.join(REPO, "ANCHORS.json")
+
+    try:
+        bench = json.load(open(bench_path))
+        anchors = json.load(open(anchors_path))
+    except (OSError, json.JSONDecodeError) as exc:
+        print(f"bench_compare: cannot load inputs: {exc}")
+        return 2
+    timings = bench.get("queries") or {}
+    if not timings:
+        print(f"bench_compare: no timings in {bench_path}")
+        return 2
+
+    violations, fresh = [], []
+    for name, sec in sorted(timings.items()):
+        anchor = anchors.get(name)
+        if anchor is None:
+            fresh.append((name, sec))
+            continue
+        if sec > factor * anchor:
+            violations.append((name, sec, anchor, sec / anchor))
+
+    for name, sec in fresh:
+        print(f"NO-ANCHOR {name}: {sec:.2f}s (informational; "
+              "bench_anchors.py --merge to adopt)")
+    for name, sec, anchor, ratio in sorted(violations, key=lambda v: -v[3]):
+        print(f"VIOLATION {name}: {sec:.2f}s vs anchor {anchor:.2f}s "
+              f"({ratio:.2f}x > {factor:.1f}x)")
+    n_ok = len(timings) - len(violations) - len(fresh)
+    print(f"bench_compare: {n_ok} within {factor:.1f}x anchor, "
+          f"{len(violations)} violations, {len(fresh)} unanchored, "
+          f"errors in run: {len(bench.get('errors') or {})}")
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
