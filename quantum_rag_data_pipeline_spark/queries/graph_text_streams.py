@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
 from quantum_rag_data_pipeline_spark.operators import text as text_ops
 from quantum_rag_data_pipeline_spark.queries._registry import _t, query
@@ -498,24 +499,9 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     breaks ties, and the winning label decodes back arithmetically —
     no engine-specific arg_max semantics in play (DETERMINISM.md rule
     5). Top-10 communities by size."""
-    li = _t(spark, sf_dir, "lineitem")
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count_distinct("l_orderkey").alias("_s"))
-        .filter(F.col("_s") >= 8)
-        .select("l_partkey")
-    )
-    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
-    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
-    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        ia.join(ib, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("u", "v")
-    )
+    # shared materialized co-purchase edge artifact (built once per
+    # session+testdata; oracle still derives the graph from lineitem)
+    edges = graph_ops.copurchase_edges(spark, sf_dir)
     both = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     ).localCheckpoint(eager=False)
@@ -612,24 +598,9 @@ def wl_node_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     over round (refinement_monotone TRUE), with degree classes as
     round 0. Sorted aggregation makes the neighbor multiset canonical
     (DETERMINISM.md rule 7)."""
-    li = _t(spark, sf_dir, "lineitem")
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count_distinct("l_orderkey").alias("_s"))
-        .filter(F.col("_s") >= 8)
-        .select("l_partkey")
-    )
-    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
-    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
-    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        ia.join(ib, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("u", "v")
-    )
+    # shared materialized co-purchase edge artifact (built once per
+    # session+testdata; oracle still derives the graph from lineitem)
+    edges = graph_ops.copurchase_edges(spark, sf_dir)
     both = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     ).localCheckpoint(eager=False)
@@ -2662,24 +2633,9 @@ def kcore_decomposition_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     message-passing shuffle as BFS/LPA, and survivor counts are
     monotone non-increasing (pinned). Per-round
     localCheckpoint keeps lineage flat."""
-    li = _t(spark, sf_dir, "lineitem")
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count_distinct("l_orderkey").alias("_s"))
-        .filter(F.col("_s") >= 8)
-        .select("l_partkey")
-    )
-    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
-    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
-    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        ia.join(ib, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("u", "v")
-    )
+    # shared materialized co-purchase edge artifact (built once per
+    # session+testdata; oracle still derives the graph from lineitem)
+    edges = graph_ops.copurchase_edges(spark, sf_dir)
     b = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     ).localCheckpoint(eager=False)

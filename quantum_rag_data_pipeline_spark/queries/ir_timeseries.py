@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
 from quantum_rag_data_pipeline_spark.operators import text as text_ops
 from quantum_rag_data_pipeline_spark.queries._registry import _t, query
@@ -1317,26 +1318,12 @@ _COPURCHASE_EDGES_SQL = """
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str):
     """The `pagerank_copurchase` graph (support>=8, co-count>=2) as
-    (edges u<v, directed both_, integer deg) DataFrames."""
-    li = _t(spark, sf_dir, "lineitem")
-    sup = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").alias("_n")
-    ).filter(F.col("_n") >= 8).select("l_partkey")
-    items = li.join(F.broadcast(sup), "l_partkey").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    b = items.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pk")
-    )
-    edges = (
-        items.join(b, (F.col("l_orderkey") == F.col("_ok"))
-                   & (F.col("l_partkey") < F.col("_pk")))
-        .groupBy(F.col("l_partkey").alias("u"), F.col("_pk").alias("v"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("u", "v")
-        .cache()
-    )
+    (edges u<v, directed both_, integer deg) DataFrames. Edges come from
+    the session-wide materialized artifact (operators/graph.py:
+    copurchase_edges) — built once per (session, testdata), a parquet
+    scan on every later call; each caller's oracle still re-derives the
+    graph from lineitem, keeping the artifact independently gated."""
+    edges = graph_ops.copurchase_edges(spark, sf_dir)
     both = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )

