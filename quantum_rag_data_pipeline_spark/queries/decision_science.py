@@ -1961,7 +1961,15 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     NAMED: the pair stage is SRP-LSH BUCKET-BOUNDED — vectors hash into
     2^P buckets × 8 tables via `int_srp_buckets_udf` (P from the
     `adaptive_planes` schedule: 6 at gate/bench scales, +1 per corpus
-    doubling, so per-point candidate counts stay ~constant as n grows) (EXACT-INTEGER
+    doubling. Round 6 MEASURED the schedule on a non-tiled 10x corpus:
+    candidates grow ~n^1.44, not the model's ~n — per-plane pruning
+    saturates at ~0.92 because collisions concentrate on correlated
+    pairs (similarity scale 1/√dim=0.125 vs ε=0.30) and the 8-table
+    union is redundant for strong pairs; steeper schedules trade ε-edge
+    recall 6x for 27% wall (BASELINE.md round-6 section), so the
+    schedule stays and `n_cand_pairs` keeps the bound observable; the
+    documented escape for genuinely huge corpora is cluster blocking à
+    la semdedup, not more planes) (EXACT-INTEGER
     sign projections: 1e-6-grid components against ±1 Knuth-hash
     hyperplanes, so a numpy int64 matmul and the oracle's SQL GROUP BY
     SUM agree bit-for-bit — float Gaussian planes could flip signs at

@@ -24,6 +24,17 @@ the distributions the heavy operators are sensitive to:
 - all other tables: copied as-is (dimension-sized).
 
 Usage: python tools/gen_scaledata.py  [--tiles 10]
+       python tools/gen_scaledata.py --fresh-embeddings
+
+--fresh-embeddings builds .scaledata/sf1fresh/: the SAME tables as sf1
+(hardlinked) except embeddings.parquet, which is FRESH-SAMPLED at 10x n
+from the distribution family fit on the driver's sf0.1 table (per-label
+centroid + isotropic residual, unit-normalized — matching the measured
+structure: unit vectors, 10 labels, near-noise-level centroid norms)
+rather than tiled near-copies. Round-5 judge item 3: the tiled corpus
+gives every vector 9 planted near-duplicates, which inflates the
+near-dup pair density by construction; the fresh corpus is the control
+that separates the DBSCAN scale curve from that artifact.
 """
 
 from __future__ import annotations
@@ -42,10 +53,63 @@ SRC = "/root/testdata/sf0.1"
 DST = os.path.join(REPO, ".scaledata", "sf1")
 
 
+def fresh_embeddings(tiles: int = 10) -> None:
+    """Build .scaledata/sf1fresh: sf1's tables with a fresh-sampled
+    (non-tiled) embeddings table at ``tiles``x the sf0.1 count."""
+    dst = os.path.join(REPO, ".scaledata", "sf1fresh")
+    if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
+        sys.exit("run tools/gen_scaledata.py (tiled sf1) first")
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(DST):
+        if name == "embeddings.parquet":
+            continue
+        target = os.path.join(dst, name)
+        if not os.path.exists(target):
+            os.link(os.path.join(DST, name), target)
+
+    tbl = pq.read_table(f"{SRC}/embeddings.parquet")
+    labels = tbl.column("label").to_numpy()
+    V = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    n, dim = V.shape
+    uniq = np.unique(labels)
+    # fit: per-label centroid + isotropic residual scale of the measured
+    # (unit-norm) vectors; sampling mu_l + sigma_l*N(0,I) then
+    # re-normalizing reproduces both the norm constraint and the (weak)
+    # cluster signal without planting ANY near-duplicate pairs.
+    rng = np.random.default_rng(4242)
+    out_vecs, out_labels = [], []
+    for lab in uniq:
+        sub = V[labels == lab]
+        mu = sub.mean(axis=0)
+        sigma = float(np.linalg.norm(sub - mu, axis=1).mean()) / np.sqrt(dim)
+        m = len(sub) * tiles
+        x = mu + sigma * rng.standard_normal((m, dim))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        out_vecs.append(x.astype(np.float32))
+        out_labels.append(np.full(m, lab, dtype=np.int32))
+    allv = np.concatenate(out_vecs)
+    alll = np.concatenate(out_labels)
+    # deterministic shuffle so labels aren't block-ordered on disk (the
+    # tiled file interleaves them; partition pruning should see the same
+    # layout class)
+    order = np.random.default_rng(77).permutation(len(allv))
+    big = pa.table({
+        "vec_id": pa.array(np.arange(len(allv), dtype=np.int64)),
+        "embedding": pa.array(list(allv[order]), type=pa.list_(pa.float32())),
+        "label": pa.array(alll[order], type=pa.int32()),
+    })
+    pq.write_table(big, f"{dst}/embeddings.parquet")
+    print(f"sf1fresh/embeddings.parquet: {len(allv)} rows "
+          f"(fresh-sampled, no planted near-dups)")
+
+
 def main() -> None:
     tiles = 10
     if "--tiles" in sys.argv:
         tiles = int(sys.argv[sys.argv.index("--tiles") + 1])
+    if "--fresh-embeddings" in sys.argv:
+        fresh_embeddings(tiles)
+        return
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
 
@@ -122,9 +186,24 @@ def main() -> None:
         ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
     """)
 
-    # --- passthrough tables (dimension-sized; events deliberately kept
-    # 1x — no scaled query mixes events with the tiled fact tables) ------
-    for name in ("region", "nation", "supplier", "part", "events"):
+    # --- events: tiled with the SAME custkey offsets as customer (user
+    # ids resolve per tile) and UNCHANGED timestamps — 10x events in the
+    # same wall-clock window is a 10x-denser stream, which is the right
+    # scale axis for the watermark/stateful queries (round-6: events had
+    # been kept 1x, which made every streaming scale ratio a no-op 1.0x) --
+    con.execute(f"""
+        COPY (
+          SELECT e.* REPLACE (e.event_id + t.t *
+                   (SELECT MAX(event_id) + 1 FROM read_parquet('{SRC}/events.parquet'))
+                   AS event_id,
+                 e.user_id + t.t * {ckey_span} AS user_id)
+          FROM read_parquet('{SRC}/events.parquet') e,
+               (SELECT unnest(range(0, {tiles})) AS t) t
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+    """)
+
+    # --- passthrough tables (dimension-sized) ---------------------------
+    for name in ("region", "nation", "supplier", "part"):
         shutil.copyfile(f"{SRC}/{name}.parquet", f"{DST}/{name}.parquet")
 
     for f in sorted(os.listdir(DST)):

@@ -11,6 +11,18 @@ are not what the docstring claims — investigate before trusting the
 plan at 1000x.
 
 Usage: python tools/scale_curve.py [query ...]
+       python tools/scale_curve.py --sf1-dir .scaledata/sf1fresh dbscan_core_border_noise
+       python tools/scale_curve.py --cold-artifacts rich_club_coefficient ...
+
+--sf1-dir points the 10x side at an alternate corpus (e.g. the
+fresh-sampled sf1fresh embeddings — round-5 judge item 3's control for
+the tiled near-dup artifact).
+
+--cold-artifacts wipes the session-shared materialized artifacts (the
+co-purchase edge parquet + memo) before EVERY timed run, so graph
+queries are measured including their full derivation from lineitem.
+Without it they are measured as deployed (artifact amortized across the
+family) — report says which.
 """
 
 from __future__ import annotations
@@ -40,9 +52,28 @@ SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    ".scaledata", "sf1")
 
 
+def _wipe_artifacts() -> None:
+    import shutil
+    import tempfile
+
+    from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
+
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+                  ignore_errors=True)
+    graph_ops._EDGE_MEMO.clear()
+
+
 def main() -> None:
-    names = sys.argv[1:] or HEAVY
-    if not os.path.exists(os.path.join(SF1, "lineitem.parquet")):
+    argv = sys.argv[1:]
+    sf1 = SF1
+    if "--sf1-dir" in argv:
+        i = argv.index("--sf1-dir")
+        sf1 = os.path.abspath(argv[i + 1])
+        del argv[i:i + 2]
+    cold = "--cold-artifacts" in argv
+    argv = [a for a in argv if a != "--cold-artifacts"]
+    names = argv or HEAVY
+    if not os.path.exists(os.path.join(sf1, "lineitem.parquet")):
         sys.exit("run tools/gen_scaledata.py first")
     spark = get_spark(app_name="scale_curve")
     spark.sparkContext.setLogLevel("ERROR")
@@ -52,10 +83,12 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name]
         row = {}
-        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", sf1)):
             runs = []
             for _ in range(2):
                 spark.catalog.clearCache()  # no plan-matched cache reuse
+                if cold:
+                    _wipe_artifacts()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 runs.append(time.perf_counter() - t0)
