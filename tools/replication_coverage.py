@@ -51,18 +51,25 @@ RISK_PATTERNS = [
 ]
 
 
-def replicated_names() -> set[str]:
-    """Query names exercised anywhere in the replication/stats/analytics
-    test waves (QUERIES["name"] references)."""
+def _names_in(patterns: list[str]) -> set[str]:
     names: set[str] = set()
-    for path in (glob.glob(os.path.join(REPO, "tests",
-                                        "test_independent_replication*.py"))
-                 + glob.glob(os.path.join(REPO, "tests", "test_stats_wave*.py"))
-                 + glob.glob(os.path.join(REPO, "tests",
-                                          "test_analytics_wave*.py"))):
-        src = open(path).read()
-        names.update(re.findall(r'QUERIES\[\s*"([a-z0-9_]+)"\s*\]', src))
+    for pat in patterns:
+        for path in glob.glob(os.path.join(REPO, "tests", pat)):
+            src = open(path).read()
+            names.update(re.findall(r'QUERIES\[\s*"([a-z0-9_]+)"\s*\]', src))
     return names
+
+
+def replicated_names() -> set[str]:
+    """STRICT replications only: the test_independent_replication waves,
+    where the statistic is recomputed with no shared algebra."""
+    return _names_in(["test_independent_replication*.py"])
+
+
+def invariant_tested_names() -> set[str]:
+    """The weaker layer: queries exercised by the invariant/property
+    waves (mathematical identities, bounds), not full recomputation."""
+    return _names_in(["test_stats_wave*.py", "test_analytics_wave*.py"])
 
 
 def main() -> int:
@@ -87,13 +94,18 @@ def main() -> int:
     scored.sort(key=lambda t: (-t[0], t[1]))
 
     n_rep = len(done & set(QUERIES))
+    inv = invariant_tested_names() & set(QUERIES)
     print(f"registered queries      : {len(QUERIES)}")
-    print(f"independently replicated: {n_rep}")
+    print(f"independently replicated: {n_rep}  (strict, no shared algebra)")
+    print(f"invariant-wave tested   : {len(inv)}  "
+          f"({len(inv - done)} of them not strictly replicated)")
     print(f"unreplicated            : {len(scored)}")
     cut = scored if "--all" in sys.argv else scored[:25]
-    print("\nriskiest unreplicated (score, families):")
+    print("\nriskiest unreplicated (score, families; * = has invariant-wave"
+          " coverage):")
     for score, name, why in cut:
-        print(f"  {score:2d}  {name}  [{', '.join(why[:4])}]")
+        mark = "*" if name in inv else " "
+        print(f"  {score:2d} {mark} {name}  [{', '.join(why[:4])}]")
     return 0
 
 
