@@ -212,7 +212,8 @@ def copurchase_edges(spark, sf_dir: str, with_counts: bool = False) -> DataFrame
 
     key = _lineitem_fingerprint(sf_dir)
     if key in _EDGE_MEMO:
-        return _EDGE_MEMO[key]
+        out = _EDGE_MEMO[key]
+        return out if with_counts else out.select("u", "v")
 
     final = os.path.join(tempfile.gettempdir(), "spark_graft_artifacts",
                          f"copurchase_edges_v2_{key}")

@@ -540,3 +540,23 @@ def test_cache_scope_releases_entries(spark):
             spark.range(10).cache().count()
             raise RuntimeError("boom")
     assert jcm.isEmpty()
+
+
+def test_copurchase_edges_memo_respects_with_counts(spark, sf_dir):
+    """Round-6 regression: the memo-hit path must apply the same
+    with_counts projection as the build path — the first bench after the
+    co column landed had the SECOND artifact consumer receive (u,v,co)
+    and fail unionByName with a schema mismatch."""
+    from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
+
+    first = graph_ops.copurchase_edges(spark, sf_dir)          # build
+    again = graph_ops.copurchase_edges(spark, sf_dir)          # memo hit
+    counted = graph_ops.copurchase_edges(spark, sf_dir, with_counts=True)
+    assert first.columns == ["u", "v"]
+    assert again.columns == ["u", "v"]
+    assert counted.columns == ["u", "v", "co"]
+    # and the memo must not leak across orderings: counts-first session
+    graph_ops._EDGE_MEMO.clear()
+    c2 = graph_ops.copurchase_edges(spark, sf_dir, with_counts=True)
+    p2 = graph_ops.copurchase_edges(spark, sf_dir)
+    assert c2.columns == ["u", "v", "co"] and p2.columns == ["u", "v"]
