@@ -34,9 +34,22 @@ def test_anchors_cover_registered_corpus():
 def test_compare_flags_violation(tmp_path):
     anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
     name, anchor = next(iter(anchors.items()))
-    r = _run({"sf": 0.1, "queries": {name: anchor * 3}}, tmp_path)
+    # exceed BOTH the ratio bar and the absolute min-delta floor
+    r = _run({"sf": 0.1, "queries": {name: anchor * 3 + 1.0}}, tmp_path)
     assert r.returncode == 1
     assert "VIOLATION" in r.stdout and name in r.stdout
+
+
+def test_compare_delta_floor_suppresses_noise(tmp_path):
+    """A sub-second 2x exceedance within the min-delta floor is jitter,
+    not a regression (round-6 measured) — the gate must stay green."""
+    anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
+    name, anchor = next(iter(anchors.items()))
+    r = _run({"sf": 0.1, "queries": {name: anchor + 0.4}}, tmp_path)
+    assert r.returncode == 0
+    r2 = _run({"sf": 0.1, "queries": {name: anchor + 0.4}}, tmp_path,
+              extra=["--min-delta", "0.1"])
+    assert (r2.returncode == 1) == (anchor + 0.4 > 2.0 * anchor)
 
 
 def test_compare_clean_and_unanchored(tmp_path):
@@ -51,6 +64,6 @@ def test_compare_clean_and_unanchored(tmp_path):
 def test_compare_factor_flag(tmp_path):
     anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
     name, anchor = next(iter(anchors.items()))
-    r = _run({"sf": 0.1, "queries": {name: anchor * 1.5}}, tmp_path,
+    r = _run({"sf": 0.1, "queries": {name: anchor * 1.5 + 1.0}}, tmp_path,
              extra=["--factor", "1.2"])
     assert r.returncode == 1
