@@ -150,8 +150,20 @@ def pagerank(
 # Shared co-purchase edge artifact
 # ---------------------------------------------------------------------------
 
-_EDGE_MEMO: dict[str, DataFrame] = {}
-_EDGE_MEMO_CTX: list = [None]  # SparkContext the memoized frames belong to
+# Maps fingerprint -> on-disk artifact path (NOT a DataFrame: a cached
+# frame is bound to the session that created it, so a second session
+# sharing the context — spark.newSession() — would be served a frame
+# carrying the other session's conf; the parquet re-read per call is
+# cheap and always session-correct).
+_EDGE_MEMO: dict[str, str] = {}
+
+
+def _artifact_root() -> str:
+    """Per-user artifact cache root, mode 0700 and ownership-verified —
+    see quantum_rag_data_pipeline_spark.paths for the threat model."""
+    from quantum_rag_data_pipeline_spark.paths import artifact_root
+
+    return artifact_root()
 
 
 def _lineitem_fingerprint(sf_dir: str) -> str:
@@ -186,7 +198,7 @@ def copurchase_edges(spark, sf_dir: str, with_counts: bool = False) -> DataFrame
     self-join + pair groupBy, ~2-3 s at sf0.1), which round 5 measured
     as ~25-30 s of the 315 s bench total. The first caller in a session
     pays the build and writes the edge list to a fingerprint-keyed
-    parquet under /tmp; every later caller — across queries AND across
+    parquet under a per-user 0700 cache root; every later caller — across queries AND across
     the bench's paired runs, which ``clearCache()`` between them — gets
     a plain parquet scan. Each query's DuckDB oracle still derives the
     graph from ``lineitem`` itself, so the artifact's contents stay
@@ -201,22 +213,13 @@ def copurchase_edges(spark, sf_dir: str, with_counts: bool = False) -> DataFrame
     """
     import os
     import shutil
-    import tempfile
-
-    from pyspark import SparkContext
-
-    sc = SparkContext._active_spark_context
-    if _EDGE_MEMO_CTX[0] is not sc:
-        _EDGE_MEMO.clear()
-        _EDGE_MEMO_CTX[0] = sc
 
     key = _lineitem_fingerprint(sf_dir)
     if key in _EDGE_MEMO:
-        out = _EDGE_MEMO[key]
+        out = spark.read.parquet(_EDGE_MEMO[key])
         return out if with_counts else out.select("u", "v")
 
-    final = os.path.join(tempfile.gettempdir(), "spark_graft_artifacts",
-                         f"copurchase_edges_v2_{key}")
+    final = os.path.join(_artifact_root(), f"copurchase_edges_v2_{key}")
     if not os.path.exists(os.path.join(final, "_SUCCESS")):
         from quantum_rag_data_pipeline_spark.sources.registry import load_table
 
@@ -256,6 +259,6 @@ def copurchase_edges(spark, sf_dir: str, with_counts: bool = False) -> DataFrame
             if not os.path.exists(os.path.join(final, "_SUCCESS")):
                 raise
 
+    _EDGE_MEMO[key] = final
     out = spark.read.parquet(final)
-    _EDGE_MEMO[key] = out
     return out if with_counts else out.select("u", "v")

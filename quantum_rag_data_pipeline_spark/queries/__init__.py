@@ -52,66 +52,66 @@ from quantum_rag_data_pipeline_spark.queries import decision_science  # noqa: F4
 # committed CORRECTNESS_r*.json into a verified-ledger, and
 # tests/test_corpus_order.py asserts the prefix spends zero slots on
 # already-verified names (round-4 judge item 1/8). After round 5 the
-# ledger held 149 verified / 178 waiting; this prefix is waiting-names
+# ledger holds 199 verified / 128 waiting; this prefix is waiting-names
 # 1-50. Everything past position 50 remains exported, benched,
 # pytest-covered, and locally verified by tools/oracle_check.py.
 #
-# ROUND-7 ROTATION NOTE: regenerate with `python tools/verify_ledger.py`
-# after the driver writes CORRECTNESS_r06.json — the next 50 candidates
+# ROUND-8 ROTATION NOTE: regenerate with `python tools/verify_ledger.py`
+# after the driver writes CORRECTNESS_r07.json — the next 50 candidates
 # print directly; paste them here and rename the list.
 # ---------------------------------------------------------------------------
 
-_VERIFY_ROTATION_R6 = [
-    "ansi_safe_arithmetic",
-    "map_functions_surface",
-    "partition_pruning_measurement",
-    "pipe_syntax_rollup",
-    "dataset_card_report",
-    "rag_context_assembly",
-    "k_anonymity_audit",
-    "schema_evolution_merge_read",
-    "order_totals_reconciliation",
-    "streaming_watermark_append_semantics",
-    "user_activity_pareto",
-    "quality_logreg_score",
-    "tokenizer_fertility_by_lang",
-    "knn_graph_incremental_parity",
-    "curation_funnel_report",
-    "scd2_point_in_time_join",
-    "incremental_agg_maintenance",
-    "logreg_gd_steps",
-    "tfidf_cosine_pairs",
-    "link_prediction_scores",
-    "weekday_seasonality_decomposition",
-    "cusum_changepoint_detection",
-    "arrow_python_udf_digital_root",
-    "ab_test_welch",
-    "audience_overlap_matrix",
-    "bootstrap_ci_mean",
-    "streaming_outer_join_null_emission",
-    "dynamic_partition_overwrite",
-    "pca_power_iteration",
-    "rendezvous_hashing_stability",
-    "kfold_cv_ols",
-    "kaplan_meier_survival",
-    "kl_divergence_langs",
-    "bucketed_join_no_shuffle",
-    "time_hierarchy_rollup",
-    "attribution_model_compare",
-    "label_centroid_distances",
-    "observed_write_metrics",
-    "streaming_update_mode_semantics",
-    "file_provenance_audit",
-    "array_functions_surface",
-    "null_semantics_matrix",
-    "timezone_wall_clock_histogram",
-    "order_lifecycle_durations",
-    "topn_plus_other_rollup",
-    "kmv_distinct_sketch",
-    "cdc_log_apply",
-    "band_join_price_tiers",
-    "group_by_all_surface",
-    "seasonal_naive_backtest",
+_VERIFY_ROTATION_R7 = [
+    "conformal_interval_coverage",
+    "data_expectations_report",
+    "feature_leakage_audit",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "column_encoding_planner",
+    "bigram_pmi_keyphrases",
+    "lateral_correlated_topk",
+    "rfm_segmentation",
+    "association_rules_lift",
+    "snippet_best_window",
+    "filtered_vector_search",
+    "multivector_maxsim_retrieval",
+    "quantile_transform_scaler",
+    "personalized_pagerank_seeds",
+    "matched_cohort_rank_pairing",
+    "image_phash_near_dup",
+    "seasonal_adjusted_anomalies",
+    "price_volume_decomposition",
+    "dedup_bag_of_words",
+    "window_ignore_nulls_matrix",
+    "regexp_extract_all_surface",
+    "label_propagation_communities",
+    "wl_node_signatures",
+    "streaming_chained_window_aggs",
+    "bellman_ford_bounded",
+    "strict_funnel_bounded_gaps",
+    "user_growth_accounting",
+    "peak_concurrency_analysis",
+    "pareto_skyline_2d",
+    "multiset_ops_semantics",
+    "window_origin_offset_semantics",
+    "streaming_approx_distinct",
+    "shadow_model_compare",
+    "business_days_latency",
+    "stemming_vocab_reduction",
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_volume",
+    "categorical_imputation_accuracy",
+    "psi_drift_monitor",
+    "calibration_reliability_ece",
+    "cumulative_gains_by_decile",
+    "auc_exact_rank_sum",
+    "role_playing_date_dims",
+    "interval_overlap_join",
+    "recsys_coverage_diversity",
+    "kcore_decomposition_bounded",
+    "topk_rank_churn",
+    "pseudonymization_bijective",
 ]
 
 
@@ -121,16 +121,16 @@ def _reorder_exports() -> None:
     corpus at the driver (round-3 advice)."""
     import warnings
 
-    missing = [n for n in _VERIFY_ROTATION_R6 if n not in QUERIES]
-    dupes = len(_VERIFY_ROTATION_R6) - len(set(_VERIFY_ROTATION_R6))
+    missing = [n for n in _VERIFY_ROTATION_R7 if n not in QUERIES]
+    dupes = len(_VERIFY_ROTATION_R7) - len(set(_VERIFY_ROTATION_R7))
     if missing or dupes:
         warnings.warn(
             f"verify-rotation prefix stale (missing={missing}, "
             f"duplicates={dupes}); keeping registration order", stacklevel=2,
         )
         return
-    prefix = set(_VERIFY_ROTATION_R6)
-    order = _VERIFY_ROTATION_R6 + [n for n in QUERIES if n not in prefix]
+    prefix = set(_VERIFY_ROTATION_R7)
+    order = _VERIFY_ROTATION_R7 + [n for n in QUERIES if n not in prefix]
     # ORACLE keys are always a subset of QUERIES (the @query decorator is
     # the only writer) — assert instead of silently dropping strays.
     assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))

@@ -15,6 +15,7 @@ from quantum_rag_data_pipeline_spark.operators import curation as cur_ops
 from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
 from quantum_rag_data_pipeline_spark.operators import text as text_ops
+from quantum_rag_data_pipeline_spark.paths import landing_root
 from quantum_rag_data_pipeline_spark.queries._registry import _t, query
 
 
@@ -132,7 +133,7 @@ def partition_pruning_measurement(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ev = _t(spark, sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/spark_graft_landing/{tag}/events_by_day"
+    base = f"{landing_root()}/{tag}/events_by_day"
     if not os.path.exists(f"{base}/_SUCCESS"):
         ev.withColumn("day", F.to_date("ts")).repartition("day") \
             .write.mode("overwrite").partitionBy("day").parquet(base)
@@ -394,7 +395,7 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/spark_graft_landing/{tag}/orders_schema_evo"
+    base = f"{landing_root()}/{tag}/orders_schema_evo"
     if os.path.exists(base):
         shutil.rmtree(base)
     o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice") \
@@ -503,7 +504,7 @@ def streaming_watermark_append_semantics(spark: SparkSession, sf_dir: str) -> Da
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     tag = os.path.basename(os.path.normpath(sf_dir))
-    landing = f"/tmp/spark_graft_landing/{tag}/events"
+    landing = f"{landing_root()}/{tag}/events"
     os.makedirs(landing, exist_ok=True)
     link = f"{landing}/events.parquet"
     if not os.path.exists(link):
@@ -1958,7 +1959,7 @@ def streaming_outer_join_null_emission(spark: SparkSession, sf_dir: str) -> Data
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     tag = os.path.basename(os.path.normpath(sf_dir))
-    landing = f"/tmp/spark_graft_landing/{tag}/events"
+    landing = f"{landing_root()}/{tag}/events"
     os.makedirs(landing, exist_ok=True)
     link = f"{landing}/events.parquet"
     if not os.path.exists(link):
@@ -2055,7 +2056,7 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.to_date("ts").alias("day"), "event_type", "value"
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/spark_graft_dpo/{tag}/events_by_day"
+    path = f"{landing_root()}/{tag}/dpo_events_by_day"
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
     target = ev.agg(F.min("day").alias("d"))

@@ -18,6 +18,7 @@ from quantum_rag_data_pipeline_spark.operators import projection as proj_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
 from quantum_rag_data_pipeline_spark.operators import text as text_ops
 from quantum_rag_data_pipeline_spark.operators import windows as win_ops
+from quantum_rag_data_pipeline_spark.paths import landing_root
 from quantum_rag_data_pipeline_spark.queries._registry import _t, query
 
 
@@ -1148,7 +1149,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos = isinstance(batch_schema["ts"].dataType, LongType)
     # the file stream source wants a landing DIRECTORY (as in production);
     # stage the single test file into one via symlink.
-    landing = f"/tmp/spark_graft_landing/{os.path.basename(os.path.normpath(sf_dir))}/events"
+    landing = f"{landing_root()}/{os.path.basename(os.path.normpath(sf_dir))}/events"
     os.makedirs(landing, exist_ok=True)
     link = f"{landing}/events.parquet"
     if not os.path.exists(link):

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
 from quantum_rag_data_pipeline_spark.operators import text as text_ops
+from quantum_rag_data_pipeline_spark.paths import landing_root
 from quantum_rag_data_pipeline_spark.queries._registry import _t, query
 
 
@@ -685,7 +686,7 @@ def streaming_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     tag = os.path.basename(os.path.normpath(sf_dir))
-    landing = f"/tmp/spark_graft_landing/{tag}/events"
+    landing = f"{landing_root()}/{tag}/events"
     os.makedirs(landing, exist_ok=True)
     link = f"{landing}/events.parquet"
     if not os.path.exists(link):
@@ -1410,7 +1411,7 @@ def streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     tag = os.path.basename(os.path.normpath(sf_dir))
-    landing = f"/tmp/spark_graft_landing/{tag}/events"
+    landing = f"{landing_root()}/{tag}/events"
     os.makedirs(landing, exist_ok=True)
     link = f"{landing}/events.parquet"
     if not os.path.exists(link):

@@ -20,6 +20,7 @@ from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
 from quantum_rag_data_pipeline_spark.operators import text as text_ops
 from quantum_rag_data_pipeline_spark.operators import windows as win_ops
+from quantum_rag_data_pipeline_spark.paths import landing_root
 from quantum_rag_data_pipeline_spark.queries._registry import _t, query
 from quantum_rag_data_pipeline_spark.queries.curation_clustering import _Z_BITS, _Z_INTERLEAVE_SQL
 
@@ -915,7 +916,7 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    landing = f"/tmp/spark_graft_landing/{os.path.basename(os.path.normpath(sf_dir))}/events"
+    landing = f"{landing_root()}/{os.path.basename(os.path.normpath(sf_dir))}/events"
     os.makedirs(landing, exist_ok=True)
     link = f"{landing}/events.parquet"
     if not os.path.exists(link):
@@ -1309,7 +1310,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    landing = f"/tmp/spark_graft_landing/{os.path.basename(os.path.normpath(sf_dir))}/events"
+    landing = f"{landing_root()}/{os.path.basename(os.path.normpath(sf_dir))}/events"
     os.makedirs(landing, exist_ok=True)
     link = f"{landing}/events.parquet"
     if not os.path.exists(link):
@@ -2097,7 +2098,7 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     landing = (
-        f"/tmp/spark_graft_landing/{os.path.basename(os.path.normpath(sf_dir))}/events_dup2"
+        f"{landing_root()}/{os.path.basename(os.path.normpath(sf_dir))}/events_dup2"
     )
     os.makedirs(landing, exist_ok=True)
     for link_name in ("delivery1.parquet", "delivery2.parquet"):
@@ -2531,7 +2532,7 @@ def format_matrix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/spark_graft_landing/{tag}/format_matrix"
+    base = f"{landing_root()}/{tag}/format_matrix"
     if not os.path.exists(f"{base}/orc/_SUCCESS"):
         d.select("doc_id", "n_chars").write.mode("overwrite").orc(f"{base}/orc")
         d.select(
@@ -2583,7 +2584,7 @@ def csv_ingest_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/spark_graft_landing/{tag}/orders_csv"
+    base = f"{landing_root()}/{tag}/orders_csv"
     marker = f"{base}/landing/extra.csv"
     if not os.path.exists(marker):
         o.select("o_orderkey", "o_orderstatus", "o_totalprice") \
@@ -2645,7 +2646,7 @@ def jsonl_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/spark_graft_landing/{tag}/events_jsonl"
+    base = f"{landing_root()}/{tag}/events_jsonl"
     if not os.path.exists(f"{base}/_SUCCESS"):
         ev.select(
             "event_id", "event_type", "value",
@@ -2851,7 +2852,7 @@ def streaming_stateful_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     tag = os.path.basename(os.path.normpath(sf_dir))
-    landing = f"/tmp/spark_graft_landing/{tag}/events"
+    landing = f"{landing_root()}/{tag}/events"
     os.makedirs(landing, exist_ok=True)
     link = f"{landing}/events.parquet"
     if not os.path.exists(link):

@@ -15,6 +15,7 @@ from quantum_rag_data_pipeline_spark.operators import curation as cur_ops
 from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
 from quantum_rag_data_pipeline_spark.operators import text as text_ops
+from quantum_rag_data_pipeline_spark.paths import landing_root
 from quantum_rag_data_pipeline_spark.queries._registry import _t, query
 
 
@@ -371,7 +372,7 @@ def streaming_update_mode_semantics(spark: SparkSession, sf_dir: str) -> DataFra
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = spark.read.parquet(f"{sf_dir}/events.parquet")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    landing = f"/tmp/spark_graft_landing/{tag}/events_split2"
+    landing = f"{landing_root()}/{tag}/events_split2"
     if not os.path.exists(f"{landing}/b_odd.parquet"):
         os.makedirs(landing, exist_ok=True)
         for nm, pred, mtime in (
@@ -432,7 +433,7 @@ def file_provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/spark_graft_landing/{tag}/events_by_day"
+    base = f"{landing_root()}/{tag}/events_by_day"
     if not os.path.exists(f"{base}/_SUCCESS"):
         ev.withColumn("day", F.to_date("ts")).repartition("day") \
             .write.mode("overwrite").partitionBy("day").parquet(base)

@@ -67,3 +67,29 @@ def test_compare_factor_flag(tmp_path):
     r = _run({"sf": 0.1, "queries": {name: anchor * 1.5 + 1.0}}, tmp_path,
              extra=["--factor", "1.2"])
     assert r.returncode == 1
+
+
+def test_compare_integer_flag_value_not_eaten_as_path(tmp_path):
+    """Round-6 advisor: `--factor 2` stringified to '2.0' so the raw '2'
+    survived arg-stripping and was treated as the bench path (exit 2).
+    argparse now owns the parse — an integer-literal flag value must
+    neither break the parse nor displace the bench path."""
+    anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
+    name, anchor = next(iter(anchors.items()))
+    r = _run({"sf": 0.1, "queries": {name: anchor}}, tmp_path,
+             extra=["--factor", "2"])
+    assert r.returncode == 0, r.stdout + r.stderr
+    r2 = _run({"sf": 0.1, "queries": {name: anchor * 3 + 2.0}}, tmp_path,
+              extra=["--factor", "2", "--min-delta", "1"])
+    assert r2.returncode == 1, r2.stdout + r2.stderr
+
+
+def test_compare_warn_tier_does_not_fail_gate(tmp_path):
+    """Drift between warn-factor and factor prints a WARNING (so the
+    anchor-drift watch list is machine-visible) but exits 0."""
+    anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
+    name, anchor = next(iter(anchors.items()))
+    r = _run({"sf": 0.1, "queries": {name: anchor * 1.8 + 1.0}}, tmp_path,
+             extra=["--warn-factor", "1.5", "--factor", "99"])
+    assert r.returncode == 0
+    assert "WARNING" in r.stdout and name in r.stdout

@@ -12,20 +12,20 @@ import warnings
 from quantum_rag_data_pipeline_spark.queries import (
     ORACLE,
     QUERIES,
-    _VERIFY_ROTATION_R6,
+    _VERIFY_ROTATION_R7,
     _reorder_exports,
 )
 
 
 def test_rotation_prefix_is_first_50():
-    assert len(_VERIFY_ROTATION_R6) == 50
-    assert list(QUERIES)[:50] == _VERIFY_ROTATION_R6
+    assert len(_VERIFY_ROTATION_R7) == 50
+    assert list(QUERIES)[:50] == _VERIFY_ROTATION_R7
 
 
 def test_rotation_prefix_oracle_backed_except_known():
     # every prefix query is driver-checkable; rows-only entries (no SQL
     # oracle) are allowed but must be deliberate — currently none.
-    missing = [n for n in _VERIFY_ROTATION_R6 if n not in ORACLE]
+    missing = [n for n in _VERIFY_ROTATION_R7 if n not in ORACLE]
     assert missing == []
 
 
@@ -41,7 +41,7 @@ def test_stale_rotation_never_zeroes_corpus(monkeypatch):
     import quantum_rag_data_pipeline_spark.queries as q
 
     n_before = len(q.QUERIES)
-    monkeypatch.setattr(q, "_VERIFY_ROTATION_R6", ["definitely_not_a_query"])
+    monkeypatch.setattr(q, "_VERIFY_ROTATION_R7", ["definitely_not_a_query"])
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         q._reorder_exports()
@@ -62,7 +62,7 @@ def test_rotation_spends_no_slot_on_verified_names():
 
     ledger = verify_ledger.verified_names()
     assert ledger, "CORRECTNESS_r*.json ledger missing from repo root"
-    wasted = [n for n in _VERIFY_ROTATION_R6 if n in ledger]
+    wasted = [n for n in _VERIFY_ROTATION_R7 if n in ledger]
     assert wasted == []
 
 
@@ -79,7 +79,7 @@ def test_rotation_matches_registration_order_of_never_verified():
     ledger = verify_ledger.verified_names()
     order = verify_ledger.registration_order()
     expected = [n for n in order if n not in ledger][:50]
-    assert _VERIFY_ROTATION_R6 == expected
+    assert _VERIFY_ROTATION_R7 == expected
 
 
 def test_coverage_doc_lists_every_query():

@@ -1,0 +1,59 @@
+"""Per-user scratch roots (round-6 advisor: a fixed world-writable /tmp
+artifact path lets another user pre-plant wrong parquet). Pins: roots
+are uid-keyed and 0700, a root owned by someone else is refused, and no
+package source retains a fixed /tmp scratch literal."""
+
+import glob
+import os
+import stat
+
+from quantum_rag_data_pipeline_spark import paths
+
+
+def test_roots_are_uid_keyed_and_private():
+    uid = os.getuid()
+    for root in (paths.artifact_root(), paths.landing_root()):
+        assert root.endswith(f"_{uid}")
+        st = os.stat(root)
+        assert st.st_uid == uid
+        assert stat.S_IMODE(st.st_mode) == 0o700
+
+
+def test_foreign_owned_root_is_refused(monkeypatch, tmp_path):
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    root = tmp_path / f"spark_graft_artifacts_{os.getuid()}"
+    root.mkdir(mode=0o700)
+    real_stat = os.stat
+
+    def fake_stat(p, *a, **k):
+        st = real_stat(p, *a, **k)
+        if str(p) == str(root):
+            class _S:
+                st_uid = st.st_uid + 1
+                st_mode = st.st_mode
+            return _S()
+        return st
+
+    monkeypatch.setattr(os, "stat", fake_stat)
+    try:
+        paths.artifact_root()
+    except RuntimeError as exc:
+        assert "refusing" in str(exc)
+    else:
+        raise AssertionError("foreign-owned root was accepted")
+
+
+def test_xdg_cache_home_is_honored(monkeypatch, tmp_path):
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    root = paths.landing_root()
+    assert root.startswith(str(tmp_path))
+
+
+def test_no_fixed_tmp_scratch_literals_in_package():
+    pkg = os.path.dirname(os.path.abspath(paths.__file__))
+    hits = []
+    for p in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(p).read()
+        if '"/tmp/spark_graft' in src or "'/tmp/spark_graft" in src:
+            hits.append(p)
+    assert not hits, hits

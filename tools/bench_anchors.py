@@ -49,7 +49,15 @@ def _timings(path: str) -> dict[str, float]:
     # bench.py full dump: {"sf": .., "queries": {...}}
     if data.get("sf") != 0.1:
         return {}
-    return dict(data.get("queries") or {})
+    out = dict(data.get("queries") or {})
+    # A warm-retry minimum (round-6 retry pass: JVM hot, shared artifacts
+    # already materialized) is a systematically easier measurement than
+    # the paired cold-prefix runs — folding it into min-of-history would
+    # one-sidedly ratchet the anchor below what a cold run can ever hit.
+    # Keep it in the run's compare, but never let it BECOME an anchor.
+    for name in data.get("warm_retry_minima") or []:
+        out.pop(name, None)
+    return out
 
 
 def collect() -> dict[str, float]:

@@ -22,6 +22,7 @@ which cost whole seconds, not scheduler jitter.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -30,16 +31,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    factor = 2.0
-    if "--factor" in sys.argv:
-        factor = float(sys.argv[sys.argv.index("--factor") + 1])
-        args = [a for a in args if a != str(factor)]
-    min_delta = 0.5
-    if "--min-delta" in sys.argv:
-        min_delta = float(sys.argv[sys.argv.index("--min-delta") + 1])
-        args = [a for a in args if a != str(min_delta)]
-    bench_path = args[0] if args else os.path.join(REPO, "BENCH_FULL.json")
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("bench", nargs="?",
+                    default=os.path.join(REPO, "BENCH_FULL.json"))
+    ap.add_argument("--factor", type=float, default=2.0)
+    ap.add_argument("--min-delta", type=float, default=0.5)
+    ap.add_argument("--warn-factor", type=float, default=1.5,
+                    help="ratio above which a query is WARNED (never fails "
+                         "the gate) so drift is tracked before it trips the "
+                         "hard bar; same --min-delta floor applies")
+    ns = ap.parse_args()
+    factor, min_delta = ns.factor, ns.min_delta
+    bench_path = ns.bench
     anchors_path = os.path.join(REPO, "ANCHORS.json")
 
     try:
@@ -53,23 +57,30 @@ def main() -> int:
         print(f"bench_compare: no timings in {bench_path}")
         return 2
 
-    violations, fresh = [], []
+    violations, warnings_, fresh = [], [], []
     for name, sec in sorted(timings.items()):
         anchor = anchors.get(name)
         if anchor is None:
             fresh.append((name, sec))
             continue
-        if sec > factor * anchor and sec - anchor > min_delta:
-            violations.append((name, sec, anchor, sec / anchor))
+        if sec - anchor > min_delta:
+            if sec > factor * anchor:
+                violations.append((name, sec, anchor, sec / anchor))
+            elif sec > ns.warn_factor * anchor:
+                warnings_.append((name, sec, anchor, sec / anchor))
 
     for name, sec in fresh:
         print(f"NO-ANCHOR {name}: {sec:.2f}s (informational; "
               "bench_anchors.py --merge to adopt)")
+    for name, sec, anchor, ratio in sorted(warnings_, key=lambda v: -v[3]):
+        print(f"WARNING {name}: {sec:.2f}s vs anchor {anchor:.2f}s "
+              f"({ratio:.2f}x > {ns.warn_factor:.1f}x; gate passes, watch)")
     for name, sec, anchor, ratio in sorted(violations, key=lambda v: -v[3]):
         print(f"VIOLATION {name}: {sec:.2f}s vs anchor {anchor:.2f}s "
               f"({ratio:.2f}x > {factor:.1f}x)")
     n_ok = len(timings) - len(violations) - len(fresh)
-    print(f"bench_compare: {n_ok} within {factor:.1f}x anchor, "
+    print(f"bench_compare: {n_ok} within {factor:.1f}x anchor "
+          f"({len(warnings_)} warned > {ns.warn_factor:.1f}x), "
           f"{len(violations)} violations, {len(fresh)} unanchored, "
           f"errors in run: {len(bench.get('errors') or {})}")
     return 1 if violations else 0

@@ -54,12 +54,10 @@ SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 def _wipe_artifacts() -> None:
     import shutil
-    import tempfile
 
     from quantum_rag_data_pipeline_spark.operators import graph as graph_ops
 
-    shutil.rmtree(os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
-                  ignore_errors=True)
+    shutil.rmtree(graph_ops._artifact_root(), ignore_errors=True)
     graph_ops._EDGE_MEMO.clear()
 
 
