@@ -122,17 +122,26 @@ def main() -> None:
                   and sec - anchors[n] > 0.5]
     retried = []  # names whose kept timing came from the warm re-run
     for name in suspicious:
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        try:
-            QUERIES[name](spark, sf_dir).write.mode("overwrite") \
-                .format("noop").save()
-        except Exception:  # noqa: BLE001 — keep the original timing
-            continue
-        warm = time.perf_counter() - t0
-        if warm < timings[name]:
-            retried.append(name)
-        timings[name] = round(min(timings[name], warm), 3)
+        # Up to TWO warm re-runs: round 7 caught a stall window long
+        # enough to cover a query's paired runs AND its single retry
+        # (16.7 s recorded for a query that isolates at 1.2 s). Stop as
+        # soon as the timing drops under the suspicion bar.
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).write.mode("overwrite") \
+                    .format("noop").save()
+            except Exception:  # noqa: BLE001 — keep the original timing
+                break
+            warm = time.perf_counter() - t0
+            if warm < timings[name]:
+                if name not in retried:
+                    retried.append(name)
+                timings[name] = round(warm, 3)
+            if timings[name] <= 2.0 * anchors.get(name, 0.0) \
+                    or timings[name] - anchors.get(name, 0.0) <= 0.5:
+                break
 
     total = round(sum(timings.values()), 3)
     full = {
