@@ -60,10 +60,33 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+# session -> {(table, sf_dir) -> source DataFrame}. spark.read.parquet
+# re-reads parquet footers for schema inference on EVERY call (~0.1 s of
+# driver time at sf0.1, measured round 7) and each corpus query calls
+# load_table 1-3x — across a 327-query bench that is tens of seconds of
+# pure plan-build overhead. The source DataFrame is immutable and the
+# testdata static for a session's lifetime, so memoizing it is safe:
+# every caller builds its own transformations on top. Keyed by the
+# SESSION OBJECT via WeakKeyDictionary — not by context (a
+# spark.newSession() caller must never receive a frame carrying another
+# session's conf; round-6 advisor lesson on the edge-artifact memo) and
+# not by id() (ids are reused after GC). Bounded: 10 tables x a handful
+# of sf dirs per live session; dies with the session.
+import weakref
+
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or default_sf_dir()
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    key = (name, os.path.abspath(sf_dir))
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         # must be set before the scan is planned; runtime-settable SQLConf,
         # so this works even on a session we didn't build (the driver's).
@@ -78,7 +101,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return normalize_ntz(df)
+    df = normalize_ntz(df)
+    per_session[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

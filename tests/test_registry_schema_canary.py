@@ -42,3 +42,20 @@ def test_normalize_ntz_is_value_preserving(spark):
     assert isinstance(out.schema["t"].dataType, TimestampType)
     row = out.selectExpr("date_format(t, 'yyyy-MM-dd HH:mm:ss.SSS') AS s").first()
     assert row["s"] == "2025-05-08 12:34:56.789"
+
+
+def test_load_table_memo_is_session_scoped(spark, sf_dir):
+    """Round-7 perf: load_table memoizes the immutable source frame per
+    SESSION (WeakKeyDictionary) — repeat calls return the identical
+    object; a newSession() gets its own frame, never the parent's."""
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    a1 = load_table(spark, "lineitem", sf_dir)
+    a2 = load_table(spark, "lineitem", sf_dir)
+    assert a1 is a2
+    other = spark.newSession()
+    b1 = load_table(other, "lineitem", sf_dir)
+    assert b1 is not a1
+    assert b1.sparkSession is other
+    # and the frame still computes
+    assert b1.limit(1).count() == 1
