@@ -35,23 +35,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ANCHORS = os.path.join(REPO, "ANCHORS.json")
 
 # Explicit, explained re-anchors — applied LAST, unconditionally. The
-# min-of-history ratchet can only lower anchors; when a query drifts for
-# environmental reasons (measured: consistent across quiet min-of-3 AND
-# full-bench sessions, with control queries of other shapes at ~1.0x and
-# zero code change), keeping the stale minimum just schedules a false
-# gate failure. Each entry records the evidence; remove it if the old
-# speed ever returns (the ratchet will re-lower automatically).
-# Round 7: four shuffle/state-heavy queries re-measured at 1.35-1.91x
-# their r01-r06 minima in two independent sessions (quiet min-of-3 and
-# the full bench), while isolated controls (cube_flag_status,
-# semi_anti_join) sat at 1.0x their anchors — see BASELINE.md
-# "Re-anchors" for the numbers.
-OVERRIDES = {
-    "recsys_coverage_diversity": 2.297,
-    "streaming_chained_window_aggs": 4.508,
-    "association_rules_lift": 2.306,
-    "dedup_ngram_jaccard": 2.178,
-}
+# min-of-history ratchet can only lower anchors; if a query ever drifts
+# for a proven environmental reason, record the new anchor here WITH its
+# evidence, and remove the entry when the old speed returns (the ratchet
+# re-lowers automatically). Round 7 briefly carried four entries for the
+# r06 drift watch list (re-measured at 1.35-1.91x with controls at
+# 1.0x); the load_table source-frame memo then brought all four back
+# under 1.15x their ORIGINAL minima in the same session, so the entries
+# were removed — the full story is in BASELINE.md "Re-anchors".
+OVERRIDES: dict[str, float] = {}
 
 
 def _timings(path: str) -> dict[str, float]:
