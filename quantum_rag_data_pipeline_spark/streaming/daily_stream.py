@@ -68,21 +68,40 @@ def sliding_window_stream(
 
 
 def drain_available_now(
-    stream_df: DataFrame, query_name: str = "drain", output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str = "drain",
+    output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run the streaming query in availableNow mode with a memory sink and
     return the final result as a batch DataFrame — streaming and batch
     must agree (the oracle checks that). ``output_mode="append"`` for
-    stateful-but-unaggregated streams (dropDuplicatesWithinWatermark)."""
+    stateful-but-unaggregated streams (dropDuplicatesWithinWatermark).
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` around
+    query START only (restored in a finally): a streaming query locks
+    its STATE partition count from that conf at first checkpoint, and
+    every micro-batch then commits one state-store file per partition
+    per stateful operator — pure fixed cost that should track state
+    SIZE, not the session's batch parallelism (measured round 7 at
+    sf0.1: the stream-stream outer join drops 7.1 s -> 2.5 s going
+    32 -> 8; a 100 TB deployment sizes this UP with keyspace instead).
+    Semantics are partitioning-independent — the same DuckDB oracle
+    gates every consumer at any setting."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
 
 
