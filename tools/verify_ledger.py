@@ -91,11 +91,28 @@ def registration_order() -> list[str]:
 
 
 def current_rotation() -> list[str]:
-    src = open(os.path.join(_queries_pkg(), "__init__.py")).read()
-    m = re.search(r"_VERIFY_ROTATION_R\d+\s*=\s*\[(.*?)\]", src, re.S)
-    if not m:
-        return []
-    return re.findall(r'"([a-z0-9_]+)"', m.group(1))
+    """The package's LIVE import-time rotation (round 8: derived from
+    the ledger by queries/_rotation.py, no longer a hard-coded list)."""
+    sys.path.insert(0, REPO)
+    from quantum_rag_data_pipeline_spark.queries import _VERIFY_ROTATION
+
+    return list(_VERIFY_ROTATION)
+
+
+def expected_rotation(order: list[str], ledger: dict[str, list[str]],
+                      prefix_len: int = 50) -> list[str]:
+    """Independent re-derivation of the rotation rule (never-verified in
+    registration order, then least-recently-verified backfill) from THIS
+    tool's own AST order + ledger reader — deliberately not importing
+    queries/_rotation.py, so a bug there can't self-certify."""
+    never = [n for n in order if n not in ledger]
+    prefix = never[:prefix_len]
+    if len(prefix) < prefix_len:
+        pos = {n: i for i, n in enumerate(order)}
+        rest = sorted((n for n in order if n in ledger),
+                      key=lambda n: (max(ledger[n]), pos[n]))
+        prefix += rest[: prefix_len - len(prefix)]
+    return prefix
 
 
 def main() -> int:
@@ -110,25 +127,33 @@ def main() -> int:
     print(f"never verified      : {len(never)}")
 
     rotation = current_rotation()
-    wasted = [n for n in rotation if n in ledger]
+    expected = expected_rotation(order, ledger)
+    wasted = [n for n in rotation if n in ledger] if never[50:] else []
     stale = [n for n in rotation if n not in order]
     if "--check" in sys.argv:
         ok = True
         if wasted:
             print(f"ROTATION WASTE: {len(wasted)} of {len(rotation)} prefix "
-                  f"slots re-verify already-green names: {wasted}")
+                  f"slots re-verify already-green names while "
+                  f"{len(never) - 50} wait: {wasted}")
             ok = False
         if stale:
             print(f"ROTATION STALE: names not registered: {stale}")
             ok = False
+        if rotation != expected:
+            diff = [i for i, (a, b) in enumerate(zip(rotation, expected))
+                    if a != b][:5]
+            print(f"ROTATION MISMATCH vs independent derivation "
+                  f"(first diverging slots: {diff})")
+            ok = False
         if ok:
-            print(f"rotation OK: all {len(rotation)} prefix slots are "
-                  "first-time verifications")
+            print(f"rotation OK: {len(rotation)} prefix slots match the "
+                  "independent ledger derivation")
         return 0 if ok else 1
 
-    print("\nnext-50 rotation candidates (oldest never-verified, "
-          "registration order):")
-    for n in never[:50]:
+    print("\nnext-50 gate prefix (never-verified first, then "
+          "least-recently-verified backfill):")
+    for n in expected:
         print(f"  {n}")
     return 0
 
