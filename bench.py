@@ -185,6 +185,20 @@ def main() -> None:
         if len(json.dumps(compact, separators=(",", ":"))) > budget:
             del compact["queries"][name]
             break
+    # The compact line is what the driver records as BENCH_r*.json, and
+    # the slowest queries — exactly the ones listed here — are the ones
+    # that get warm-retried. Without the marker the driver-record path of
+    # bench_anchors would fold warm minima into the ratchet (round-7
+    # advisor item). Only names actually present in the compact queries
+    # map matter to that consumer; re-trim the slowest entries if the
+    # marker pushes past the byte budget.
+    compact["warm_retry_minima"] = sorted(set(retried) & set(compact["queries"]))
+    while (len(json.dumps(compact, separators=(",", ":"))) > budget
+           and compact["queries"]):
+        drop = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][drop]
+        compact["warm_retry_minima"] = sorted(
+            set(compact["warm_retry_minima"]) & set(compact["queries"]))
     print(json.dumps(compact, separators=(",", ":")))
 
 

@@ -19,6 +19,7 @@ pre-existing directory is owned by someone else.
 from __future__ import annotations
 
 import os
+import stat as stat_mod
 import tempfile
 
 
@@ -27,7 +28,18 @@ def _user_root(kind: str) -> str:
     base = os.environ.get("XDG_CACHE_HOME") or tempfile.gettempdir()
     root = os.path.join(base, f"{kind}_{uid}")
     os.makedirs(root, mode=0o700, exist_ok=True)
-    st = os.stat(root)
+    # lstat, not stat: a pre-planted SYMLINK in the world-writable base
+    # pointing at a directory the victim already owns would pass a
+    # follow-the-link st_uid check while redirecting every artifact write
+    # (and the chmod below) to the target (round-7 advisor item;
+    # fs.protected_symlinks mitigates on default Linux but this module
+    # claims the threat model explicitly).
+    st = os.lstat(root)
+    if stat_mod.S_ISLNK(st.st_mode) or not stat_mod.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"scratch root {root} is not a real directory "
+            f"(mode {stat_mod.filemode(st.st_mode)}); refusing to trust it"
+        )
     if hasattr(os, "getuid") and st.st_uid != uid:
         raise RuntimeError(
             f"scratch root {root} is owned by uid {st.st_uid}, not {uid}; "

@@ -60,29 +60,41 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
-# session -> {(table, sf_dir) -> source DataFrame}. spark.read.parquet
+# Per-session {(table, sf_dir) -> source DataFrame} memo. spark.read.parquet
 # re-reads parquet footers for schema inference on EVERY call (~0.1 s of
 # driver time at sf0.1, measured round 7) and each corpus query calls
 # load_table 1-3x — across a 327-query bench that is tens of seconds of
 # pure plan-build overhead. The source DataFrame is immutable and the
 # testdata static for a session's lifetime, so memoizing it is safe:
-# every caller builds its own transformations on top. Keyed by the
-# SESSION OBJECT via WeakKeyDictionary — not by context (a
-# spark.newSession() caller must never receive a frame carrying another
-# session's conf; round-6 advisor lesson on the edge-artifact memo) and
-# not by id() (ids are reused after GC). Bounded: 10 tables x a handful
-# of sf dirs per live session; dies with the session.
-import weakref
-
-_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
-    weakref.WeakKeyDictionary()
+# every caller builds its own transformations on top.
+#
+# The memo lives as an ATTRIBUTE ON THE SESSION OBJECT, not in a module
+# global. Round 7 used a WeakKeyDictionary here, but that never freed
+# anything: each cached DataFrame holds a strong reference to its
+# SparkSession (df.sparkSession), and WeakKeyDictionary values are
+# strongly held, so the value immortalized its own key (round-7 advisor
+# item). With the dict hanging off the session there is no global root —
+# the session→dict→df→session cycle is ordinary garbage the collector
+# reclaims once the caller drops the session. Per-session isolation is
+# preserved for free: a spark.newSession() wrapper is a distinct Python
+# object with its own attribute, so it can never receive a frame planned
+# under another session's conf (round-6 advisor lesson on the edge memo).
+_MEMO_ATTR = "_qrdp_table_memo"
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or default_sf_dir()
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    per_session = _TABLE_MEMO.setdefault(spark, {})
+    per_session = getattr(spark, _MEMO_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        try:
+            setattr(spark, _MEMO_ATTR, per_session)
+        except AttributeError:
+            # a slotted/proxy session (e.g. Spark Connect) — skip memoizing
+            # rather than leak through a side table.
+            pass
     key = (name, os.path.abspath(sf_dir))
     hit = per_session.get(key)
     if hit is not None:

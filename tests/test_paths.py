@@ -23,10 +23,10 @@ def test_foreign_owned_root_is_refused(monkeypatch, tmp_path):
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
     root = tmp_path / f"spark_graft_artifacts_{os.getuid()}"
     root.mkdir(mode=0o700)
-    real_stat = os.stat
+    real_lstat = os.lstat
 
-    def fake_stat(p, *a, **k):
-        st = real_stat(p, *a, **k)
+    def fake_lstat(p, *a, **k):
+        st = real_lstat(p, *a, **k)
         if str(p) == str(root):
             class _S:
                 st_uid = st.st_uid + 1
@@ -34,13 +34,35 @@ def test_foreign_owned_root_is_refused(monkeypatch, tmp_path):
             return _S()
         return st
 
-    monkeypatch.setattr(os, "stat", fake_stat)
+    monkeypatch.setattr(os, "lstat", fake_lstat)
     try:
         paths.artifact_root()
     except RuntimeError as exc:
         assert "refusing" in str(exc)
     else:
         raise AssertionError("foreign-owned root was accepted")
+
+
+def test_preplanted_symlink_root_is_refused(monkeypatch, tmp_path):
+    """Round-7 advisor: os.stat follows symlinks, so an attacker symlink
+    in the world-writable base pointing at a directory the victim
+    already owns passed the uid check and redirected every write (and
+    the chmod 0700) to the target. The root must be lstat'd and refused
+    if it is a link."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    target = tmp_path / "victim_owned_target"
+    target.mkdir(mode=0o755)
+    link = tmp_path / f"spark_graft_artifacts_{os.getuid()}"
+    link.symlink_to(target)
+    try:
+        paths.artifact_root()
+    except RuntimeError as exc:
+        assert "not a real directory" in str(exc)
+    else:
+        raise AssertionError("symlinked scratch root was accepted")
+    # and the attack must not have succeeded as a side effect: the
+    # target's permissions were not clamped by our chmod.
+    assert stat.S_IMODE(os.stat(target).st_mode) == 0o755
 
 
 def test_xdg_cache_home_is_honored(monkeypatch, tmp_path):

@@ -46,8 +46,9 @@ def test_normalize_ntz_is_value_preserving(spark):
 
 def test_load_table_memo_is_session_scoped(spark, sf_dir):
     """Round-7 perf: load_table memoizes the immutable source frame per
-    SESSION (WeakKeyDictionary) — repeat calls return the identical
-    object; a newSession() gets its own frame, never the parent's."""
+    SESSION (an attribute on the session object) — repeat calls return
+    the identical object; a newSession() gets its own frame, never the
+    parent's."""
     from quantum_rag_data_pipeline_spark.sources.registry import load_table
 
     a1 = load_table(spark, "lineitem", sf_dir)
@@ -59,3 +60,29 @@ def test_load_table_memo_is_session_scoped(spark, sf_dir):
     assert b1.sparkSession is other
     # and the frame still computes
     assert b1.limit(1).count() == 1
+
+
+def test_load_table_memo_does_not_immortalize_sessions(spark, sf_dir):
+    """Round-7 advisor: the previous module-global WeakKeyDictionary
+    never freed entries — the cached DataFrames strongly referenced
+    their SparkSession, so the value kept its own key alive forever and
+    every newSession() that touched load_table leaked. The memo now
+    lives on the session object itself: dropping the session must make
+    its Python wrapper collectible."""
+    import gc
+    import weakref
+
+    from quantum_rag_data_pipeline_spark.sources.registry import load_table
+
+    other = spark.newSession()
+    load_table(other, "region", sf_dir)
+    ref = weakref.ref(other)
+    # pyspark itself roots the MOST RECENTLY constructed session (the
+    # _monkey_patch_RDD toDF closure captures it) — that root is outside
+    # our control, so displace it with a fresh session before checking
+    # that nothing OURS still holds `other`.
+    displacer = spark.newSession()
+    del other
+    gc.collect()
+    assert ref() is None, "memo still roots the session after del+gc"
+    assert displacer is not None  # keep alive past the gc.collect()

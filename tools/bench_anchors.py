@@ -56,7 +56,16 @@ def _timings(path: str) -> dict[str, float]:
         if data.get("sf") != 0.1:
             return {}
         parsed = data.get("parsed") or {}
-        return dict(parsed.get("queries") or {})
+        out = dict(parsed.get("queries") or {})
+        # Same warm-retry exclusion as the full-dump branch below: the
+        # driver's compact record lists the SLOWEST queries — exactly the
+        # ones that get warm-retried — so without this strip a warm
+        # minimum could still become an anchor via the driver-record path
+        # (round-7 advisor item). Records from rounds before bench.py
+        # emitted the marker simply have no key here.
+        for name in parsed.get("warm_retry_minima") or []:
+            out.pop(name, None)
+        return out
     # bench.py full dump: {"sf": .., "queries": {...}}
     if data.get("sf") != 0.1:
         return {}

@@ -176,6 +176,95 @@ def fresh_documents(tiles: int = 10) -> None:
           f"(fresh-sampled, no planted near-dups)")
 
 
+def fresh_copurchase(tiles: int = 10) -> None:
+    """Build .scaledata/sf{01,1}freshgraph: fresh-sampled co-purchase
+    corpora for the GRAPH-family scale control (round-7 judge item 4).
+
+    The tiled sf1 keeps the part catalog FIXED while orders grow 10x, so
+    per-part support grows 10x and the co>=2 pair count grows
+    superlinearly BY CONSTRUCTION — pagerank's 17.3x sf ratio was
+    explained by that argument, never by a control. Here both sides
+    scale the way a real marketplace's do: the catalog grows with sf
+    (each tile is a fresh partkey range) and orders are sampled from the
+    empirical model fit on the driver's sf0.1 lineitem — basket size
+    from the per-order distinct-part-count distribution, items from the
+    per-part support weights of the order's home tile, with 5%% of items
+    redrawn from the global catalog so tiles form one connected
+    marketplace instead of 10 disjoint components. Expected per-part
+    support and per-node degree are then sf-INVARIANT, which is the
+    honest null model for "the log grew 10x".
+
+    Because the real sf0.1 baskets are correlated in ways this model is
+    not, the 10x corpus is paired with a 1x corpus from the SAME model
+    (tiles=1) — the curve is measured fresh1x -> fresh10x, model-matched
+    on both ends (same protocol as the dbscan/semdedup/minhash
+    controls). Only lineitem(l_orderkey, l_partkey) is generated — the
+    graph family derives everything from those two columns (see
+    operators/graph.py:copurchase_edges); every other table is symlinked
+    from the matching corpus for load_table completeness.
+    """
+    con = duckdb.connect()
+    ks = con.execute(f"""
+        SELECT COUNT(DISTINCT l_partkey) AS k
+        FROM read_parquet('{SRC}/lineitem.parquet')
+        GROUP BY l_orderkey
+    """).fetchnumpy()["k"].astype(np.int64)
+    sup = con.execute(f"""
+        SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS s
+        FROM read_parquet('{SRC}/lineitem.parquet') GROUP BY l_partkey
+    """).fetchnumpy()
+    con.close()
+    base_parts = sup["l_partkey"].astype(np.int64)
+    weights = sup["s"].astype(np.float64)
+    weights /= weights.sum()
+    n_ord = len(ks)
+    pkey_span = int(base_parts.max()) + 1
+    okey_span = 10_000_000  # orderkeys per tile, far above n_ord
+
+    for label, n_tiles in (("sf01freshgraph", 1), ("sf1freshgraph", tiles)):
+        dst = os.path.join(REPO, ".scaledata", label)
+        os.makedirs(dst, exist_ok=True)
+        link_src = SRC if n_tiles == 1 else DST
+        for name in os.listdir(link_src):
+            if not name.endswith(".parquet") or name == "lineitem.parquet":
+                continue
+            target = os.path.join(dst, name)
+            if not os.path.exists(target):
+                os.symlink(os.path.join(link_src, name), target)
+
+        rng = np.random.default_rng(9000 + n_tiles)
+        all_ok, all_pk = [], []
+        for t in range(n_tiles):
+            k_t = rng.choice(ks, size=n_ord)          # bootstrap basket sizes
+            total = int(k_t.sum())
+            idx = rng.choice(len(base_parts), size=total, p=weights)
+            pk = base_parts[idx] + t * pkey_span
+            # 5% cross-tile mixing: redraw tile uniformly + item from the
+            # same weights — the marketplace stays one component.
+            if n_tiles > 1:
+                mix = rng.random(total) < 0.05
+                n_mix = int(mix.sum())
+                t_mix = rng.integers(0, n_tiles, size=n_mix)
+                i_mix = rng.choice(len(base_parts), size=n_mix, p=weights)
+                pk[mix] = base_parts[i_mix] + t_mix * pkey_span
+            ok = np.repeat(
+                np.arange(n_ord, dtype=np.int64) + t * okey_span, k_t)
+            all_ok.append(ok)
+            all_pk.append(pk)
+        ok = np.concatenate(all_ok)
+        pk = np.concatenate(all_pk)
+        # dedupe (order, part): the empirical k counts DISTINCT parts
+        combo = ok * np.int64(pkey_span * tiles + 1) + (pk % (pkey_span * tiles + 1))
+        _, keep = np.unique(combo, return_index=True)
+        ok, pk = ok[keep], pk[keep]
+        pq.write_table(
+            pa.table({"l_orderkey": pa.array(ok, type=pa.int64()),
+                      "l_partkey": pa.array(pk, type=pa.int64())}),
+            f"{dst}/lineitem.parquet")
+        print(f"{label}/lineitem.parquet: {len(ok)} rows, "
+              f"{n_ord * n_tiles} orders, {pkey_span * n_tiles} catalog slots")
+
+
 def main() -> None:
     tiles = 10
     if "--tiles" in sys.argv:
@@ -185,6 +274,9 @@ def main() -> None:
         return
     if "--fresh-documents" in sys.argv:
         fresh_documents(tiles)
+        return
+    if "--fresh-copurchase" in sys.argv:
+        fresh_copurchase(tiles)
         return
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()

@@ -64,9 +64,18 @@ def _wipe_artifacts() -> None:
 def main() -> None:
     argv = sys.argv[1:]
     sf1 = SF1
+    base = SF01
     if "--sf1-dir" in argv:
         i = argv.index("--sf1-dir")
         sf1 = os.path.abspath(argv[i + 1])
+        del argv[i:i + 2]
+    if "--base-dir" in argv:
+        # model-matched fresh controls pair a 1x corpus from the SAME
+        # generative model as the 10x side (e.g. sf01freshgraph vs
+        # sf1freshgraph) so the ratio measures scaling, not model
+        # mismatch against the real sf0.1 tables.
+        i = argv.index("--base-dir")
+        base = os.path.abspath(argv[i + 1])
         del argv[i:i + 2]
     cold = "--cold-artifacts" in argv
     argv = [a for a in argv if a != "--cold-artifacts"]
@@ -81,7 +90,7 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name]
         row = {}
-        for label, sf_dir in (("sf0.1", SF01), ("sf1", sf1)):
+        for label, sf_dir in (("sf0.1", base), ("sf1", sf1)):
             runs = []
             for _ in range(2):
                 spark.catalog.clearCache()  # no plan-matched cache reuse
