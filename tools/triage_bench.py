@@ -49,6 +49,14 @@ def main() -> int:
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
         args = [a for a in args if a != str(runs)]
+    cheapest = 0
+    if "--cheapest" in sys.argv:
+        # overhead-floor profiling (round-6/7 stretch item): the N
+        # queries with the smallest anchors are the ones where per-query
+        # fixed costs (plan build py4j traffic, job scheduling) dominate
+        # — the build/exec split shows which side the floor lives on.
+        cheapest = int(sys.argv[sys.argv.index("--cheapest") + 1])
+        args = [a for a in args if a != str(cheapest)]
     names = args or DEFAULT_SUSPECTS
 
     from quantum_rag_data_pipeline_spark.queries import QUERIES
@@ -59,6 +67,9 @@ def main() -> int:
         anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
     except (OSError, ValueError):
         pass
+    if cheapest:
+        names = sorted((n for n in anchors if n in QUERIES),
+                       key=anchors.get)[:cheapest]
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="triage")
