@@ -41,6 +41,47 @@ from quantum_rag_data_pipeline_spark.session import get_spark
 HEADLINE = list(QUERIES)
 
 
+def build_compact(total: float, timings: dict, errors: dict,
+                  retried: list, sf: float, budget: int = 1700) -> dict:
+    """The FINAL stdout line the driver records as BENCH_r*.json: total
+    plus as many of the SLOWEST per-query timings as fit a hard byte
+    budget (the round-2 line with 99 timings blew past the driver's
+    last-2000-chars capture and the bench came back unparsed), plus the
+    warm_retry_minima marker for the listed names — the slowest queries
+    are exactly the warm-retried ones, and without the marker the
+    driver-record path of bench_anchors would ratchet anchors down on
+    systematically easier warm measurements (round-7 advisor item).
+    Factored out of main so the budget/trim interplay is unit-testable
+    (tests/test_bench_compact.py)."""
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries_full": "BENCH_FULL.json",
+        "sf": sf,
+    }
+    for name in sorted(timings, key=timings.get, reverse=True):
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            break
+    # Only names actually present in the compact queries map matter to
+    # the anchor consumer; if the marker pushes past the byte budget,
+    # drop the CHEAPEST listed queries (keep the slow ones — they are
+    # the line's point) until it fits.
+    compact["warm_retry_minima"] = sorted(set(retried) & set(compact["queries"]))
+    while (len(json.dumps(compact, separators=(",", ":"))) > budget
+           and compact["queries"]):
+        drop = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][drop]
+        compact["warm_retry_minima"] = sorted(
+            set(compact["warm_retry_minima"]) & set(compact["queries"]))
+    return compact
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -169,37 +210,8 @@ def main() -> None:
         json.dump(full, f, indent=1)
     print(json.dumps(full))
 
-    budget = 1700
-    compact = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": {},
-        "n_queries": len(timings),
-        "n_errors": len(errors),
-        "queries_full": "BENCH_FULL.json",
-        "sf": float(sf),
-    }
-    for name in sorted(timings, key=timings.get, reverse=True):
-        compact["queries"][name] = timings[name]
-        if len(json.dumps(compact, separators=(",", ":"))) > budget:
-            del compact["queries"][name]
-            break
-    # The compact line is what the driver records as BENCH_r*.json, and
-    # the slowest queries — exactly the ones listed here — are the ones
-    # that get warm-retried. Without the marker the driver-record path of
-    # bench_anchors would fold warm minima into the ratchet (round-7
-    # advisor item). Only names actually present in the compact queries
-    # map matter to that consumer; re-trim the slowest entries if the
-    # marker pushes past the byte budget.
-    compact["warm_retry_minima"] = sorted(set(retried) & set(compact["queries"]))
-    while (len(json.dumps(compact, separators=(",", ":"))) > budget
-           and compact["queries"]):
-        drop = min(compact["queries"], key=compact["queries"].get)
-        del compact["queries"][drop]
-        compact["warm_retry_minima"] = sorted(
-            set(compact["warm_retry_minima"]) & set(compact["queries"]))
-    print(json.dumps(compact, separators=(",", ":")))
+    print(json.dumps(build_compact(total, timings, errors, retried, float(sf)),
+                     separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,94 @@
+"""bench.py's compact stdout line is the driver's BENCH_r*.json record —
+its byte budget, slowest-first selection, and warm-retry marker decide
+what the anchor ratchet ever sees. Round 7's advisor found the
+driver-record path could ratchet anchors onto warm-retry minima because
+the compact line omitted the marker; these tests pin the fixed contract:
+marker present, restricted to listed names, budget never exceeded, and
+the slowest queries always preferred when trimming.
+"""
+
+import json
+import sys
+import types
+
+
+def _bench():
+    # bench.py imports the full queries package at module import (heavy);
+    # stub the two imports it needs so build_compact stays unit-testable.
+    import importlib.util
+    import os
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    qmod = types.ModuleType("quantum_rag_data_pipeline_spark.queries")
+    qmod.QUERIES = {}
+    smod = types.ModuleType("quantum_rag_data_pipeline_spark.session")
+    smod.get_spark = lambda **k: None
+    saved = {k: sys.modules.get(k) for k in
+             ("quantum_rag_data_pipeline_spark.queries",
+              "quantum_rag_data_pipeline_spark.session")}
+    sys.modules["quantum_rag_data_pipeline_spark.queries"] = qmod
+    sys.modules["quantum_rag_data_pipeline_spark.session"] = smod
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "bench_under_test", os.path.join(repo, "bench.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+BENCH = _bench()
+
+
+def test_marker_lists_only_compact_queries():
+    timings = {f"q{i}": float(i) for i in range(1, 30)}
+    retried = ["q29", "q1"]  # q29 slow (listed), q1 cheap (may be trimmed)
+    c = BENCH.build_compact(100.0, timings, {}, retried, 0.1)
+    assert set(c["warm_retry_minima"]) <= set(c["queries"])
+    assert "q29" in c["warm_retry_minima"]
+
+
+def test_budget_is_hard_and_slowest_survive():
+    timings = {f"query_with_a_rather_long_name_{i:04d}": i / 10.0
+               for i in range(1, 400)}
+    retried = list(timings)[:50]
+    c = BENCH.build_compact(999.0, timings, {}, retried, 0.1, budget=800)
+    line = json.dumps(c, separators=(",", ":"))
+    assert len(line) <= 800
+    # every listed query must be >= every unlisted one (slowest-first)
+    if c["queries"]:
+        floor = min(c["queries"].values())
+        unlisted = [v for k, v in timings.items() if k not in c["queries"]]
+        assert all(v <= floor for v in unlisted)
+
+
+def test_empty_retry_list_yields_empty_marker():
+    c = BENCH.build_compact(1.0, {"a": 1.0}, {}, [], 0.1)
+    assert c["warm_retry_minima"] == []
+    assert c["queries"] == {"a": 1.0}
+
+
+def test_anchor_collector_strips_marker_in_driver_branch(tmp_path):
+    """End-to-end with tools/bench_anchors._timings: a driver-shaped
+    record whose slowest query is a warm minimum must not contribute
+    that query to the ratchet, while its clean names still do."""
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import bench_anchors
+
+    rec = {
+        "sf": 0.1,
+        "parsed": {
+            "queries": {"slow_warm": 2.0, "clean": 1.0},
+            "warm_retry_minima": ["slow_warm"],
+        },
+    }
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps(rec))
+    out = bench_anchors._timings(str(p))
+    assert out == {"clean": 1.0}
