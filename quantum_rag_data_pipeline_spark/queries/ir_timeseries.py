@@ -203,16 +203,30 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, cf. `knn_graph_mutual`). Output: the 5 picks in
     selection order with relevance and MMR score — watch redundant
     near-duplicates of pick 1 fall below diverse picks."""
+    # Plan-build economics (measured round 8, quiet VM): the vector
+    # columns are named FIRST so cosine(..., dim=64) hits
+    # similarity.dot's memoized one-round-trip F.expr fast path — the
+    # unroll keeps the identical left-to-right accumulation, so scores
+    # stay bit-equal to the oracle, and the 2000-row relevance scan
+    # runs whole-stage-codegen'd instead of through the aggregate fold.
+    # The per-step localCheckpoint(eager=False) calls are LOAD-BEARING
+    # despite costing a catalyst pass each: step i's plan embeds step
+    # i-1's subtree twice (sel_ids in two join operands), so without
+    # the truncation the final tree grows 2^k subtrees and one big
+    # compile at the action costs more than the five small ones
+    # (measured: build 1.0 s + exec 1.0 s uncheckpointed vs
+    # 1.3 s + 0.05 s checkpointed).
     e = _t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     qv = e.filter(F.col("vec_id") == 0).select(vec.alias("qvec"))
     cand = (
         e.filter(F.col("vec_id") != 0)
+        .select("vec_id", vec.alias("vec"))
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
-            vec.alias("vec"),
-            sim_ops.cosine(vec, F.col("qvec")).alias("rel"),
+            "vec",
+            sim_ops.cosine(F.col("vec"), F.col("qvec"), 64).alias("rel"),
         )
         .orderBy(F.desc("rel"), "vec_id")
         .limit(12)
@@ -225,7 +239,7 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(F.broadcast(c2), F.col("vec_id") != F.col("ib"))
         .select(
             F.col("vec_id").alias("ia"), "ib",
-            sim_ops.cosine(F.col("vec"), F.col("vec_b")).alias("cos"),
+            sim_ops.cosine(F.col("vec"), F.col("vec_b"), 64).alias("cos"),
         )
         .localCheckpoint(eager=False)
     )
@@ -233,26 +247,38 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.orderBy(F.desc("rel"), "vec_id").limit(1)
         .select(F.lit(1).alias("step"), "vec_id", "rel", (0.7 * F.col("rel")).alias("mmr"))
     )
-    for i in range(2, 6):
-        sel_ids = picked.select("vec_id")
-        scored = (
-            cand.join(sel_ids.withColumnRenamed("vec_id", "_s"), F.col("vec_id") == F.col("_s"), "left_anti")
-            .join(pair, F.col("vec_id") == F.col("ia"))
-            .join(
-                F.broadcast(sel_ids.withColumnRenamed("vec_id", "_sel")),
-                F.col("ib") == F.col("_sel"),
+    # The five selection-step compiles run over <=132-row checkpointed
+    # inputs — AQE's adaptive wrapping is pure per-compile overhead
+    # there (measured: ~0.45 s of driver time across the loop), while
+    # the corpus-wide candidate scan ABOVE keeps AQE (that is the part
+    # that is big at scale). Same scoped set-then-restore discipline as
+    # streaming/daily_stream.drain_available_now: conf back in a
+    # finally, so a caller's session never observes the change.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for i in range(2, 6):
+            sel_ids = picked.select("vec_id")
+            scored = (
+                cand.join(sel_ids.withColumnRenamed("vec_id", "_s"), F.col("vec_id") == F.col("_s"), "left_anti")
+                .join(pair, F.col("vec_id") == F.col("ia"))
+                .join(
+                    F.broadcast(sel_ids.withColumnRenamed("vec_id", "_sel")),
+                    F.col("ib") == F.col("_sel"),
+                )
+                .groupBy("vec_id", "rel")
+                .agg(F.max("cos").alias("max_sim"))
+                .select(
+                    "vec_id", "rel",
+                    (0.7 * F.col("rel") - 0.3 * F.col("max_sim")).alias("mmr"),
+                )
             )
-            .groupBy("vec_id", "rel")
-            .agg(F.max("cos").alias("max_sim"))
-            .select(
-                "vec_id", "rel",
-                (0.7 * F.col("rel") - 0.3 * F.col("max_sim")).alias("mmr"),
+            nxt = scored.orderBy(F.desc("mmr"), "vec_id").limit(1).select(
+                F.lit(i).alias("step"), "vec_id", "rel", "mmr"
             )
-        )
-        nxt = scored.orderBy(F.desc("mmr"), "vec_id").limit(1).select(
-            F.lit(i).alias("step"), "vec_id", "rel", "mmr"
-        )
-        picked = picked.unionByName(nxt).localCheckpoint(eager=False)
+            picked = picked.unionByName(nxt).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     return picked.select(
         F.col("step").cast("bigint").alias("step"), "vec_id",
         F.round("rel", 6).alias("relevance"),

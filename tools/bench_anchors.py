@@ -43,7 +43,17 @@ ANCHORS = os.path.join(REPO, "ANCHORS.json")
 # 1.0x); the load_table source-frame memo then brought all four back
 # under 1.15x their ORIGINAL minima in the same session, so the entries
 # were removed — the full story is in BASELINE.md "Re-anchors".
-OVERRIDES: dict[str, float] = {}
+OVERRIDES: dict[str, float] = {
+    # Round 8: the 0.909 historical minimum is an era artifact — quiet-VM
+    # min-of-N on BOTH round-7 code (1.805) and round-8 code measures
+    # 1.4-1.8 s cold; the query was then RESTRUCTURED (fast-path dim=64
+    # cosines, AQE scoped off the five <=132-row greedy-step compiles:
+    # 1.97 -> 1.40 best quiet), so the old anchor also predates the
+    # current plan. 1.40 is the best post-fix quiet measurement
+    # (BASELINE.md round-8 "mmr" note). Remove if a future full bench
+    # records <= 0.909 again.
+    "mmr_diversified_rerank": 1.40,
+}
 
 
 def _timings(path: str) -> dict[str, float]:
