@@ -82,6 +82,27 @@ def test_mmr_picks_distinct_and_first_is_pure_relevance(spark, sf_dir):
         assert r.mmr_score <= 0.7 * r.relevance + 0.3 + 1e-9
 
 
+def test_mmr_restores_aqe_conf(spark, sf_dir):
+    """Round 8 scoped AQE off for the five tiny greedy-step compiles;
+    the caller's session must never observe the change — same pin as
+    drain_available_now's state-partition scoping. Covers both the
+    normal path and the exception path through the finally."""
+    from unittest import mock
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    QUERIES["mmr_diversified_rerank"](spark, sf_dir)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # exception inside the scoped block still restores
+    with mock.patch(
+        "pyspark.sql.DataFrame.unionByName", side_effect=RuntimeError("boom")
+    ):
+        try:
+            QUERIES["mmr_diversified_rerank"](spark, sf_dir)
+        except RuntimeError:
+            pass
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_naive_bayes_confusion_covers_test_split(spark, sf_dir):
     rows = QUERIES["naive_bayes_lang_classifier"](spark, sf_dir).collect()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
