@@ -147,6 +147,45 @@ def brute_force_topk(
     ).select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _auto_blocks(n_rows: int, n_part: int, target_rows: int = 1024,
+                 max_rows: int = 65536) -> int:
+    """Data-aware block count for the block-pair BLAS decompositions.
+
+    The round-5 default (B = ceil(sqrt(2 * shuffle_partitions)), i.e. 8 on
+    this rig) sizes the ~B^2/2 groups to the CLUSTER's parallelism but
+    ignores the DATA: at sf0.1's 2,000 vectors it shatters one
+    sub-100-ms matmul into 36 Arrow groups whose per-group
+    shuffle/worker overhead dominates (measured round 8: knn_graph
+    5.7 s at B=8 vs 2.8 s at B=2 — identical output, the candidate
+    superset only grows as B shrinks). Three constraints, applied in
+    order:
+
+    - floor ceil(n/max_rows): a block PAIR (2 * n/B * dim doubles) must
+      fit executor memory — this is what grows B at 100 TB, where a
+      production deployment would read n from table stats instead of a
+      count();
+    - cap ceil(n/target_rows): never split a corpus into blocks smaller
+      than a BLAS-worthy slice — small corpora get 1-2 blocks and the
+      per-group overhead disappears;
+    - between them, the parallelism target sqrt(2 * n_part), the
+      round-5 rule, still decides whenever the data is big enough to
+      use the cluster.
+
+    Shrinking B never affects RESULTS: every row pair still meets in
+    exactly one group, and each node's per-group top-(k+pad) only keeps
+    MORE global candidates when groups get bigger (a true top-k
+    neighbor can only be displaced by global top-k competitors, never
+    by group locals) — the exact-rescore tail then reproduces the
+    brute-force answer bit-for-bit either way.
+    """
+    import math
+
+    para = max(4, int(math.ceil(math.sqrt(2.0 * n_part))))
+    cap = max(1, int(math.ceil(n_rows / float(target_rows))))
+    floor_ = max(1, int(math.ceil(n_rows / float(max_rows))))
+    return max(floor_, min(para, cap))
+
+
 def embedding_near_dup_pairs_fast(
     df: DataFrame,
     dim: int,
@@ -168,18 +207,18 @@ def embedding_near_dup_pairs_fast(
     reordering only affects which pairs reach stage 2; ``margin`` absorbs
     its ~1e-12 error).
 
-    B defaults to ~sqrt(2·shuffle_partitions) so the B(B+1)/2 groups track
-    the cluster's parallelism while per-group flops stay (n/B)²·d. Exact
+    B defaults to ``_auto_blocks``: the parallelism target
+    sqrt(2·shuffle_partitions), capped so blocks stay BLAS-sized on
+    small corpora and floored so a block pair fits executor memory at
+    scale (the count() is a table-stat lookup in production). Exact
     all-pairs is O(n²) on any engine — at 100 TB use LSH/cluster blocking
     (``embedding_near_dup_pairs(block_col=...)``); this is the exact path
     for corpora whose n²·d flops are budgeted."""
-    import math
-
     import numpy as np
 
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    B = n_blocks or max(4, int(math.ceil(math.sqrt(2.0 * n_part))))
+    B = n_blocks or _auto_blocks(df.count(), n_part)
     thr = threshold - margin
 
     rows = df.select(
@@ -267,14 +306,13 @@ def knn_candidates(
     """Within-set candidate generation for the kNN graph: per node the
     top ``keep`` neighbors by matmul cosine from each block-pair BLAS
     slice (each node pair meets in exactly one slice). Callers rescore
-    with ``_rescore`` + ``_knn_topk``."""
-    import math
-
+    with ``_rescore`` + ``_knn_topk``. B defaults to the data-aware
+    ``_auto_blocks`` (see its docstring for the exactness argument)."""
     import numpy as np
 
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    B = n_blocks or max(4, int(math.ceil(math.sqrt(2.0 * n_part))))
+    B = n_blocks or _auto_blocks(df.count(), n_part)
 
     rows = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
@@ -369,14 +407,14 @@ def cross_topk_candidates(
     ``keep`` LEFT rows — both directions from ONE pass over the
     B_L×B_R block-pair grid (each cross row pair is scored in exactly
     one BLAS slice). The shuffle carries (|L|+|R|)·B·keep id pairs,
-    never vectors. Ids must be disjoint across the two sides."""
-    import math
-
+    never vectors. Ids must be disjoint across the two sides. B defaults
+    to ``_auto_blocks`` on the LARGER side (the B×B grid's per-group
+    cost is bounded by the bigger block)."""
     import numpy as np
 
     spark = left.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    B = n_blocks or max(2, int(math.ceil(math.sqrt(n_part))))
+    B = n_blocks or _auto_blocks(max(left.count(), right.count()), n_part)
 
     def tagged(df: DataFrame, side: str) -> DataFrame:
         return df.select(
@@ -454,11 +492,12 @@ def knn_graph_incremental(
     # production these are READ from the index store; the demo rebuilds
     # them so the parity query is self-contained. Scores stay unrounded
     # so stored and fresh edges rank on the same exact values.
-    # Small block counts: the incremental path runs THREE python stages
-    # (old candidates, cross, new candidates); fewer, larger BLAS slices
-    # amortize the per-group Arrow/worker overhead. At cluster scale pass
-    # n_blocks to track executor count instead.
-    old_scored = _rescore(old_df, knn_candidates(old_df, keep, id_col, vec_col, n_blocks=4),
+    # Block counts come from _auto_blocks (data-aware): the incremental
+    # path runs THREE python stages (old candidates, cross, new
+    # candidates), and fewer, larger BLAS slices amortize the per-group
+    # Arrow/worker overhead at small n while the memory floor grows B
+    # at cluster scale.
+    old_scored = _rescore(old_df, knn_candidates(old_df, keep, id_col, vec_col),
                           dim, id_col, vec_col)
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     stored = (
@@ -467,8 +506,8 @@ def knn_graph_incremental(
     )
     # Fresh work — the only scoring the incremental update pays for:
     # old×new both directions + new×new, candidates only.
-    fresh_cand = cross_topk_candidates(old_df, new_df, keep, id_col, vec_col, n_blocks=3) \
-        .unionByName(knn_candidates(new_df, keep, id_col, vec_col, n_blocks=4))
+    fresh_cand = cross_topk_candidates(old_df, new_df, keep, id_col, vec_col) \
+        .unionByName(knn_candidates(new_df, keep, id_col, vec_col))
     full = old_df.unionByName(new_df)
     fresh_scored = _rescore(full, fresh_cand, dim, id_col, vec_col)
     # Branches are pairwise disjoint (old->old vs old->new vs new->old vs

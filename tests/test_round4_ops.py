@@ -322,6 +322,38 @@ def test_incremental_knn_equals_batch_rebuild(spark, sf_dir):
     assert batch.exceptAll(inc).count() == 0
 
 
+def test_auto_blocks_regimes():
+    """_auto_blocks (round 8): parallelism-targeted block count, capped
+    so small corpora aren't shattered into per-group Arrow overhead
+    (measured 2x on knn_graph at sf0.1) and floored so a block pair
+    fits executor memory at scale."""
+    from quantum_rag_data_pipeline_spark.operators.similarity import _auto_blocks
+
+    # small corpus: BLAS-sized cap wins (sf0.1's 2000 vectors -> 2)
+    assert _auto_blocks(2000, 32) == 2
+    assert _auto_blocks(100, 32) == 1
+    # big-enough data: the round-5 parallelism rule sqrt(2*n_part)
+    assert _auto_blocks(20000, 32) == 8       # sf1 regime unchanged
+    assert _auto_blocks(20000, 200) == 20
+    # huge corpus: the memory floor ceil(n/65536) dominates
+    assert _auto_blocks(10_000_000, 32) == 153
+    # floor never exceeds what the cap allows going UP (floor > cap case)
+    assert _auto_blocks(65536 * 4, 2) == 4
+
+
+def test_knn_graph_invariant_to_block_count(spark, sf_dir):
+    """The exactness argument in _auto_blocks' docstring, pinned: any B
+    yields the identical graph (every pair meets in exactly one group;
+    shrinking B only widens each group's candidate superset)."""
+    from quantum_rag_data_pipeline_spark.operators import similarity as sim_ops
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    auto = sim_ops.knn_graph(e, k=3, dim=64)
+    forced = sim_ops.knn_graph(e, k=3, dim=64, n_blocks=5)
+    assert auto.exceptAll(forced).count() == 0
+    assert forced.exceptAll(auto).count() == 0
+
+
 def test_pareto_shares_ordered_and_gini_in_range(spark, sf_dir):
     from quantum_rag_data_pipeline_spark.queries import QUERIES
 
