@@ -55,6 +55,13 @@ def connected_components(
         sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint(eager=True)
 
+    # NOTE (round 8): scoping AQE OFF for the iteration rounds was tried
+    # (per the MMR greedy-loop finding) and measured WORSE here — 6.3 s
+    # vs 2.9 s in a same-session A/B at sf0.1. The two loops fail
+    # differently: MMR's steps are LAZY (the cost is five catalyst
+    # compiles, AQE wrapping is overhead), while these rounds EXECUTE
+    # eagerly and AQE's partition coalescing is precisely what collapses
+    # each round's 32-task micro-shuffles to 1-2 tasks. Keep AQE on.
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.select(F.col("node").alias("v"), "lbl"), "v")
