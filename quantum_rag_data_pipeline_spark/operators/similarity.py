@@ -177,6 +177,11 @@ def _auto_blocks(n_rows: int, n_part: int, target_rows: int = 1024,
     neighbor can only be displaced by global top-k competitors, never
     by group locals) — the exact-rescore tail then reproduces the
     brute-force answer bit-for-bit either way.
+
+    Callers obtain n via df.count(): cheap for the base-table inputs
+    every corpus query passes (and a table-stat lookup in production),
+    but a caller feeding an EXPENSIVE derived frame should pass
+    ``n_blocks`` explicitly rather than pay the extra execution.
     """
     import math
 

@@ -133,6 +133,32 @@ def test_rotation_backfill_prefers_least_recently_verified():
     assert got == ["q01", "q04", "q06", "q07", "q03", "q02"]
 
 
+def test_ledger_reader_survives_malformed_artifacts(tmp_path):
+    """The rotation derives at import time from repo-root JSON files; a
+    truncated or garbage CORRECTNESS file (half-written driver artifact,
+    merge damage) must degrade to 'skip that file', never raise — a
+    raise at import would err every query at the driver."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"good_query": {
+            "rows_match": True, "schema_match": True, "hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text('{"trunc')   # cut mid-write
+    (tmp_path / "CORRECTNESS_r03.json").write_text('[1, 2, 3]')  # wrong shape
+    led = _rotation.ledger(repo=str(tmp_path))
+    assert led == {"good_query": ["CORRECTNESS_r01"]}
+    # rows that are not dicts, lack greens, or carry err are not verified
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps({
+        "strlike": "PASS",
+        "errq": {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": "boom"},
+        "nohash": {"rows_match": True, "schema_match": True},
+    }))
+    led = _rotation.ledger(repo=str(tmp_path))
+    assert set(led) == {"good_query"}
+
+
 def test_coverage_doc_lists_every_query():
     """COVERAGE.md is the judge-facing inventory→implementation map; a
     query missing from it reads as an unimplemented capability. Round 5
