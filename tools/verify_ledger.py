@@ -34,7 +34,22 @@ def verified_names() -> dict[str, list[str]]:
     out: dict[str, list[str]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         stem = os.path.basename(path).removesuffix(".json")
-        data = json.load(open(path))
+        # Skip-with-warning on unreadable/ill-shaped files, matching
+        # queries/_rotation.ledger(): both readers must parse the ledger
+        # the same way, or a half-written driver artifact makes this audit
+        # crash while the live rotation quietly computes from one fewer
+        # file (round-8 advisor item). The warning keeps it visible.
+        try:
+            data = json.load(open(path))
+        except (OSError, ValueError) as exc:
+            print(f"WARNING: skipping unreadable ledger file {stem}: {exc}",
+                  file=sys.stderr)
+            continue
+        if not isinstance(data, dict):
+            print(f"WARNING: skipping ill-shaped ledger file {stem}: "
+                  f"top-level {type(data).__name__}, expected dict",
+                  file=sys.stderr)
+            continue
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
@@ -42,15 +57,21 @@ def verified_names() -> dict[str, list[str]]:
             # EXPLICITLY marked oracle-less (rows-only check): a harness
             # regression that merely drops the hash_match key must not
             # silently promote queries to "verified" and eject them from
-            # the rotation forever (round-5 advisor item).
+            # the rotation forever (round-5 advisor item). err=="no_oracle"
+            # is the driver's oracle-less marker, not an error — classify
+            # it before the error check (round-8 advisor item; mirrors
+            # queries/_rotation._row_green).
+            err = row.get("err")
             oracle_less = (row.get("oracle") is False
-                           or row.get("err") == "no_oracle"
+                           or err == "no_oracle"
                            or ("oracle_rows" in row
                                and row["oracle_rows"] is None))
+            if err and err != "no_oracle":
+                continue
             hash_ok = (row.get("hash_match") is True
                        or (oracle_less and row.get("hash_match") is None))
             green = row.get("rows_match") and row.get("schema_match") and hash_ok
-            if green and not row.get("err"):
+            if green:
                 out.setdefault(name, []).append(stem)
     return out
 
