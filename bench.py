@@ -42,7 +42,8 @@ HEADLINE = list(QUERIES)
 
 
 def build_compact(total: float, timings: dict, errors: dict,
-                  retried: list, sf: float, budget: int = 1700) -> dict:
+                  retried: list, sf: float, budget: int = 1700,
+                  total_pre_retry: float | None = None) -> dict:
     """The FINAL stdout line the driver records as BENCH_r*.json: total
     plus as many of the SLOWEST per-query timings as fit a hard byte
     budget (the round-2 line with 99 timings blew past the driver's
@@ -59,6 +60,11 @@ def build_compact(total: float, timings: dict, errors: dict,
         "unit": "sec",
         "queries": {},
         "n_queries": len(timings),
+        # pre-retry total (paired originals) travels on the compact
+        # line too, so the driver-recorded BENCH_r*.json stays
+        # cross-round comparable even without BENCH_FULL.json.
+        **({"value_pre_retry": total_pre_retry}
+           if total_pre_retry is not None else {}),
         "n_errors": len(errors),
         "queries_full": "BENCH_FULL.json",
         "sf": sf,
@@ -165,10 +171,16 @@ def main() -> None:
     # cleared quiet). Warm minima remain marked (warm_retry_minima) and
     # excluded from anchor ratcheting, so this cannot soften the anchors;
     # it only de-noises the record the judge reads.
+    # Effective anchor = max(recorded, 1.0 s): the anchor-floor policy
+    # (BASELINE.md round-10) — sub-second recorded minima are JIT-hot-era
+    # artifacts that manufacture phantom retries/warnings once the
+    # rotation moves the query to the cold prefix. Mirrors
+    # tools/bench_compare.py --anchor-floor.
     suspicious = [n for n, sec in timings.items()
-                  if n in anchors and sec > 1.5 * anchors[n]
-                  and sec - anchors[n] > 0.5]
+                  if n in anchors and sec > 1.5 * max(anchors[n], 1.0)
+                  and sec - max(anchors[n], 1.0) > 0.5]
     retried = []  # names whose kept timing came from the warm re-run
+    pre_retry = {}  # name -> original paired-run minimum it replaced
     for name in suspicious:
         # Up to TWO warm re-runs: round 7 caught a stall window long
         # enough to cover a query's paired runs AND its single retry
@@ -186,17 +198,28 @@ def main() -> None:
             if warm < timings[name]:
                 if name not in retried:
                     retried.append(name)
+                    pre_retry[name] = timings[name]
                 timings[name] = round(warm, 3)
-            if timings[name] <= 1.5 * anchors.get(name, 0.0) \
-                    or timings[name] - anchors.get(name, 0.0) <= 0.5:
+            eff = max(anchors.get(name, 0.0), 1.0)
+            if timings[name] <= 1.5 * eff or timings[name] - eff <= 0.5:
                 break
 
     total = round(sum(timings.values()), 3)
+    # Comparability control (round-9 verdict item 5): the warm-retry
+    # pass replaces per-query timings with fully-warm minima, which
+    # makes the SUMMED total systematically easier in rounds where more
+    # queries happen to trip the retry bar. Keep the paired-run
+    # originals and a total computed from them so cross-round headline
+    # totals compare like-for-like regardless of how many retries fired.
+    total_pre_retry = round(
+        sum(pre_retry.get(n, sec) for n, sec in timings.items()), 3)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_pre_retry": total_pre_retry,
         "unit": "sec",
         "queries": timings,
+        "pre_retry_timings": pre_retry,
         "errors": errors,
         # Queries whose recorded timing is a fully-warm retry minimum
         # (JVM hot, shared artifacts materialized) rather than a paired
@@ -217,7 +240,8 @@ def main() -> None:
         json.dump(full, f, indent=1)
     print(json.dumps(full))
 
-    print(json.dumps(build_compact(total, timings, errors, retried, float(sf)),
+    print(json.dumps(build_compact(total, timings, errors, retried, float(sf),
+                                   total_pre_retry=total_pre_retry),
                      separators=(",", ":")))
 
 

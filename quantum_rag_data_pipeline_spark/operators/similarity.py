@@ -497,13 +497,19 @@ def knn_graph_incremental(
     # production these are READ from the index store; the demo rebuilds
     # them so the parity query is self-contained. Scores stay unrounded
     # so stored and fresh edges rank on the same exact values.
-    # Block counts come from _auto_blocks (data-aware): the incremental
-    # path runs THREE python stages (old candidates, cross, new
-    # candidates), and fewer, larger BLAS slices amortize the per-group
-    # Arrow/worker overhead at small n while the memory floor grows B
-    # at cluster scale.
-    old_scored = _rescore(old_df, knn_candidates(old_df, keep, id_col, vec_col),
-                          dim, id_col, vec_col)
+    # Block counts come from _auto_blocks (data-aware), but computed HERE
+    # and passed down explicitly: the three candidate stages (old, cross,
+    # new) would otherwise each count() their caller-supplied inputs —
+    # up to 4 executions of possibly expensive derived plans per call.
+    # One count per side funds all three stages.
+    n_part = int(old_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_old, n_new = old_df.count(), new_df.count()
+    b_old = _auto_blocks(n_old, n_part)
+    b_new = _auto_blocks(n_new, n_part)
+    b_cross = _auto_blocks(max(n_old, n_new), n_part)
+    old_scored = _rescore(
+        old_df, knn_candidates(old_df, keep, id_col, vec_col, n_blocks=b_old),
+        dim, id_col, vec_col)
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     stored = (
         old_scored.withColumn("rnk", F.row_number().over(w))
@@ -511,8 +517,9 @@ def knn_graph_incremental(
     )
     # Fresh work — the only scoring the incremental update pays for:
     # old×new both directions + new×new, candidates only.
-    fresh_cand = cross_topk_candidates(old_df, new_df, keep, id_col, vec_col) \
-        .unionByName(knn_candidates(new_df, keep, id_col, vec_col))
+    fresh_cand = cross_topk_candidates(old_df, new_df, keep, id_col, vec_col,
+                                       n_blocks=b_cross) \
+        .unionByName(knn_candidates(new_df, keep, id_col, vec_col, n_blocks=b_new))
     full = old_df.unionByName(new_df)
     fresh_scored = _rescore(full, fresh_cand, dim, id_col, vec_col)
     # Branches are pairwise disjoint (old->old vs old->new vs new->old vs

@@ -480,7 +480,21 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical lattice. Each iteration is one edge-table join +
     partial-agg — the O(|E|) shape that scales; no dense matrix
     materializes. Output: top-15 authority parts (per-mille scores) —
-    the 'canonical items' list a recommender seeds from."""
+    the 'canonical items' list a recommender seeds from.
+
+    Round-10 restructure (the mmr checkpoint-compile fix's analog): the
+    lazy ``localCheckpoint`` on edges forced a second full catalyst
+    compile of the edge subtree (~0.45 s driver time; Dataset.checkpoint
+    goes through queryExecution.toRdd even when lazy) — dropped, because
+    the edges subtree's DISTINCT exchange is plan-identical across all
+    three consumers and Spark's ReuseExchange unifies them in one DAG.
+    The per-node score tables (a1, h1) get explicit broadcast hints:
+    they are O(V) against O(|E|) edge joins (<=3 k auth / <=15 k hub
+    rows vs the edge table), the same V<<E shape a power-law bipartite
+    graph keeps at scale; for a node table past broadcast reach, delete
+    the two hints and the joins fall back to the co-partitioned shuffle
+    plans AQE picks anyway. Quiet min-of-3: 1.96 -> 1.57 s, output
+    bit-identical."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 7 == 0)
     from pyspark.sql.window import Window
@@ -489,7 +503,6 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     a1r = edges.groupBy("auth").agg(F.count(F.lit(1)).cast("double").alias("a_raw"))
     a1s = a1r.agg(
@@ -499,14 +512,14 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "auth",
         F.round(F.col("a_raw") / F.col("s"), 12).cast("decimal(28,12)").alias("a"),
     )
-    h1r = edges.join(a1, "auth").groupBy("hub").agg(F.sum("a").alias("h_raw"))
+    h1r = edges.join(F.broadcast(a1), "auth").groupBy("hub").agg(F.sum("a").alias("h_raw"))
     h1s = h1r.agg(F.sum("h_raw").cast("double").alias("s"))
     h1 = h1r.crossJoin(F.broadcast(h1s)).select(
         "hub",
         F.round(F.col("h_raw").cast("double") / F.col("s"), 12)
         .cast("decimal(28,12)").alias("h"),
     )
-    a2r = edges.join(h1, "hub").groupBy("auth").agg(F.sum("h").alias("a_raw"))
+    a2r = edges.join(F.broadcast(h1), "hub").groupBy("auth").agg(F.sum("h").alias("a_raw"))
     a2s = a2r.agg(F.sum("a_raw").cast("double").alias("s"))
     a2 = a2r.crossJoin(F.broadcast(a2s)).select(
         "auth", F.round(F.col("a_raw").cast("double") / F.col("s"), 12).alias("a")

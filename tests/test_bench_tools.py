@@ -34,8 +34,10 @@ def test_anchors_cover_registered_corpus():
 def test_compare_flags_violation(tmp_path):
     anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
     name, anchor = next(iter(anchors.items()))
-    # exceed BOTH the ratio bar and the absolute min-delta floor
-    r = _run({"sf": 0.1, "queries": {name: anchor * 3 + 1.0}}, tmp_path)
+    # exceed the ratio bar against the EFFECTIVE anchor (max(recorded,
+    # 1.0 s) — the round-10 anchor-floor policy) plus the min-delta floor
+    eff = max(anchor, 1.0)
+    r = _run({"sf": 0.1, "queries": {name: eff * 3 + 1.0}}, tmp_path)
     assert r.returncode == 1
     assert "VIOLATION" in r.stdout and name in r.stdout
 
@@ -45,11 +47,33 @@ def test_compare_delta_floor_suppresses_noise(tmp_path):
     not a regression (round-6 measured) — the gate must stay green."""
     anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
     name, anchor = next(iter(anchors.items()))
-    r = _run({"sf": 0.1, "queries": {name: anchor + 0.4}}, tmp_path)
+    eff = max(anchor, 1.0)
+    r = _run({"sf": 0.1, "queries": {name: eff + 0.4}}, tmp_path)
     assert r.returncode == 0
-    r2 = _run({"sf": 0.1, "queries": {name: anchor + 0.4}}, tmp_path,
+    r2 = _run({"sf": 0.1, "queries": {name: eff + 0.4}}, tmp_path,
               extra=["--min-delta", "0.1"])
-    assert (r2.returncode == 1) == (anchor + 0.4 > 2.0 * anchor)
+    assert (r2.returncode == 1) == (eff + 0.4 > 2.0 * eff)
+
+
+def test_compare_anchor_floor_policy(tmp_path):
+    """Round-10 anchor-floor policy: a sub-second recorded anchor is an
+    era artifact (JIT-hot mid-bench position); the gate judges against
+    max(recorded, 1.0 s). 1.9 s vs a 0.5 s recorded anchor is 3.8x raw
+    but must NOT violate (1.9 < 2 x 1.0); with --anchor-floor 0 the old
+    raw behavior is restored and the same timing violates."""
+    # bench_compare reads ANCHORS.json from the repo root, so drive the
+    # test through a real sub-second anchor from that file.
+    anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
+    sub = next((n for n, a in anchors.items() if a < 0.9), None)
+    if sub is None:
+        import pytest
+        pytest.skip("no sub-second anchor in ANCHORS.json")
+    r = _run({"sf": 0.1, "queries": {sub: 1.9}}, tmp_path)
+    assert "VIOLATION" not in r.stdout and r.returncode == 0
+    r2 = _run({"sf": 0.1, "queries": {sub: 1.9}}, tmp_path,
+              extra=["--anchor-floor", "0"])
+    assert (r2.returncode == 1) == (1.9 > 2.0 * anchors[sub]
+                                    and 1.9 - anchors[sub] > 0.5)
 
 
 def test_compare_clean_and_unanchored(tmp_path):
@@ -64,7 +88,8 @@ def test_compare_clean_and_unanchored(tmp_path):
 def test_compare_factor_flag(tmp_path):
     anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
     name, anchor = next(iter(anchors.items()))
-    r = _run({"sf": 0.1, "queries": {name: anchor * 1.5 + 1.0}}, tmp_path,
+    eff = max(anchor, 1.0)  # round-10 anchor-floor policy
+    r = _run({"sf": 0.1, "queries": {name: eff * 1.5 + 1.0}}, tmp_path,
              extra=["--factor", "1.2"])
     assert r.returncode == 1
 
@@ -79,8 +104,8 @@ def test_compare_integer_flag_value_not_eaten_as_path(tmp_path):
     r = _run({"sf": 0.1, "queries": {name: anchor}}, tmp_path,
              extra=["--factor", "2"])
     assert r.returncode == 0, r.stdout + r.stderr
-    r2 = _run({"sf": 0.1, "queries": {name: anchor * 3 + 2.0}}, tmp_path,
-              extra=["--factor", "2", "--min-delta", "1"])
+    r2 = _run({"sf": 0.1, "queries": {name: max(anchor, 1.0) * 3 + 2.0}},
+              tmp_path, extra=["--factor", "2", "--min-delta", "1"])
     assert r2.returncode == 1, r2.stdout + r2.stderr
 
 
@@ -89,7 +114,8 @@ def test_compare_warn_tier_does_not_fail_gate(tmp_path):
     anchor-drift watch list is machine-visible) but exits 0."""
     anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
     name, anchor = next(iter(anchors.items()))
-    r = _run({"sf": 0.1, "queries": {name: anchor * 1.8 + 1.0}}, tmp_path,
+    eff = max(anchor, 1.0)  # round-10 anchor-floor policy
+    r = _run({"sf": 0.1, "queries": {name: eff * 1.8 + 1.0}}, tmp_path,
              extra=["--warn-factor", "1.5", "--factor", "99"])
     assert r.returncode == 0
     assert "WARNING" in r.stdout and name in r.stdout

@@ -169,3 +169,60 @@ def test_coverage_doc_lists_every_query():
     cov = open(path).read()
     missing = [n for n in QUERIES if f"`{n}`" not in cov]
     assert missing == []
+
+
+def test_no_oracle_rows_agree_across_both_ledger_readers(tmp_path, monkeypatch):
+    """Round-9 advisor item: the err=='no_oracle' rows-only green path
+    (rows/schema True, hash None) is hand-mirrored in BOTH ledger
+    readers (_rotation._row_green and verify_ledger.verified_names); the
+    real ledger contains no such row today, so the reader-agreement
+    tests above cannot catch a future divergence. Feed both readers a
+    synthetic ledger containing every branch of that classification and
+    assert they agree row by row."""
+    import json
+
+    rows = {
+        # driver marker for a query with no oracle_sql(): rows-only GREEN
+        "rows_only_ok": {"err": "no_oracle", "rows_match": True,
+                         "schema_match": True, "hash_match": None},
+        # a real error must stay non-green even with matching rows/schema
+        "real_error": {"err": "ValueError: boom", "rows_match": True,
+                       "schema_match": True, "hash_match": None},
+        # harness regression that silently DROPS hash_match: non-green
+        "hash_dropped": {"rows_match": True, "schema_match": True},
+        # no_oracle but rows mismatch: non-green
+        "rows_only_bad": {"err": "no_oracle", "rows_match": False,
+                          "schema_match": True, "hash_match": None},
+        # ordinary triple-green control
+        "triple_green": {"rows_match": True, "schema_match": True,
+                         "hash_match": True},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+
+    rot_led = _rotation.ledger(repo=str(tmp_path))
+    vl = _ledger_tool()
+    monkeypatch.setattr(vl, "REPO", str(tmp_path))
+    vl_led = vl.verified_names()
+
+    expected_green = {"rows_only_ok", "triple_green"}
+    assert set(rot_led) == expected_green
+    assert set(vl_led) == expected_green
+
+
+def test_verify_ledger_collects_skipped_files(tmp_path, monkeypatch):
+    """Round-9 advisor item 2: --check must FAIL (not warn-and-pass)
+    when a ledger file was skipped — an audit reading a partial ledger
+    degrades exactly like the live path it independently checks. The
+    summary path stays non-raising."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q": {"rows_match": True, "schema_match": True,
+                          "hash_match": True}}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text('{"trunc')
+    vl = _ledger_tool()
+    monkeypatch.setattr(vl, "REPO", str(tmp_path))
+    skipped = []
+    led = vl.verified_names(skipped)
+    assert set(led) == {"q"}
+    assert skipped == ["CORRECTNESS_r02"]

