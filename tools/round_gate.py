@@ -1,0 +1,71 @@
+"""One-command round gate: every per-round check in one exit code.
+
+    python tools/round_gate.py                 # all gates, in order
+    python tools/round_gate.py --skip-bench    # skip the ~4 min bench
+    python tools/round_gate.py --skip-pytest   # skip the ~10 min suite
+
+Runs, in this order (fail-fast OFF — all gates always run so one broken
+gate doesn't hide another; exit code is nonzero if ANY failed):
+
+1. pytest tests/ -q                       (full suite)
+2. tools/oracle_check.py sf0.01           (327-query DuckDB oracle sweep)
+3. tools/verify_ledger.py --check         (rotation audit)
+4. tools/explain_audit.py                 (plan-shape audit, 0 flags)
+5. tools/replication_coverage.py          (0 unreplicated)
+6. bench.py                               (full sf0.1 bench -> BENCH_FULL)
+7. tools/bench_compare.py                 (anchor gate on that run)
+
+The bench and compare run LAST so their timings see a quiet VM only if
+the caller passes --skip-pytest/--skip-oracle and runs those
+separately; for gate purposes order does not matter because bench.py's
+warm-retry pass de-noises and the compare applies the anchor floor.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+
+
+def main() -> int:
+    skip = {a.removeprefix("--skip-") for a in sys.argv[1:]
+            if a.startswith("--skip-")}
+    gates: list[tuple[str, list[str]]] = [
+        ("pytest", [PY, "-m", "pytest", "tests/", "-q"]),
+        ("oracle", [PY, "tools/oracle_check.py", "/root/testdata/sf0.01"]),
+        ("ledger", [PY, "tools/verify_ledger.py", "--check"]),
+        ("explain", [PY, "tools/explain_audit.py"]),
+        ("replication", [PY, "tools/replication_coverage.py"]),
+        ("bench", [PY, "bench.py"]),
+        ("compare", [PY, "tools/bench_compare.py"]),
+    ]
+    results: dict[str, tuple[int, float, str]] = {}
+    for name, cmd in gates:
+        if name in skip:
+            results[name] = (0, 0.0, "SKIPPED by flag")
+            continue
+        t0 = time.perf_counter()
+        p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        dt = time.perf_counter() - t0
+        tail = (p.stdout.strip().splitlines() or [""])[-1][:160]
+        results[name] = (p.returncode, dt, tail)
+        status = "ok" if p.returncode == 0 else f"FAIL rc={p.returncode}"
+        print(f"[{status:8s}] {name:12s} {dt:7.1f}s  {tail}", flush=True)
+        if p.returncode != 0:
+            # last 15 lines of whichever stream has the failure detail
+            detail = (p.stdout + "\n" + p.stderr).strip().splitlines()[-15:]
+            for line in detail:
+                print(f"    | {line}")
+    failed = [n for n, (rc, _, _) in results.items() if rc != 0]
+    print(f"round_gate: {len(gates) - len(failed)}/{len(gates)} gates green"
+          + (f"; FAILED: {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
