@@ -92,3 +92,17 @@ def test_anchor_collector_strips_marker_in_driver_branch(tmp_path):
     p.write_text(json.dumps(rec))
     out = bench_anchors._timings(str(p))
     assert out == {"clean": 1.0}
+
+
+def test_pre_retry_total_travels_on_compact_line():
+    """Round-10 comparability field: when warm retries replaced timings,
+    the compact line must carry value_pre_retry (the total computed from
+    the paired originals) so cross-round headline totals compare
+    like-for-like; omitted when no pre-retry total is supplied (old
+    records stay shape-stable)."""
+    c = BENCH.build_compact(10.0, {"a": 1.0, "b": 9.0}, {}, ["b"], 0.1,
+                            total_pre_retry=12.5)
+    assert c["value_pre_retry"] == 12.5
+    assert c["value"] == 10.0
+    c2 = BENCH.build_compact(10.0, {"a": 1.0, "b": 9.0}, {}, [], 0.1)
+    assert "value_pre_retry" not in c2

@@ -222,8 +222,16 @@ def fresh_copurchase(tiles: int = 10) -> None:
     pkey_span = int(base_parts.max()) + 1
     okey_span = 10_000_000  # orderkeys per tile, far above n_ord
 
-    for label, n_tiles in (("sf01freshgraph", 1), ("sf1freshgraph", tiles)):
+    # label scales with --tiles (tiles=100 -> sf10freshgraph), and the
+    # seed-deterministic 1x control is reused if already built — one
+    # flag adds a third point to the fresh growth curve.
+    big = f"sf{tiles // 10}freshgraph" if tiles != 10 else "sf1freshgraph"
+    for label, n_tiles in (("sf01freshgraph", 1), (big, tiles)):
         dst = os.path.join(REPO, ".scaledata", label)
+        if n_tiles == 1 and os.path.exists(
+                os.path.join(dst, "lineitem.parquet")):
+            print(f"{label}: exists, reused (seed-deterministic)")
+            continue
         os.makedirs(dst, exist_ok=True)
         link_src = SRC if n_tiles == 1 else DST
         for name in os.listdir(link_src):
@@ -310,8 +318,15 @@ def fresh_events(tiles: int = 10) -> None:
     ends = np.append(starts[1:], len(uid))
     uspan = int(users.max()) + 1
 
-    for label, n_tiles in (("sf01freshevents", 1), ("sf1freshevents", tiles)):
+    # label scales with --tiles so a third curve point is one flag away:
+    # tiles=10 -> sf1freshevents, tiles=100 -> sf10freshevents. The 1x
+    # control is seed-deterministic, so an existing one is reused.
+    big = f"sf{tiles // 10}freshevents" if tiles != 10 else "sf1freshevents"
+    for label, n_tiles in (("sf01freshevents", 1), (big, tiles)):
         dst = os.path.join(REPO, ".scaledata", label)
+        if n_tiles == 1 and os.path.exists(os.path.join(dst, "events.parquet")):
+            print(f"{label}: exists, reused (seed-deterministic)")
+            continue
         os.makedirs(dst, exist_ok=True)
         link_src = SRC if n_tiles == 1 else DST
         for name in os.listdir(link_src):
