@@ -56,8 +56,10 @@ DST = os.path.join(REPO, ".scaledata", "sf1")
 
 def fresh_embeddings(tiles: int = 10) -> None:
     """Build .scaledata/sf1fresh: sf1's tables with a fresh-sampled
-    (non-tiled) embeddings table at ``tiles``x the sf0.1 count."""
-    dst = os.path.join(REPO, ".scaledata", "sf1fresh")
+    (non-tiled) embeddings table at ``tiles``x the sf0.1 count.
+    tiles=100 -> sf10fresh (third curve point)."""
+    label = "sf1fresh" if tiles == 10 else f"sf{tiles // 10}fresh"
+    dst = os.path.join(REPO, ".scaledata", label)
     if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
         sys.exit("run tools/gen_scaledata.py (tiled sf1) first")
     os.makedirs(dst, exist_ok=True)
@@ -100,7 +102,7 @@ def fresh_embeddings(tiles: int = 10) -> None:
         "label": pa.array(alll[order], type=pa.int32()),
     })
     pq.write_table(big, f"{dst}/embeddings.parquet")
-    print(f"sf1fresh/embeddings.parquet: {len(allv)} rows "
+    print(f"{label}/embeddings.parquet: {len(allv)} rows "
           f"(fresh-sampled, no planted near-dups)")
 
 
@@ -116,8 +118,10 @@ def fresh_documents(tiles: int = 10) -> None:
     from the per-lang empirical length distribution, (lang, source) from
     their joint), so qualifying shingle-Jaccard pairs occur only at the
     natural chance rate — the control measures the candidate-generation
-    + rescore cost floor when pair density does NOT scale with n²."""
-    dst = os.path.join(REPO, ".scaledata", "sf1freshdocs")
+    + rescore cost floor when pair density does NOT scale with n².
+    tiles=100 -> sf10freshdocs (third curve point)."""
+    label = "sf1freshdocs" if tiles == 10 else f"sf{tiles // 10}freshdocs"
+    dst = os.path.join(REPO, ".scaledata", label)
     if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
         sys.exit("run tools/gen_scaledata.py (tiled sf1) first")
     os.makedirs(dst, exist_ok=True)
@@ -173,7 +177,7 @@ def fresh_documents(tiles: int = 10) -> None:
         "n_chars": pa.array(out_chars, type=pa.int64()),
     })
     pq.write_table(big, f"{dst}/documents.parquet")
-    print(f"sf1freshdocs/documents.parquet: {n_out} rows "
+    print(f"{label}/documents.parquet: {n_out} rows "
           f"(fresh-sampled, no planted near-dups)")
 
 
