@@ -41,6 +41,13 @@ from quantum_rag_data_pipeline_spark.session import get_spark
 HEADLINE = list(QUERIES)
 
 
+# Anchor-floor policy (BASELINE.md round-10): the warm-retry suspicion
+# bar judges against max(recorded_min, ANCHOR_FLOOR). Imported from the
+# anchors owner so all three mirrors share one value.
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+from bench_anchors import ANCHOR_FLOOR  # noqa: E402
+
+
 def build_compact(total: float, timings: dict, errors: dict,
                   retried: list, sf: float, budget: int = 1700,
                   total_pre_retry: float | None = None) -> dict:
@@ -177,8 +184,8 @@ def main() -> None:
     # rotation moves the query to the cold prefix. Mirrors
     # tools/bench_compare.py --anchor-floor.
     suspicious = [n for n, sec in timings.items()
-                  if n in anchors and sec > 1.5 * max(anchors[n], 1.0)
-                  and sec - max(anchors[n], 1.0) > 0.5]
+                  if n in anchors and sec > 1.5 * max(anchors[n], ANCHOR_FLOOR)
+                  and sec - max(anchors[n], ANCHOR_FLOOR) > 0.5]
     retried = []  # names whose kept timing came from the warm re-run
     pre_retry = {}  # name -> original paired-run minimum it replaced
     for name in suspicious:
@@ -200,7 +207,7 @@ def main() -> None:
                     retried.append(name)
                     pre_retry[name] = timings[name]
                 timings[name] = round(warm, 3)
-            eff = max(anchors.get(name, 0.0), 1.0)
+            eff = max(anchors.get(name, 0.0), ANCHOR_FLOOR)
             if timings[name] <= 1.5 * eff or timings[name] - eff <= 0.5:
                 break
 

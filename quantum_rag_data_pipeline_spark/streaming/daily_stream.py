@@ -110,8 +110,16 @@ def drain_available_now(
 
     spark = stream_df.sparkSession
     schema = stream_df.schema
-    out = os.path.join(artifact_root(), "stream_drain", query_name)
-    shutil.rmtree(out, ignore_errors=True)
+    # Numbered run dirs: the returned frame is a LAZY parquet read, so a
+    # frame returned by the previous same-name drain must survive this
+    # one (df1 = drain(..); df2 = drain(..); df1.collect()). Keep the
+    # newest previous run's files, reclaim anything older.
+    base = os.path.join(artifact_root(), "stream_drain", query_name)
+    os.makedirs(base, exist_ok=True)
+    prev_runs = sorted((d for d in os.listdir(base) if d.isdigit()), key=int)
+    for d in prev_runs[:-1]:
+        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    out = os.path.join(base, str(int(prev_runs[-1]) + 1 if prev_runs else 0))
     write_mode = "overwrite" if output_mode == "complete" else "append"
 
     def _write_batch(batch_df: DataFrame, _epoch: int) -> None:

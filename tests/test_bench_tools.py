@@ -44,10 +44,16 @@ def test_compare_flags_violation(tmp_path):
 
 def test_compare_delta_floor_suppresses_noise(tmp_path):
     """A sub-second 2x exceedance within the min-delta floor is jitter,
-    not a regression (round-6 measured) — the gate must stay green."""
+    not a regression (round-6 measured) — the gate must stay green. The
+    fixture anchor must sit in [0.4, 0.9]: below that, +0.4 s over the
+    floor is >8x RAW and the catastrophic raw-factor bar correctly
+    fires instead (separate test below)."""
     anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
-    name, anchor = next(iter(anchors.items()))
-    eff = max(anchor, 1.0)
+    name = next((n for n, a in anchors.items() if 0.4 <= a <= 0.9), None)
+    if name is None:
+        import pytest
+        pytest.skip("no 0.4-0.9s anchor in ANCHORS.json")
+    eff = max(anchors[name], 1.0)
     r = _run({"sf": 0.1, "queries": {name: eff + 0.4}}, tmp_path)
     assert r.returncode == 0
     r2 = _run({"sf": 0.1, "queries": {name: eff + 0.4}}, tmp_path,
@@ -62,12 +68,13 @@ def test_compare_anchor_floor_policy(tmp_path):
     but must NOT violate (1.9 < 2 x 1.0); with --anchor-floor 0 the old
     raw behavior is restored and the same timing violates."""
     # bench_compare reads ANCHORS.json from the repo root, so drive the
-    # test through a real sub-second anchor from that file.
+    # test through a real sub-second anchor from that file — in the
+    # 0.4-0.9 band, where 1.9 s stays under the 8x raw-factor bar.
     anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
-    sub = next((n for n, a in anchors.items() if a < 0.9), None)
+    sub = next((n for n, a in anchors.items() if 0.4 <= a < 0.9), None)
     if sub is None:
         import pytest
-        pytest.skip("no sub-second anchor in ANCHORS.json")
+        pytest.skip("no 0.4-0.9s anchor in ANCHORS.json")
     r = _run({"sf": 0.1, "queries": {sub: 1.9}}, tmp_path)
     assert "VIOLATION" not in r.stdout and r.returncode == 0
     r2 = _run({"sf": 0.1, "queries": {sub: 1.9}}, tmp_path,
@@ -111,11 +118,55 @@ def test_compare_integer_flag_value_not_eaten_as_path(tmp_path):
 
 def test_compare_warn_tier_does_not_fail_gate(tmp_path):
     """Drift between warn-factor and factor prints a WARNING (so the
-    anchor-drift watch list is machine-visible) but exits 0."""
+    anchor-drift watch list is machine-visible) but exits 0. Fixture
+    anchor in the 0.4-0.9 band so the 2.8 s timing stays under the 8x
+    raw-factor bar (which is a violation tier by design)."""
     anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
-    name, anchor = next(iter(anchors.items()))
-    eff = max(anchor, 1.0)  # round-10 anchor-floor policy
+    name = next((n for n, a in anchors.items() if 0.4 <= a <= 0.9), None)
+    if name is None:
+        import pytest
+        pytest.skip("no 0.4-0.9s anchor in ANCHORS.json")
+    eff = max(anchors[name], 1.0)  # round-10 anchor-floor policy
     r = _run({"sf": 0.1, "queries": {name: eff * 1.8 + 1.0}}, tmp_path,
              extra=["--warn-factor", "1.5", "--factor", "99"])
     assert r.returncode == 0
     assert "WARNING" in r.stdout and name in r.stdout
+
+
+def test_compare_raw_factor_catches_catastrophic_subfloor_regression(tmp_path):
+    """The anchor floor must not hide a catastrophic regression of a
+    genuinely sub-second query: 1.9 s vs a 0.07 s-class anchor passes
+    the floored 2x bar but trips the raw-factor bar (>8x raw anchor and
+    >1 s over it)."""
+    anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
+    sub = next((n for n, a in anchors.items() if a < 0.2), None)
+    if sub is None:
+        import pytest
+        pytest.skip("no <0.2s anchor in ANCHORS.json")
+    r = _run({"sf": 0.1, "queries": {sub: 1.9}}, tmp_path)
+    assert r.returncode == 1 and "VIOLATION" in r.stdout
+    # a mild drift on the same query stays within the floored gate
+    r2 = _run({"sf": 0.1, "queries": {sub: 0.9}}, tmp_path)
+    assert r2.returncode == 0
+
+
+def test_round_gate_rejects_unknown_skip_flags():
+    """A typo like --skip-benchh must error out, not silently run the
+    10-minute gate it meant to skip; --skip-bench implies skipping
+    compare (it would judge a stale BENCH_FULL.json)."""
+    tool = os.path.join(REPO, "tools", "round_gate.py")
+    r = subprocess.run([sys.executable, tool, "--skip-benchh"],
+                       capture_output=True, text=True)
+    assert r.returncode == 2 and "unknown gate" in r.stdout
+    r2 = subprocess.run([sys.executable, tool, "oops"],
+                        capture_output=True, text=True)
+    assert r2.returncode == 2 and "unknown argument" in r2.stdout
+
+
+def test_gen_scaledata_rejects_label_colliding_tiles():
+    """--tiles 15 would derive the same sf1fresh* labels as tiles=10 and
+    silently overwrite the canonical 10x controls — must be rejected."""
+    tool = os.path.join(REPO, "tools", "gen_scaledata.py")
+    r = subprocess.run([sys.executable, tool, "--fresh-events",
+                        "--tiles", "15"], capture_output=True, text=True)
+    assert r.returncode != 0 and "multiple of 10" in (r.stdout + r.stderr)

@@ -34,6 +34,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ANCHORS = os.path.join(REPO, "ANCHORS.json")
 
+# Anchor-floor policy (BASELINE.md round-10): every anchor consumer
+# judges against max(recorded_min, ANCHOR_FLOOR) — sub-second recorded
+# minima are JIT-hot-era artifacts. SINGLE source of truth; the three
+# mirrors (bench.py warm-retry bar, tools/bench_compare.py gate default,
+# tools/triage_bench.py verdicts) import it from here so the policy
+# value cannot desynchronize.
+ANCHOR_FLOOR = 1.0
+
 # Explicit, explained re-anchors — applied LAST, unconditionally. The
 # min-of-history ratchet can only lower anchors; if a query ever drifts
 # for a proven environmental reason, record the new anchor here WITH its

@@ -41,7 +41,10 @@ def main() -> int:
                     help="ratio above which a query is WARNED (never fails "
                          "the gate) so drift is tracked before it trips the "
                          "hard bar; same --min-delta floor applies")
-    ap.add_argument("--anchor-floor", type=float, default=1.0,
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_anchors import ANCHOR_FLOOR
+
+    ap.add_argument("--anchor-floor", type=float, default=ANCHOR_FLOOR,
                     help="effective anchor = max(recorded, floor). Recorded "
                          "minima under ~1 s are era artifacts (JIT-hot "
                          "mid-bench positions; the rotation later moves the "
@@ -50,6 +53,15 @@ def main() -> int:
                          "fresh-session minimum is 1.3 s with unchanged "
                          "code. Policy + rationale: BASELINE.md round-10 "
                          "'Anchor-floor policy'.")
+    ap.add_argument("--raw-factor", type=float, default=8.0,
+                    help="catastrophic-regression bar judged against the "
+                         "RAW anchor (no floor): the floor grants every "
+                         "sub-second query a pass up to ~2 s, which is the "
+                         "right noise immunity (VM drift measures <=3x) but "
+                         "would also hide a 0.07 s query regressing to "
+                         "1.9 s. A timing above raw-factor x raw anchor AND "
+                         "1.0 s absolute over it violates regardless of the "
+                         "floor.")
     ns = ap.parse_args()
     factor, min_delta = ns.factor, ns.min_delta
     bench_path = ns.bench
@@ -68,16 +80,21 @@ def main() -> int:
 
     violations, warnings_, fresh = [], [], []
     for name, sec in sorted(timings.items()):
-        anchor = anchors.get(name)
-        if anchor is None:
+        raw = anchors.get(name)
+        if raw is None:
             fresh.append((name, sec))
             continue
-        anchor = max(anchor, ns.anchor_floor)
-        if sec - anchor > min_delta:
-            if sec > factor * anchor:
-                violations.append((name, sec, anchor, sec / anchor))
-            elif sec > ns.warn_factor * anchor:
-                warnings_.append((name, sec, anchor, sec / anchor))
+        anchor = max(raw, ns.anchor_floor)
+        if sec - anchor > min_delta and sec > factor * anchor:
+            violations.append((name, sec, anchor, sec / anchor))
+        elif sec > ns.raw_factor * raw and sec - raw > 1.0:
+            # catastrophic sub-floor regression: the floored check above
+            # passes, but an 8x-the-raw-anchor blowup is far outside VM
+            # drift (worst observed after warm retries: 3.75x) — a
+            # 0.07 s query at 1.9 s is a plan regression, not jitter.
+            violations.append((name, sec, raw, sec / raw))
+        elif sec - anchor > min_delta and sec > ns.warn_factor * anchor:
+            warnings_.append((name, sec, anchor, sec / anchor))
 
     for name, sec in fresh:
         print(f"NO-ANCHOR {name}: {sec:.2f}s (informational; "

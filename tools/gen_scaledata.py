@@ -270,10 +270,12 @@ def fresh_copurchase(tiles: int = 10) -> None:
         combo = ok * np.int64(pkey_span * tiles + 1) + (pk % (pkey_span * tiles + 1))
         _, keep = np.unique(combo, return_index=True)
         ok, pk = ok[keep], pk[keep]
+        # tmp + rename: same truncated-control guard as fresh_events
         pq.write_table(
             pa.table({"l_orderkey": pa.array(ok, type=pa.int64()),
                       "l_partkey": pa.array(pk, type=pa.int64())}),
-            f"{dst}/lineitem.parquet")
+            f"{dst}/lineitem.parquet.tmp")
+        os.replace(f"{dst}/lineitem.parquet.tmp", f"{dst}/lineitem.parquet")
         print(f"{label}/lineitem.parquet: {len(ok)} rows, "
               f"{n_ord * n_tiles} orders, {pkey_span * n_tiles} catalog slots")
 
@@ -370,6 +372,9 @@ def fresh_events(tiles: int = 10) -> None:
         order = np.argsort(tt, kind="stable")  # event_id follows ts order
         u, tt, ai = u[order], tt[order], ai[order]
         props = np.array(['{"k": %d}' % k for k in kprop[ai]], dtype=object)
+        # tmp + rename: the 1x control is reused across runs on bare
+        # existence, so a kill mid-write must never leave a truncated
+        # file that every later growth curve silently baselines against.
         pq.write_table(
             pa.table({
                 "event_id": pa.array(np.arange(len(u), dtype=np.int64)),
@@ -379,7 +384,8 @@ def fresh_events(tiles: int = 10) -> None:
                 "value": pa.array(val[ai], type=pa.float64()),
                 "props": pa.array(props.tolist(), type=pa.string()),
             }),
-            f"{dst}/events.parquet")
+            f"{dst}/events.parquet.tmp")
+        os.replace(f"{dst}/events.parquet.tmp", f"{dst}/events.parquet")
         print(f"{label}/events.parquet: {len(u)} rows, "
               f"{len(users) * n_tiles} users, window unchanged")
 
@@ -388,6 +394,11 @@ def main() -> None:
     tiles = 10
     if "--tiles" in sys.argv:
         tiles = int(sys.argv[sys.argv.index("--tiles") + 1])
+    if tiles < 10 or tiles % 10:
+        # the fresh-corpus labels derive as sf{tiles//10}…: tiles=15
+        # would silently overwrite the canonical 10x control with a 15x
+        # corpus and scale_curve would report it as the 10x point.
+        sys.exit(f"--tiles must be a multiple of 10 and >= 10, got {tiles}")
     if "--fresh-events" in sys.argv:
         fresh_events(tiles)
         return

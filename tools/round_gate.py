@@ -33,8 +33,6 @@ PY = sys.executable
 
 
 def main() -> int:
-    skip = {a.removeprefix("--skip-") for a in sys.argv[1:]
-            if a.startswith("--skip-")}
     gates: list[tuple[str, list[str]]] = [
         ("pytest", [PY, "-m", "pytest", "tests/", "-q"]),
         ("oracle", [PY, "tools/oracle_check.py", "/root/testdata/sf0.01"]),
@@ -44,10 +42,30 @@ def main() -> int:
         ("bench", [PY, "bench.py"]),
         ("compare", [PY, "tools/bench_compare.py"]),
     ]
+    names = {n for n, _ in gates}
+    skip = set()
+    for a in sys.argv[1:]:
+        if not a.startswith("--skip-"):
+            print(f"round_gate: unknown argument {a!r}")
+            return 2
+        g = a.removeprefix("--skip-")
+        if g not in names:  # a typo must not silently run a 10-min gate
+            print(f"round_gate: unknown gate {g!r} (gates: {sorted(names)})")
+            return 2
+        skip.add(g)
+    if "bench" in skip and "compare" not in skip:
+        # compare reads BENCH_FULL.json; without a fresh bench it would
+        # certify (or fail) the PREVIOUS round's run as if it were this
+        # code's — skip it too rather than judge stale timings.
+        print("round_gate: --skip-bench implies skipping compare "
+              "(it would judge a stale BENCH_FULL.json)")
+        skip.add("compare")
+
     results: dict[str, tuple[int, float, str]] = {}
     for name, cmd in gates:
         if name in skip:
-            results[name] = (0, 0.0, "SKIPPED by flag")
+            results[name] = (-1, 0.0, "SKIPPED by flag")
+            print(f"[skipped ] {name}")
             continue
         t0 = time.perf_counter()
         p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
@@ -61,8 +79,11 @@ def main() -> int:
             detail = (p.stdout + "\n" + p.stderr).strip().splitlines()[-15:]
             for line in detail:
                 print(f"    | {line}")
-    failed = [n for n, (rc, _, _) in results.items() if rc != 0]
-    print(f"round_gate: {len(gates) - len(failed)}/{len(gates)} gates green"
+    failed = [n for n, (rc, _, _) in results.items() if rc > 0]
+    skipped = sorted(n for n, (rc, _, _) in results.items() if rc == -1)
+    green = len(gates) - len(failed) - len(skipped)
+    print(f"round_gate: {green}/{len(gates)} gates green"
+          + (f"; SKIPPED: {skipped}" if skipped else "")
           + (f"; FAILED: {failed}" if failed else ""))
     return 1 if failed else 0
 

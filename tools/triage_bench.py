@@ -27,6 +27,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_anchors import ANCHOR_FLOOR  # noqa: E402 — shared policy value
 
 # Round-8 suspect list: the nine 1.5-1.9x warnings from the driver's
 # BENCH_r07 (VERDICT round 7, "What's wrong" item 2).
@@ -107,9 +110,9 @@ def main() -> int:
         anchor = anchors.get(name)
         # Anchor-floor policy (BASELINE.md round-10, mirrors
         # bench_compare --anchor-floor): ratios judge against
-        # max(recorded, 1.0 s) so sub-second era minima don't
+        # max(recorded, floor) so sub-second era minima don't
         # manufacture WARN verdicts a fresh session can never clear.
-        ratio = best / max(anchor, 1.0) if anchor else None
+        ratio = best / max(anchor, ANCHOR_FLOOR) if anchor else None
         verdict = ("ok" if ratio is None or ratio < 1.3
                    else "watch" if ratio < 1.5 else "WARN")
         out[name] = {
