@@ -128,6 +128,13 @@ def gopher_quality_flags(
 
     tk = tokens(text_col)
     d = df.withColumn("_tk", tk).withColumn("_ntok", F.size("_tk"))
+    # total token length as a materialized column: referencing the O(ntok)
+    # fold directly from BOTH band conditions of pass_r2 duplicated it in
+    # the executed plan (catalyst only CSEs cheap expressions across a
+    # collapsed projection); an attribute reference is always single-eval.
+    d = d.withColumn(
+        "_sumlen", F.aggregate(F.col("_tk"), F.lit(0), lambda a, t: a + F.length(t))
+    )
     # mode frequency without a groupBy: sort tokens, then the longest run
     # length == max frequency. aggregate keeps a (best, cur, prev) state.
     sorted_tk = F.array_sort("_tk")
@@ -144,9 +151,7 @@ def gopher_quality_flags(
         ),
         lambda acc: acc["best"],
     )
-    mean_wlen = F.aggregate(
-        F.col("_tk"), F.lit(0), lambda a, t: a + F.length(t)
-    ) / F.col("_ntok")
+    mean_wlen = F.col("_sumlen") / F.col("_ntok")
     return (
         d.withColumn("_maxfreq", run)
         .withColumn(
@@ -166,7 +171,7 @@ def gopher_quality_flags(
             "pass_all",
             F.col("pass_r1") & F.col("pass_r2") & F.col("pass_r3") & F.col("pass_r4"),
         )
-        .drop("_tk", "_maxfreq")
+        .drop("_tk", "_maxfreq", "_sumlen")
     )
 
 

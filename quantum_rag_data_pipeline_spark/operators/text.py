@@ -71,18 +71,45 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id(col: Column | str) -> Column:
     """Stopword-overlap language ID: score each language by the number of
     its stopwords present in the text, argmax with deterministic tie-break
-    (language code ascending), 'und' when no stopword hits at all."""
+    (language code ascending), 'und' when no stopword hits at all.
+
+    Expression shape matters here: catalyst does NOT common-subexpression
+    -eliminate inside lambda functions, so the obvious formulation (one
+    ``array_intersect(toks, …)`` per language + an outer ``WHEN best.score
+    > 0``) re-evaluated the whole tokenization 5x per language and the
+    whole fold twice — ~10 tokenizations per row in the executed plan
+    (round-10 finding). Two restructures keep every subexpression
+    single-evaluation:
+
+    * ``toks`` is lambda-BOUND via a 1-element ``aggregate`` (the only
+      way to "let-bind" a value inside a single Column), so the
+      split/filter/lower/distinct chain runs exactly once per row;
+    * the fold starts at ``(score=0, 'und')`` with a strict ``>`` — a
+      language with zero hits never beats the init, so the result is
+      plain ``best.code`` with no duplicating outer WHEN. Tie-break is
+      unchanged: first (lexicographically smallest) code at the max.
+    """
     toks = F.array_distinct(F.transform(tokens(col), lambda t: F.lower(t)))
-    scored = []
-    for code in sorted(LANG_STOPWORDS):
-        stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS[code]])
-        scored.append(F.struct(F.size(F.array_intersect(toks, stop)).alias("score"), F.lit(code).alias("code")))
-    # fold keeps the FIRST language hitting the max score → deterministic
-    # tie-break toward the lexicographically smallest code.
-    arr = F.array(*scored)
-    init = F.struct(F.lit(-1).alias("score"), F.lit("und").alias("code"))
-    best = F.aggregate(arr, init, lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc))
-    return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+    init = F.struct(F.lit(0).alias("score"), F.lit("und").alias("code"))
+
+    def _fold_langs(acc: Column, tk: Column) -> Column:
+        scored = F.array(*[
+            F.struct(
+                F.size(F.array_intersect(
+                    tk, F.array(*[F.lit(s) for s in LANG_STOPWORDS[code]])
+                )).alias("score"),
+                F.lit(code).alias("code"),
+            )
+            for code in sorted(LANG_STOPWORDS)
+        ])
+        # fold keeps the FIRST language strictly beating the running max →
+        # deterministic tie-break toward the lexicographically smallest code.
+        return F.aggregate(
+            scored, acc, lambda a, s: F.when(s["score"] > a["score"], s).otherwise(a)
+        )
+
+    best = F.aggregate(F.array(toks), init, _fold_langs)
+    return best["code"]
 
 
 def fingerprint(col: Column | str) -> Column:

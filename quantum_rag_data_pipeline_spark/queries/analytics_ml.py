@@ -788,40 +788,76 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
+    # SINGLE-PASS funnel: the naive form (five filtered aggregate branches
+    # over one lineage) re-executed the gopher tokenization + fingerprint
+    # chain once PER STAGE — 49 tokenize subtrees in the executed plan
+    # (round-10 audit), and caching the whole corpus is not a 100-TB
+    # answer. Instead every row carries its per-stage survival flags and
+    # ONE conditional aggregate produces all five (count, token-sum)
+    # pairs; the report rows are an inline unpivot of that single row.
+    # The heavy lineage now executes exactly twice: the main pass and
+    # decontaminate's train side (which must re-derive the dedup
+    # survivors' text — a second streaming scan, not a cache).
     flagged = cur_ops.gopher_quality_flags(d).withColumn(
         "f", text_ops.fingerprint("text")
     ).withColumn("b", cur_ops.hash_bucket("doc_id", 97, salt=13))
-    s1 = flagged
-    s2 = s1.filter(F.col("lang") == "en")
-    s3 = s2.filter("pass_all")
-    s4 = (
-        s3.withColumn("rn", F.row_number().over(Window.partitionBy("f").orderBy("doc_id")))
-        .filter(F.col("rn") == 1)
+    in2 = F.col("lang") == "en"
+    in3 = in2 & F.col("pass_all")
+    # keep-first dedup rank among STAGE-3 SURVIVORS only: partitioning by
+    # (in3, f) makes rank-within-(true, f) identical to the rank a window
+    # over the filtered s3 frame would assign; non-survivor rows get a
+    # rank in their own (false, f) partitions that no flag ever reads.
+    staged = (
+        flagged.withColumn("_in3", in3)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("_in3", "f").orderBy("doc_id")),
+        )
+        .select(
+            "doc_id", "text", "_ntok", "b",
+            in2.alias("_in2"), "_in3",
+            (F.col("_in3") & (F.col("rn") == 1)).alias("_in4"),
+            (F.col("_in3") & (F.col("rn") == 1) & (F.col("b") != 0)).alias("_intr"),
+        )
     )
     ev = d.filter(cur_ops.hash_bucket("doc_id", 97, salt=13) == 0)
-    train = s4.filter(F.col("b") != 0)
+    train = staged.filter(F.col("_intr")).select("doc_id", "text")
     contaminated = (
         cur_ops.decontaminate(train, ev, ngram=4, min_shared=1)
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
+        .withColumn("_contam", F.lit(True))
     )
-    s5 = train.join(contaminated, "doc_id", "left_anti")
+    marked = staged.join(contaminated, "doc_id", "left").select(
+        "_ntok", "_in2", "_in3", "_in4",
+        (F.col("_intr") & F.col("_contam").isNull()).alias("_in5"),
+    )
 
-    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
-        return df.agg(
+    def pair(flag, suffix: str):
+        cond = F.lit(True) if flag is None else F.col(flag)
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"c{suffix}"),
+            F.coalesce(F.sum(F.when(cond, F.col("_ntok"))), F.lit(0))
+            .cast("bigint").alias(f"t{suffix}"),
+        ]
+
+    one = marked.agg(*(
+        pair(None, "1") + pair("_in2", "2") + pair("_in3", "3")
+        + pair("_in4", "4") + pair("_in5", "5")
+    ))
+    rows = F.array(*[
+        F.struct(
             F.lit(no).cast("bigint").alias("stage_no"),
             F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum("_ntok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.col(f"c{no}").alias("n_docs"),
+            F.col(f"t{no}").alias("n_tokens"),
         )
-
-    out = stage(s1, 1, "raw")
-    for df, no, name in (
-        (s2, 2, "lang_en"), (s3, 3, "quality"), (s4, 4, "dedup"),
-        (s5, 5, "decontaminated"),
-    ):
-        out = out.unionByName(stage(df, no, name))
-    return out
+        for no, name in (
+            (1, "raw"), (2, "lang_en"), (3, "quality"),
+            (4, "dedup"), (5, "decontaminated"),
+        )
+    ])
+    return one.select(F.explode(rows).alias("s")).select("s.*")
 
 
 # ---------------------------------------------------------------------------
