@@ -637,8 +637,12 @@ def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-2.0) + F.lit(0.5) * mwl + F.lit(1.5) * ttr
         + F.lit(0.01) * ntok + F.lit(2.0) * stop_ratio
     )
-    scored = base.select(F.floor(logit * 4).cast("bigint").alias("score_bucket"),
-                         logit.alias("logit"))
+    # two-step projection: bucket + output both need the logit, and the
+    # inlined form evaluated the whole feature expression (mean-word-
+    # length fold included) twice per row (catalyst CSE stops at lambdas).
+    scored = base.select(logit.alias("logit")).select(
+        F.floor(F.col("logit") * 4).cast("bigint").alias("score_bucket"), "logit"
+    )
     return scored.groupBy("score_bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(

@@ -1060,14 +1060,18 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    toks = text_ops.tokens("text")
-    n_tok = F.size(toks)
+    # two-step projection: four derived columns reference the token array
+    # / count, and inlining the tokenize expression evaluated it 4x per
+    # row (catalyst CSE stops at lambdas).
+    n_tok = F.size("_tk")
     return d.select(
+        "doc_id", "text", text_ops.tokens("text").alias("_tk")
+    ).select(
         "doc_id",
         F.length("text").alias("q_n_chars"),
         n_tok.alias("q_n_tokens"),
         F.round(F.length("text").cast("double") / n_tok, 6).alias("q_chars_per_token"),
-        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 6).alias("q_distinct_ratio"),
+        F.round(F.size(F.array_distinct("_tk")).cast("double") / n_tok, 6).alias("q_distinct_ratio"),
     )
 
 

@@ -743,10 +743,17 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     with. Pure column arithmetic — bucketing is floor division, a
     partial-aggregable groupBy; no UDF, no driver collection."""
     d = _t(spark, sf_dir, "documents")
+    # two-step projection: bucket + n_tokens both need the token count,
+    # and referencing the tokenize expression twice in one select
+    # evaluates it twice per row (catalyst CSE stops at lambdas). A
+    # materialized column is referenced cheaply; CollapseProject keeps
+    # the split because the producer expression is non-cheap and
+    # multiply-referenced.
     n_tok = F.size(text_ops.tokens("text"))
-    b = F.least(F.floor(n_tok / 32).cast("int"), F.lit(15))
+    b = F.least(F.floor(F.col("n_tokens") / 32).cast("int"), F.lit(15))
     return (
-        d.select(b.alias("bucket"), n_tok.alias("n_tokens"))
+        d.select(n_tok.alias("n_tokens"))
+        .select(b.alias("bucket"), "n_tokens")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -921,14 +928,19 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal grid so the 3-term sum is partition-order independent; final
     ranking breaks float ties by doc_id."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", text_ops.tokens("text").alias("tok"))
-    dl = toks.select("doc_id", F.size("tok").alias("dl"))
+    dl = d.select("doc_id", F.size(text_ops.tokens("text")).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
+    # explode the tokenization INLINE, not via the `toks` attribute:
+    # InferFiltersFromGenerate skips non-attribute generator inputs, but
+    # on an attribute it adds size>0/isnotnull filters that push through
+    # the projection and SUBSTITUTE the tokenize expression — 3-4
+    # evaluations per row, one of them inside the parquet scan filter
+    # (round-10 expr_dup_audit finding).
     tf = (
-        toks.select("doc_id", F.explode("tok").alias("term"))
+        d.select("doc_id", F.explode(text_ops.tokens("text")).alias("term"))
         .select("doc_id", F.lower("term").alias("term"))
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
@@ -1584,7 +1596,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b",
             F.levenshtein("_ta", "_tb", 64).cast("int").alias("edit_dist"),
         )
-        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 64))
+        # banded levenshtein(a, b, 64) returns -1 for every distance above
+        # the bound, so `>= 0` alone keeps exactly the <= 64 pairs; the
+        # redundant second conjunct doubled the pushed-down DP evaluation
+        # (filter pushdown substitutes the alias into each conjunct).
+        .filter(F.col("edit_dist") >= 0)
     )
 
 

@@ -282,10 +282,16 @@ def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-only-shuffle shape as `dedup_exact`: text never leaves the
     map side."""
     d = _t(spark, sf_dir, "documents")
+    # materialize the token array once: both fingerprints referencing the
+    # tokenize expression directly evaluated it twice per row (catalyst
+    # CSE stops at lambdas; a multiply-referenced non-cheap alias keeps
+    # the projections un-collapsed).
     toks = d.select(
+        "doc_id", text_ops.tokens("text").alias("_tk")
+    ).select(
         "doc_id",
-        F.md5(F.array_join(F.array_sort(text_ops.tokens("text")), " ")).alias("bow_fp"),
-        F.md5(F.array_join(text_ops.tokens("text"), " ")).alias("exact_fp"),
+        F.md5(F.array_join(F.array_sort("_tk"), " ")).alias("bow_fp"),
+        F.md5(F.array_join("_tk", " ")).alias("exact_fp"),
     )
     groups = toks.groupBy("bow_fp").agg(
         F.count(F.lit(1)).alias("n_docs"),

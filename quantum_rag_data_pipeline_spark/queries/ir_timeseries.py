@@ -588,12 +588,14 @@ def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    toks = d.select("doc_id", text_ops.tokens("text").alias("tok"))
-    dl = toks.select("doc_id", F.size("tok").cast("bigint").alias("dl"))
+    dl = d.select("doc_id", F.size(text_ops.tokens("text")).cast("bigint").alias("dl"))
     dl = dl.cache()
     n = dl.agg(F.sum("dl").cast("bigint").alias("n_tokens"))
+    # inline explode — see bm25_keyword_search: an attribute input makes
+    # InferFiltersFromGenerate substitute the tokenization into pushed
+    # size>0/isnotnull filters, 3-4 evaluations per row.
     tf = (
-        toks.select("doc_id", F.explode("tok").alias("term"))
+        d.select("doc_id", F.explode(text_ops.tokens("text")).alias("term"))
         .select("doc_id", F.lower("term").alias("term"))
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")

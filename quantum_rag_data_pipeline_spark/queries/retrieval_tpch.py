@@ -1660,12 +1660,15 @@ def bigram_pmi_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     from pyspark.sql.window import Window
 
-    toks = d.select("doc_id", text_ops.tokens("text").alias("tk"))
-    uni = toks.select(F.explode("tk").alias("w"))
+    # inline explodes — see bm25_keyword_search: attribute-input generates
+    # get InferFiltersFromGenerate's size>0/isnotnull filters, which
+    # substitute the tokenization 3-4x per row per branch.
+    tk = text_ops.tokens("text")
+    uni = d.select(F.explode(tk).alias("w"))
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     n = ucnt.agg(F.sum("c").cast("bigint").alias("n"))
-    pos = toks.select("doc_id", F.posexplode("tk").alias("i", "w1"))
-    nxt = toks.select("doc_id", F.posexplode("tk").alias("i2", "w2"))
+    pos = d.select("doc_id", F.posexplode(tk).alias("i", "w1"))
+    nxt = d.select("doc_id", F.posexplode(tk).alias("i2", "w2"))
     bi = pos.join(
         nxt,
         (pos["doc_id"] == nxt["doc_id"]) & (nxt["i2"] == pos["i"] + 1),
