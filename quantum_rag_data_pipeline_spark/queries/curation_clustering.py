@@ -2735,23 +2735,72 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle ever meet) with the max_df=64 boilerplate cut bounding the
     candidate fan-out at corpus scale."""
     d = _t(spark, sf_dir, "documents")
-    # 3 consumers (sizes, both join sides) would re-evaluate the shingle
-    # explode 3x — same exchange-reuse miss fixed for the other dedup
-    # queries; one lazy localCheckpoint materializes it once.
-    idx = dedup_ops.shingle_index(d, n=5, max_df=64).cache()
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = idx.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = idx.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    from pyspark.sql.window import Window
+
+    # PREFIX FILTERING for containment (round 10): the full x full
+    # postings self-join generated every co-occurring pair; exactness
+    # only needs each doc's RAREST-FIRST PREFIX of length
+    # sz - ceil(t*sz) + 1 probed against the OTHER side's full postings.
+    # Proof: for a qualifying pair let A be the smaller set, so
+    # |A inter B| >= ceil(t*|A|); if A's prefix missed B entirely, the
+    # whole intersection would fit in A's suffix of ceil(t*|A|) - 1
+    # shingles — contradiction. Probing BOTH prefixes against both full
+    # sides is a superset of the smaller-side requirement, so no pair is
+    # lost. At t=0.8 the probe stream is ~20% of the postings — the same
+    # PPJoin idea ngram_jaccard_pairs uses, adapted to the asymmetric
+    # threshold. Same global rarest-first order ((df_count, shingle)
+    # structs), same one-window df computation, one cache for the three
+    # consumers (prefix probe, full side, verification sets).
+    raw = dedup_ops.tokenized(d, "text", "doc_id").select(
+        F.col("doc_id"), F.explode(dedup_ops.shingles_of_tokens(5)).alias("shingle")
+    )
+    idx = raw.withColumn(
+        "df_count", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).filter(F.col("df_count") <= 64)
+    packed = (
+        idx.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df_count", "shingle"))).alias("_ord"))
+        .select(
+            "doc_id",
+            F.transform("_ord", lambda s: s["shingle"]).alias("sh"),
+            F.size("_ord").alias("sz"),
+        )
+        .cache()
+    )
+    # epsilon only LENGTHENS the prefix (ceil(t*sz - eps) <= ceil(t*sz)),
+    # so exactness is preserved.
+    plen = F.col("sz") - F.ceil(F.col("sz") * 0.8 - 1e-9) + 1
+    prefix = packed.select(
+        "doc_id", F.explode(F.slice("sh", 1, plen.cast("int"))).alias("shingle")
+    )
+    full = packed.select(
+        F.col("doc_id").alias("fid"), F.explode("sh").alias("shingle")
+    )
+    cand = (
+        prefix.join(full, "shingle")
+        .filter(F.col("doc_id") != F.col("fid"))
+        .select(
+            F.least("doc_id", "fid").alias("id_a"),
+            F.greatest("doc_id", "fid").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets_ = packed.select("doc_id", "sh", "sz")
+    verified = (
+        cand.join(
+            sets_.select(F.col("doc_id").alias("id_a"),
+                         F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sets_.select(F.col("doc_id").alias("id_b"),
+                         F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     cont = F.col("inter").cast("double") / F.least(F.col("sz_a"), F.col("sz_b"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .filter(cont >= 0.8)
+        verified.filter(cont >= 0.8)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
