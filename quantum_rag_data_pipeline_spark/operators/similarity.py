@@ -60,20 +60,28 @@ def _is_unresolved_attr(jc) -> bool:
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product. With a known ``dim`` the sum is UNROLLED into plain
-    arithmetic — whole-stage-codegen'd, ~10× the throughput of the
-    higher-order ``aggregate`` fold, with the identical left-to-right
-    accumulation order (so results stay bit-equal to the fold and to a
-    sequential oracle).
+    """Dot product. With a known ``dim`` the sum is an index-fold over
+    ``sequence(1, dim)`` — BIT-IDENTICAL to the old fully-unrolled form
+    (same per-element CASTs, same left-to-right accumulation; IEEE
+    ``0.0 + x == x`` makes the fold init a no-op) and to a sequential
+    oracle, while honoring ``dim`` exactly (elements past ``dim`` are
+    ignored; out-of-bounds ``element_at`` nulls propagate the same way).
 
-    CONSTRUCTION cost matters too: building the ~380-node tree through
-    py4j is ~1.3 s of driver time PER CALL on this VM (~1.7 ms per round
-    trip), which round 5 measured as more than half of several vector
-    queries' wall time. When both inputs stringify to bare column names
-    the tree is built as ONE ``F.expr`` round trip (the JVM parses the
-    identical algebra) and memoized, so repeated dots over the same
-    columns — every bench run, every query re-invocation — are free.
-    Non-trivial input expressions fall back to the per-node build.
+    WHY NOT UNROLLED (round-10 re-measure): the ~190-node unrolled tree
+    for dim=64 compiles into a generated method past HotSpot's
+    huge-method JIT limit, so the hot projection runs INTERPRETED —
+    measured 44.9 s for 1.6M dots vs 11.5 s for this fold (and 9.2 s for
+    a zip_with fold, rejected: it reads the FULL arrays, silently
+    changing semantics for dim < len, and without per-element casts is
+    not bit-equal on float inputs). The round-5 claim that unrolling is
+    ~10x the fold was a plan-BUILD-era measurement that never isolated
+    execution at volume.
+
+    CONSTRUCTION cost matters too: when both inputs stringify to bare
+    column names the fold is built as ONE ``F.expr`` round trip and
+    memoized, so repeated dots over the same columns — every bench run,
+    every query re-invocation — are free. Non-trivial input expressions
+    fall back to the per-node build (a handful of nodes now, not ~380).
 
     CONTRACT for the fast path: name-based F.expr resolves by NAME, not
     by dataframe binding, so it is taken ONLY for unresolved attribute
@@ -84,7 +92,7 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     in scope — silently binds BOTH sides to the survivor and returns
     dot(v, v) (round-5 advisor finding). The per-node path keeps the
     bound references, so ``dot(a["v"], b["v"], d)`` across a join stays
-    correct; it just pays the slower tree build."""
+    correct."""
     if dim is not None:
         jc_a, jc_b = getattr(a, "_jc", None), getattr(b, "_jc", None)
         an = jc_a.toString() if jc_a is not None else ""
@@ -94,20 +102,18 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
             cache = _dot_cache_for_session()
             key = (an, bn, dim)
             if key not in cache:
-                cache[key] = F.expr(" + ".join(
-                    f"(CAST(element_at(`{an}`, {i + 1}) AS DOUBLE)"
-                    f" * CAST(element_at(`{bn}`, {i + 1}) AS DOUBLE))"
-                    for i in range(dim)
-                ))
+                cache[key] = F.expr(
+                    f"aggregate(sequence(1, {dim}), 0.0D, (acc, i) -> acc"
+                    f" + CAST(element_at(`{an}`, i) AS DOUBLE)"
+                    f" * CAST(element_at(`{bn}`, i) AS DOUBLE))"
+                )
             return cache[key]
-        terms = [
-            F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
-            for i in range(dim)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double"),
+        )
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
                        F.lit(0.0), lambda acc, v: acc + v)
 
@@ -946,15 +952,68 @@ def semdedup_prune(
 
     Returns (id, centroid_id, removed) — the per-document verdict frame
     a curation pipeline anti-joins against the corpus."""
+    # two consumers (the members join and the final verdict join) would
+    # re-run the whole E-step — two broadcast builds + the scored
+    # cross-join — per invocation; cache() materializes the (id, cluster)
+    # table once. It is the artifact a production SemDeDup run persists
+    # anyway (n rows x 16 bytes — the smallest frame in the pipeline).
+    # Same CacheManager lifetime caveat as ngram_jaccard_pairs.
+    import numpy as np
+
     assigned = assign_to_centroids(
         vectors, centroids, dim, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "centroid_id")
+    ).select(id_col, "centroid_id").cache()
     members = assigned.join(vectors.select(id_col, vec_col), id_col)
-    pairs = embedding_near_dup_pairs(
-        members, id_col=id_col, vec_col=vec_col,
-        threshold=threshold, block_col="centroid_id", dim=dim,
+    # Intra-cluster scan as ONE BLAS call per cluster (round 10): the
+    # clusters are natural applyInPandas groups, so the row-wise blocked
+    # self-join (vectors riding the exchange, one unrolled dot per pair)
+    # becomes a normalized gram matrix per group — the same prefilter +
+    # exact-rescore shape as embedding_near_dup_pairs_fast, with the
+    # diagonal-only case because pairs never cross clusters. The rescore
+    # recomputes candidates with the sequential unrolled dot at the TRUE
+    # threshold, so verdicts are bit-identical to the row-wise operator
+    # (the 1e-6 margin absorbs matmul reordering error). Cluster size is
+    # bounded by construction — SemDeDup scales k with n precisely so
+    # groups stay matmul-sized; a pathologically skewed cluster is the
+    # caller's k choice, not a shuffle artifact.
+    thr = threshold - 1e-6
+
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        ii, jj = np.nonzero(np.triu(Vn @ Vn.T >= thr, k=1))
+        if len(ii) == 0:
+            return empty
+        la, lb = ids[ii], ids[jj]
+        return pd.DataFrame({"id_a": np.minimum(la, lb),
+                             "id_b": np.maximum(la, lb)})
+
+    cand = (
+        members.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+                       "centroid_id")
+        .groupBy("centroid_id")
+        .applyInPandas(_cluster_pairs, "id_a long, id_b long")
     )
-    removed = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+    vecs = vectors.select(F.col(id_col), F.col(vec_col),
+                          norm(F.col(vec_col), dim).alias("_n"))
+    rescored = (
+        cand.join(vecs.select(F.col(id_col).alias("id_a"),
+                              F.col(vec_col).alias("vec_a"),
+                              F.col("_n").alias("n_a")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("vec_b"),
+                          F.col("_n").alias("n_b")), "id_b")
+        .filter(
+            dot(F.col("vec_a"), F.col("vec_b"), dim)
+            / (F.col("n_a") * F.col("n_b")) >= threshold
+        )
+    )
+    removed = rescored.select(F.col("id_b").alias(id_col)).distinct().withColumn(
         "_rm", F.lit(True)
     )
     return assigned.join(removed, id_col, "left").select(
