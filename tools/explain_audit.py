@@ -34,6 +34,9 @@ UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_fr
                 "group_trend_ols",
                 # round 4 wave: block-pair matmul candidate generation
                 "knn_graph_mutual", "knn_graph_incremental_parity",
+                # round 10: the intra-cluster scan is one BLAS gram per
+                # cluster (applyInPandas diagonal case + exact rescore)
+                "semdedup_prune",
                 # round 5: int-SRP bucket hashing feeds the LSH-bounded
                 # DBSCAN pair stage
                 "dbscan_core_border_noise",
