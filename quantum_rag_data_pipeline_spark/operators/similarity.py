@@ -213,7 +213,7 @@ def embedding_near_dup_pairs_fast(
     an executor. Each row is shuffled to B groups (volume n·B vectors) and
     each unordered ROW pair lands in exactly one group — exact coverage,
     nothing ever collected to the driver. Stage 2 recomputes the candidates'
-    cosine with the sequential unrolled dot and applies the true threshold,
+    cosine with the sequential index-fold dot and applies the true threshold,
     so output VALUES are bit-identical to the brute-force operator (matmul
     reordering only affects which pairs reach stage 2; ``margin`` absorbs
     its ~1e-12 error).
@@ -301,7 +301,7 @@ def knn_graph(
     score (pad absorbs the ~1e-12 matmul-vs-sequential reordering error
     at the k boundary), so the candidate shuffle carries n·B·(k+pad)
     ids — never vectors, never n². Candidates are then RESCORED with the
-    sequential unrolled dot and re-ranked globally, making the emitted
+    sequential index-fold dot and re-ranked globally, making the emitted
     scores and ranks bit-identical to a brute-force oracle."""
     cand = knn_candidates(df, k + pad, id_col, vec_col, n_blocks)
     return _knn_topk(_rescore(df, cand, dim, id_col, vec_col), k)
@@ -381,7 +381,7 @@ def _rescore(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact-score candidate (src, dst) pairs with the sequential
-    unrolled dot — scores bit-identical to a brute-force oracle
+    index-fold dot — scores bit-identical to a brute-force oracle
     regardless of how the candidates were produced."""
     vecs = df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col), dim).alias("_n"))
     a = vecs.select(F.col(id_col).alias("src"), F.col(vec_col).alias("vec_a"), F.col("_n").alias("n_a"))
@@ -546,7 +546,7 @@ def embedding_near_dup_pairs(
     ``block_col`` (e.g. an LSH bucket or cluster label) turns the O(n²)
     self-join into a per-block join; None = exact all-pairs (fine for
     dimension-sized corpora, NOT for 100 TB — use lsh buckets there).
-    Norms are computed once per ROW; each pair costs one unrolled dot.
+    Norms are computed once per ROW; each pair costs one index-fold dot.
     The probe side is repartitioned first — a cross/blocked join's
     parallelism is its streamed side's partition count, and a small
     parquet corpus arrives as ONE partition (one task doing n²/2 pairs).

@@ -1975,7 +1975,7 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM agree bit-for-bit — float Gaussian planes could flip signs at
     proj≈0 between BLAS and a SQL fold), candidates are same-(table,
     bucket) pairs via a shuffle EQUI-JOIN (no broadcast n² cross join),
-    scored once with the unrolled exact cosine, deduped on ids only
+    scored once with the exact index-fold cosine, deduped on ids only
     (vectors never ride the dedup exchange — the `lsh_bucket_topk`
     score-before-dedup trick). Per-pair collision prob at cos=0.30 is
     1-(1-p1^4)^8 ≈ 0.66 (p1 = 1-acos(0.30)/π ≈ 0.60), rising toward 1
