@@ -183,9 +183,16 @@ def main() -> None:
     # artifacts that manufacture phantom retries/warnings once the
     # rotation moves the query to the cold prefix. Mirrors
     # tools/bench_compare.py --anchor-floor.
+    # Suspicion matches BOTH of bench_compare's violation tiers: the
+    # floored warning bar AND the raw-anchor tier (8x raw + >1 s over) —
+    # without the second clause a sub-second-anchor query stalling to
+    # ~1.3 s was never retried yet still violated the raw tier (seen in
+    # the first round-10 full-gate run: three such, all 0.3-1.3x quiet).
     suspicious = [n for n, sec in timings.items()
-                  if n in anchors and sec > 1.5 * max(anchors[n], ANCHOR_FLOOR)
-                  and sec - max(anchors[n], ANCHOR_FLOOR) > 0.5]
+                  if n in anchors and (
+                      (sec > 1.5 * max(anchors[n], ANCHOR_FLOOR)
+                       and sec - max(anchors[n], ANCHOR_FLOOR) > 0.5)
+                      or (sec > 8.0 * anchors[n] and sec - anchors[n] > 1.0))]
     retried = []  # names whose kept timing came from the warm re-run
     pre_retry = {}  # name -> original paired-run minimum it replaced
     for name in suspicious:
@@ -208,7 +215,12 @@ def main() -> None:
                     pre_retry[name] = timings[name]
                 timings[name] = round(warm, 3)
             eff = max(anchors.get(name, 0.0), ANCHOR_FLOOR)
-            if timings[name] <= 1.5 * eff or timings[name] - eff <= 0.5:
+            raw = anchors.get(name, 0.0)
+            floored_ok = (timings[name] <= 1.5 * eff
+                          or timings[name] - eff <= 0.5)
+            raw_ok = (timings[name] <= 8.0 * raw
+                      or timings[name] - raw <= 1.0)
+            if floored_ok and raw_ok:
                 break
 
     total = round(sum(timings.values()), 3)

@@ -7,18 +7,19 @@
 Runs, in this order (fail-fast OFF — all gates always run so one broken
 gate doesn't hide another; exit code is nonzero if ANY failed):
 
-1. pytest tests/ -q                       (full suite)
-2. tools/oracle_check.py sf0.01           (327-query DuckDB oracle sweep)
-3. tools/verify_ledger.py --check         (rotation audit)
-4. tools/explain_audit.py                 (plan-shape audit, 0 flags)
-5. tools/replication_coverage.py          (0 unreplicated)
-6. bench.py                               (full sf0.1 bench -> BENCH_FULL)
-7. tools/bench_compare.py                 (anchor gate on that run)
+1. bench.py                               (full sf0.1 bench -> BENCH_FULL)
+2. tools/bench_compare.py                 (anchor gate on that run)
+3. pytest tests/ -q                       (full suite)
+4. tools/oracle_check.py sf0.01           (327-query DuckDB oracle sweep)
+5. tools/verify_ledger.py --check         (rotation audit)
+6. tools/explain_audit.py                 (plan-shape audit, 0 flags)
+7. tools/replication_coverage.py          (0 unreplicated)
 
-The bench and compare run LAST so their timings see a quiet VM only if
-the caller passes --skip-pytest/--skip-oracle and runs those
-separately; for gate purposes order does not matter because bench.py's
-warm-retry pass de-noises and the compare applies the anchor floor.
+Bench and compare run FIRST so the timing gates see the quietest VM the
+gate can offer (fresh JVM, no residual load). The original order ran
+them after ~25 min of pytest+oracle saturation and produced three
+load-shadow raw-tier violations that all quiet-triaged clean — the
+warm-retry pass cannot de-noise a shadow it runs inside of.
 """
 
 from __future__ import annotations
@@ -34,13 +35,21 @@ PY = sys.executable
 
 def main() -> int:
     gates: list[tuple[str, list[str]]] = [
+        # bench FIRST: the original order ran it after ~25 min of
+        # pytest+oracle saturation, and the load shadow put three
+        # sub-second queries at 1.2-3.5 s — raw-tier violations that all
+        # quiet-triaged to 0.3-1.3x (first round-10 full-gate run). The
+        # old docstring claimed order was immaterial because of the
+        # warm-retry pass; the retries run inside the same shadow, so it
+        # is not. Timing gates get the quiet VM; correctness gates don't
+        # care when they run.
+        ("bench", [PY, "bench.py"]),
+        ("compare", [PY, "tools/bench_compare.py"]),
         ("pytest", [PY, "-m", "pytest", "tests/", "-q"]),
         ("oracle", [PY, "tools/oracle_check.py", "/root/testdata/sf0.01"]),
         ("ledger", [PY, "tools/verify_ledger.py", "--check"]),
         ("explain", [PY, "tools/explain_audit.py"]),
         ("replication", [PY, "tools/replication_coverage.py"]),
-        ("bench", [PY, "bench.py"]),
-        ("compare", [PY, "tools/bench_compare.py"]),
     ]
     names = {n for n, _ in gates}
     skip = set()
