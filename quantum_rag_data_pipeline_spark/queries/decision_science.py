@@ -2001,50 +2001,93 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (counting e would add a second raw parquet scan per invocation)
     buckets = sim_ops.int_srp_buckets_udf(
         _DBSCAN_DIM, sim_ops.adaptive_planes(n_vecs), _DBSCAN_TABLES)
-    # IDS ONLY through the bucket join and the multi-table dedup — the
-    # first cut shuffled both 64-double vectors per candidate (~1 KB/row,
-    # 12 GB at sf0.1); pair ids are 16 bytes. The bucket table is
-    # checkpointed so the pandas UDF runs ONCE, not once per join side,
-    # and the symmetric relation is materialized one direction (pa < pb)
-    # and mirrored after scoring — half the dedup exchange, half the dots.
-    vb = v.select(
-        "vec_id", F.posexplode(buckets(F.col("vec"))).alias("t", "bucket")
+    # The membership table (id, vec, table, bucket) is materialized ONCE
+    # (the pandas bucket UDF runs once); columnar cache prunes `vec` out
+    # of the id-only consumers. Two consumers:
+    #  1. the ids-only candidate COUNT (the observable bound the bench
+    #     watches — the oracle's directed count is 2x the distinct
+    #     undirected set), and
+    #  2. the per-(table, bucket) BLAS prefilter.
+    mem = v.select(
+        "vec_id", "vec", F.posexplode(buckets(F.col("vec"))).alias("t", "bucket")
     ).cache()
-    cand = (
+    vb = mem.select("vec_id", "t", "bucket")
+    und = (
         vb.join(vb.select(F.col("vec_id").alias("pb"), "t", "bucket"),
                 ["t", "bucket"])
         .filter(F.col("vec_id") < F.col("pb"))
         .select(F.col("vec_id").alias("pa"), "pb")
         .dropDuplicates(["pa", "pb"])
     )
+    n_cand = und.agg(
+        (F.count(F.lit(1)) * 2).cast("bigint").alias("n_cand_pairs")
+    )
+    # SCORING (round 10): one normalized gram matrix per (table, bucket)
+    # group instead of one fold-dot per candidate row — at sf1 the old
+    # row-wise stage spent 58 s computing 14.3M exact cosines of which
+    # 98% were BELOW eps and contributed nothing to the classification
+    # (sub-eps rows add 0 to every n_eps sum and can never create a
+    # border). The BLAS prefilter keeps pairs >= eps - 1e-6 (the margin
+    # absorbs matmul reordering error), the exact sequential rescore
+    # applies the true eps, so every kept (pa, pb, cos) is bit-identical
+    # to the row-wise plan — the same prefilter + exact-rescore shape as
+    # embedding_near_dup_pairs_fast and semdedup. Classification
+    # equivalence of the >= eps-only sims: n_eps = 1 + count of >= eps
+    # rows either way, and a vector with only sub-eps candidates was
+    # non-core (n_eps = 1) and border-ineligible before. The shuffle
+    # carries n x tables vector rows into the groups — the documented
+    # n*B membership cost of the block-pair family.
+    import numpy as np
+    import pandas as pd
+
+    _thr = _DBSCAN_EPS - 1e-6
+
+    def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"pa": pd.Series(dtype="int64"),
+                              "pb": pd.Series(dtype="int64")})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        ii, jj = np.nonzero(np.triu(Vn @ Vn.T >= _thr, k=1))
+        if len(ii) == 0:
+            return empty
+        la, lb = ids[ii], ids[jj]
+        return pd.DataFrame({"pa": np.minimum(la, lb),
+                             "pb": np.maximum(la, lb)})
+
+    near = (
+        mem.groupBy("t", "bucket")
+        .applyInPandas(_bucket_pairs, "pa long, pb long")
+        .dropDuplicates(["pa", "pb"])
+    )
     va = v.select(F.col("vec_id").alias("pa"), "vec", "nrm")
     w = v.select(F.col("vec_id").alias("pb"), F.col("vec").alias("vec_b"),
                  F.col("nrm").alias("nrm_b"))
-    # EXPLICIT broadcast: cand is a checkpointed-lineage frame with no
-    # stats, so AQE assumes it is huge and picks sort-merge for BOTH
-    # joins (13.6 s for 1M pairs, measured); the vector side is the
-    # small one by construction. At 100 TB swap for a co-partitioned
-    # shuffle join on the id, or bucket-store the vectors
+    # EXPLICIT broadcast: near is a Python-stage frame with no stats, so
+    # AQE assumes it is huge and picks sort-merge for BOTH joins; the
+    # vector side is the small one by construction. At 100 TB swap for a
+    # co-partitioned shuffle join on the id, or bucket-store the vectors
     # (sinks/bucketed.py).
     half = (
-        cand.join(F.broadcast(va), "pa").join(F.broadcast(w), "pb")
+        near.join(F.broadcast(va), "pa").join(F.broadcast(w), "pb")
         .select(
             "pa", "pb",
             (sim_ops.dot(F.col("vec"), F.col("vec_b"), _DBSCAN_DIM)
              / (F.col("nrm") * F.col("nrm_b"))).alias("cos"),
         )
+        .filter(F.col("cos") >= _DBSCAN_EPS)
     )
     sims = half.unionByName(
         half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "cos")
     ).cache()
     neigh = sims.groupBy(F.col("pa").alias("vec_id")).agg(
-        (1 + F.sum(F.when(F.col("cos") >= _DBSCAN_EPS, 1).otherwise(0)))
-        .cast("bigint").alias("n_eps")
+        (1 + F.count(F.lit(1))).cast("bigint").alias("n_eps")
     )
     core = neigh.filter(F.col("n_eps") >= _DBSCAN_MINPTS).select("vec_id").cache()
     border = (
-        sims.filter(F.col("cos") >= _DBSCAN_EPS)
-        .join(F.broadcast(core.withColumnRenamed("vec_id", "pb")), "pb")
+        sims.join(F.broadcast(core.withColumnRenamed("vec_id", "pb")), "pb")
         .select(F.col("pa").alias("vec_id"))
         .join(F.broadcast(core), "vec_id", "left_anti")
         .distinct()
@@ -2062,7 +2105,6 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("is_border", F.lit(0))).cast("bigint").alias("n_border"),
         )
     )
-    n_cand = sims.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand_pairs"))
     return cls.crossJoin(F.broadcast(n_cand)).select(
         "n_points", "n_core", "n_border",
         (F.col("n_points") - F.col("n_core") - F.col("n_border"))
