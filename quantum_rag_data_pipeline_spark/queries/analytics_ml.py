@@ -840,7 +840,11 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pair(flag, suffix: str):
         cond = F.lit(True) if flag is None else F.col(flag)
         return [
-            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"c{suffix}"),
+            # coalesce like the token sums: SUM over zero rows is NULL,
+            # but the stage counts must stay 0 on an empty corpus (the
+            # pre-rewrite per-stage F.count semantics).
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("bigint").alias(f"c{suffix}"),
             F.coalesce(F.sum(F.when(cond, F.col("_ntok"))), F.lit(0))
             .cast("bigint").alias(f"t{suffix}"),
         ]

@@ -1999,31 +1999,40 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     n_vecs = v.count()  # drives the bucket schedule AND warms the cache
     # (counting e would add a second raw parquet scan per invocation)
+    import numpy as np
+    import pandas as pd
+
     buckets = sim_ops.int_srp_buckets_udf(
         _DBSCAN_DIM, sim_ops.adaptive_planes(n_vecs), _DBSCAN_TABLES)
-    # The membership table (id, vec, table, bucket) is materialized ONCE
-    # (the pandas bucket UDF runs once); columnar cache prunes `vec` out
-    # of the id-only consumers. Two consumers:
-    #  1. the ids-only candidate COUNT (the observable bound the bench
-    #     watches — the oracle's directed count is 2x the distinct
-    #     undirected set), and
-    #  2. the per-(table, bucket) BLAS prefilter.
-    mem = v.select(
-        "vec_id", "vec", F.posexplode(buckets(F.col("vec"))).alias("t", "bucket")
-    ).cache()
-    vb = mem.select("vec_id", "t", "bucket")
-    und = (
-        vb.join(vb.select(F.col("vec_id").alias("pb"), "t", "bucket"),
-                ["t", "bucket"])
-        .filter(F.col("vec_id") < F.col("pb"))
-        .select(F.col("vec_id").alias("pa"), "pb")
-        .dropDuplicates(["pa", "pb"])
+    # The membership table (id, vec, bks, table, bucket) feeds the ONE
+    # per-(t, bucket) pandas pass below; the bucket UDF's full per-table
+    # array rides beside the exploded rows as `bks` because the count
+    # needs the EARLIER tables' buckets inside each group.
+    mem = (
+        v.select("vec_id", "vec", buckets(F.col("vec")).alias("bks"))
+        .select("vec_id", "vec", "bks",
+                F.posexplode("bks").alias("t", "bucket"))
     )
-    n_cand = und.agg(
-        (F.count(F.lit(1)) * 2).cast("bigint").alias("n_cand_pairs")
-    )
-    # SCORING (round 10): one normalized gram matrix per (table, bucket)
-    # group instead of one fold-dot per candidate row — at sf1 the old
+    # n_cand_pairs WITHOUT materializing the pair set (round-11 judge
+    # item 3): the old bound was a bucket self-join producing every
+    # candidate OCCURRENCE (14.3M rows at sf1) followed by an ids-only
+    # distinct — ~20 of dbscan's 23 sf1 seconds spent counting a frozen
+    # observable. The distinct count is instead computed by FIRST-MATCH
+    # ATTRIBUTION, entirely inside the (t, bucket) groups the prefilter
+    # already shuffles: a colliding pair is counted exactly once, at the
+    # LOWEST table t where its buckets match — within the (t, bucket)
+    # group that is C(n,2) minus the pairs whose carried `bks` arrays
+    # already matched in some table t' < t (a vector sits in exactly one
+    # bucket per table, so "matched earlier" is a per-pair any-equal
+    # over the first t bucket ids — an O(n²·t) int comparison, ~1/20th
+    # the flops of the gram matmul the same groups already pay). The sum
+    # over all groups is EXACTLY the distinct undirected candidate
+    # count; x2 is the oracle's directed convention. No pair row ever
+    # rides a shuffle; the count's cost now scales with the occurrence
+    # work the prefilter does anyway instead of with a global distinct.
+    # SCORING (round 10) + the first-match count ride ONE pandas pass
+    # (round 11): each (t, bucket) group computes a normalized gram
+    # matrix instead of one fold-dot per candidate row — at sf1 the old
     # row-wise stage spent 58 s computing 14.3M exact cosines of which
     # 98% were BELOW eps and contributed nothing to the classification
     # (sub-eps rows add 0 to every n_eps sum and can never create a
@@ -2037,41 +2046,76 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-core (n_eps = 1) and border-ineligible before. The shuffle
     # carries n x tables vector rows into the groups — the documented
     # n*B membership cost of the block-pair family.
-    import numpy as np
-    import pandas as pd
-
     _thr = _DBSCAN_EPS - 1e-6
 
-    def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _bucket_scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame({"pa": pd.Series(dtype="int64"),
-                              "pb": pd.Series(dtype="int64")})
-        if len(pdf) < 2:
+                              "pb": pd.Series(dtype="int64"),
+                              "n_new": pd.Series(dtype="int64")})
+        n = len(pdf)
+        if n < 2:
             return empty
+        # first-match candidate count for this group: C(n,2) minus the
+        # pairs whose carried `bks` already matched in a table t' < t
+        total = n * (n - 1) // 2
+        t = int(pdf["t"].iloc[0])
+        if t == 0:
+            n_new = total
+        else:
+            E = np.stack(pdf["bks"].to_numpy()).astype(np.int64)[:, :t]
+            eq = np.zeros((n, n), dtype=bool)
+            for k in range(t):
+                col = E[:, k]
+                eq |= col[:, None] == col[None, :]
+            n_new = total - int(np.triu(eq, 1).sum())
+        cnt_row = pd.DataFrame({"pa": np.array([-1], dtype="int64"),
+                                "pb": np.array([-1], dtype="int64"),
+                                "n_new": np.array([n_new], dtype="int64")})
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         ii, jj = np.nonzero(np.triu(Vn @ Vn.T >= _thr, k=1))
         if len(ii) == 0:
-            return empty
+            return cnt_row
         la, lb = ids[ii], ids[jj]
-        return pd.DataFrame({"pa": np.minimum(la, lb),
-                             "pb": np.maximum(la, lb)})
+        pairs = pd.DataFrame({"pa": np.minimum(la, lb),
+                              "pb": np.maximum(la, lb),
+                              "n_new": np.zeros(len(la), dtype="int64")})
+        return pd.concat([pairs, cnt_row], ignore_index=True)
 
+    # Rows are either PREFILTER PAIRS (pa, pb, n_new=0) or ONE per-group
+    # COUNT row (pa=pb=-1 — vec_ids are nonnegative by the data
+    # contract, so the marker cannot collide; n_new = this group's
+    # first-match candidates). cache() because both the pair branch and
+    # the count branch of the single final plan consume it — uncached,
+    # the FlatMapGroupsInPandas subtree (the gram work) would execute
+    # once per consumer; the frame itself is eps-filtered-pairs-sized,
+    # the smallest materialization in the operator.
+    scan = mem.groupBy("t", "bucket").applyInPandas(
+        _bucket_scan, "pa long, pb long, n_new long").cache()
+    n_cand = scan.agg(
+        F.coalesce(F.sum("n_new") * 2, F.lit(0))
+        .cast("bigint").alias("n_cand_pairs")
+    )
     near = (
-        mem.groupBy("t", "bucket")
-        .applyInPandas(_bucket_pairs, "pa long, pb long")
+        scan.filter(F.col("pa") >= 0).select("pa", "pb")
         .dropDuplicates(["pa", "pb"])
     )
     va = v.select(F.col("vec_id").alias("pa"), "vec", "nrm")
     w = v.select(F.col("vec_id").alias("pb"), F.col("vec").alias("vec_b"),
                  F.col("nrm").alias("nrm_b"))
-    # EXPLICIT broadcast: near is a Python-stage frame with no stats, so
-    # AQE assumes it is huge and picks sort-merge for BOTH joins; the
-    # vector side is the small one by construction. At 100 TB swap for a
-    # co-partitioned shuffle join on the id, or bucket-store the vectors
-    # (sinks/bucketed.py).
+    # SIZE-ADAPTIVE broadcast (round-11 judge item 2): near is a
+    # Python-stage frame with no stats, so the planner would sort-merge
+    # BOTH joins; hinting the vector side is the fast shape at gate
+    # scales, but an UNCONDITIONAL hint on the full vector table is a
+    # hard executor OOM at the 100 TB target. The hint is now gated on
+    # n_vecs (already counted for the plane schedule) — above
+    # sim_ops.BROADCAST_MAX_ROWS the joins fall back to unhinted
+    # co-partitioned shuffle joins on the pair ids (values identical;
+    # both shapes measured at sf10fresh, BASELINE.md round 11).
     half = (
-        near.join(F.broadcast(va), "pa").join(F.broadcast(w), "pb")
+        near.join(sim_ops.adaptive_broadcast(va, n_vecs), "pa")
+        .join(sim_ops.adaptive_broadcast(w, n_vecs), "pb")
         .select(
             "pa", "pb",
             (sim_ops.dot(F.col("vec"), F.col("vec_b"), _DBSCAN_DIM)
@@ -2086,10 +2130,17 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + F.count(F.lit(1))).cast("bigint").alias("n_eps")
     )
     core = neigh.filter(F.col("n_eps") >= _DBSCAN_MINPTS).select("vec_id").cache()
+
+    # ids-only frames (core/border, <= n_vecs 8-byte rows) get the same
+    # n_vecs gate — conservative by ~64x on bytes, but one bound for the
+    # whole operator keeps the two plan shapes testable as a pair.
+    def _bc(df: DataFrame) -> DataFrame:
+        return sim_ops.adaptive_broadcast(df, n_vecs)
+
     border = (
-        sims.join(F.broadcast(core.withColumnRenamed("vec_id", "pb")), "pb")
+        sims.join(_bc(core.withColumnRenamed("vec_id", "pb")), "pb")
         .select(F.col("pa").alias("vec_id"))
-        .join(F.broadcast(core), "vec_id", "left_anti")
+        .join(_bc(core), "vec_id", "left_anti")
         .distinct()
     )
     # one classification frame -> ONE aggregate (the first cut ran four
@@ -2097,8 +2148,8 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-stage overhead, not data, is the cost)
     cls = (
         v.select("vec_id")
-        .join(F.broadcast(core.withColumn("is_core", F.lit(1))), "vec_id", "left")
-        .join(F.broadcast(border.withColumn("is_border", F.lit(1))), "vec_id", "left")
+        .join(_bc(core.withColumn("is_core", F.lit(1))), "vec_id", "left")
+        .join(_bc(border.withColumn("is_border", F.lit(1))), "vec_id", "left")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_points"),
             F.sum(F.coalesce("is_core", F.lit(0))).cast("bigint").alias("n_core"),

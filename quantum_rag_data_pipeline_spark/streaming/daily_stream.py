@@ -113,8 +113,13 @@ def drain_available_now(
     # Numbered run dirs: the returned frame is a LAZY parquet read, so a
     # frame returned by the previous same-name drain must survive this
     # one (df1 = drain(..); df2 = drain(..); df1.collect()). Keep the
-    # newest previous run's files, reclaim anything older.
-    base = os.path.join(artifact_root(), "stream_drain", query_name)
+    # newest previous run's files, reclaim anything older. The dir is
+    # namespaced by applicationId so two concurrent Spark sessions (a
+    # bench run plus a pytest run) draining the same query_name cannot
+    # race on run numbering or rmtree files backing the other session's
+    # still-live lazy frame; the survivor logic is per-session.
+    base = os.path.join(artifact_root(), "stream_drain",
+                        spark.sparkContext.applicationId, query_name)
     os.makedirs(base, exist_ok=True)
     prev_runs = sorted((d for d in os.listdir(base) if d.isdigit()), key=int)
     for d in prev_runs[:-1]:

@@ -78,7 +78,7 @@ def main() -> int:
         print(f"bench_compare: no timings in {bench_path}")
         return 2
 
-    violations, warnings_, fresh = [], [], []
+    violations, warnings_, drift, fresh = [], [], [], []
     for name, sec in sorted(timings.items()):
         raw = anchors.get(name)
         if raw is None:
@@ -95,10 +95,22 @@ def main() -> int:
             violations.append((name, sec, raw, sec / raw))
         elif sec - anchor > min_delta and sec > ns.warn_factor * anchor:
             warnings_.append((name, sec, anchor, sec / anchor))
+        elif raw < anchor and sec > factor * raw and sec - raw > min_delta:
+            # sub-floor drift tracking: the floor grants sub-second
+            # anchors noise immunity up to the hard tiers above, which
+            # also made genuine 2-8x regressions of that class invisible
+            # (a 0.9 s anchor at 1.9 s trips nothing). Keep them
+            # machine-visible vs the RAW anchor — informational only,
+            # never fails the gate, and counted apart from WARNING so
+            # the warn tier keeps its quiet-VM signal.
+            drift.append((name, sec, raw, sec / raw))
 
     for name, sec in fresh:
         print(f"NO-ANCHOR {name}: {sec:.2f}s (informational; "
               "bench_anchors.py --merge to adopt)")
+    for name, sec, raw, ratio in sorted(drift, key=lambda v: -v[3]):
+        print(f"DRIFT {name}: {sec:.2f}s vs raw anchor {raw:.2f}s "
+              f"({ratio:.2f}x; sub-floor, informational only)")
     for name, sec, anchor, ratio in sorted(warnings_, key=lambda v: -v[3]):
         print(f"WARNING {name}: {sec:.2f}s vs anchor {anchor:.2f}s "
               f"({ratio:.2f}x > {ns.warn_factor:.1f}x; gate passes, watch)")
@@ -107,7 +119,8 @@ def main() -> int:
               f"({ratio:.2f}x > {factor:.1f}x)")
     n_ok = len(timings) - len(violations) - len(fresh)
     print(f"bench_compare: {n_ok} within {factor:.1f}x anchor "
-          f"({len(warnings_)} warned > {ns.warn_factor:.1f}x), "
+          f"({len(warnings_)} warned > {ns.warn_factor:.1f}x, "
+          f"{len(drift)} sub-floor drift), "
           f"{len(violations)} violations, {len(fresh)} unanchored, "
           f"errors in run: {len(bench.get('errors') or {})}")
     return 1 if violations else 0
