@@ -160,6 +160,40 @@ def collect() -> dict[str, float]:
     return anchors
 
 
+def expired_overrides(bench: dict) -> list[tuple[str, float, float]]:
+    """OVERRIDES whose documented removal condition has been met by the
+    given bench run (round-10 judge item 4: each override carries a
+    prose "remove if a future full bench records <= X" condition that
+    nothing re-checked, so overrides could outlive their justification
+    and silently loosen the ratchet).
+
+    Every override's removal threshold IS the raw pre-override
+    min-of-history anchor — the value the override displaced — so the
+    check is uniform: the run's timing at or under ``collect()[name]``
+    means the old speed is back and the entry must be deleted this
+    round (the ratchet then re-lowers automatically). Warm-retry minima
+    are excluded as evidence for the same reason they never become
+    anchors: a JVM-hot retry is a one-sidedly easier measurement than
+    the cold-prefix run the anchor models.
+
+    Returns ``[(name, current_s, raw_min_s), ...]`` for met conditions.
+    """
+    timings = dict(bench.get("queries") or {})
+    for name in bench.get("warm_retry_minima") or []:
+        timings.pop(name, None)
+    raw = collect()
+    out = []
+    for name in sorted(OVERRIDES):
+        cur, raw_min = timings.get(name), raw.get(name)
+        # collect() already folds the run being judged in via
+        # BENCH_FULL.json when that is the compared file, so
+        # cur <= raw_min iff this run set/tied the all-time raw minimum
+        # — exactly "a future full bench records <= the old minimum".
+        if cur is not None and raw_min is not None and cur <= raw_min:
+            out.append((name, float(cur), float(raw_min)))
+    return out
+
+
 def main() -> int:
     anchors = collect()
     if "--merge" in sys.argv and os.path.exists(ANCHORS):
