@@ -786,44 +786,71 @@ def assign_to_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest-centroid assignment by cosine (the E-step of k-means /
-    the routing step of IVF indexing): broadcast the centroid table
-    (small by definition — k ≪ N), score every (vector, centroid) pair
-    map-side with the JVM dot product, argmax per vector with
-    ``max_by`` struct ordering — a partial-aggregable ONE-shuffle plan
-    on ``id_col`` only carrying (id, best_centroid, best_cos), never
-    the vectors. Deterministic tie-break: lowest centroid id wins.
+    the routing step of IVF indexing): the centroid table (small by
+    definition — k ≪ N, the in-driver-memory contract every production
+    k-means/IVF build makes) is collected once, sorted by centroid id,
+    and shipped to executors as ONE SparkContext-broadcast (k × dim)
+    float64 matrix; each Arrow batch of vectors then scores ALL
+    centroids in a single BLAS matmul inside ``mapInPandas``. NO
+    shuffle at all in the common case — the vectors are read, scored,
+    and reduced to (id, centroid, cos) within their input partitions.
+
+    Round 11: the previous shape (broadcast-join row fan-out, one JVM
+    fold-dot per (vector, centroid) pair, ``max_by`` argmax) was N·k
+    ArrayAggregate evaluations — higher-order functions never reach
+    whole-stage codegen, so at the sf10fresh control (200k × 800) the
+    E-step was ~21 CPU-minutes of interpreted fold in what the matmul
+    does in under a second. Verdict parity: argmax ties break toward
+    the lowest centroid id (centroids sorted ascending + first-hit
+    argmax); ``cos_sim`` is rounded half-away-from-zero to 6 dp in
+    float64 exactly like the ``F.round`` it replaces — the 6 dp grid is
+    the operator's established cross-engine tolerance (the DuckDB
+    oracle's ``list_dot_product`` sums in yet another order).
 
     This is also the building block for IVF ANN (cluster-route, then
     search within cluster) — see ``lsh_bucket_topk`` for the SRP
     alternative."""
-    # norms once per side, BEFORE the pair fan-out: one unrolled dot per
-    # scored pair keeps the projection inside whole-stage codegen (a
-    # fully-inlined cosine is ~3x the node count and trips the ~500-node
-    # codegen ceiling into interpreted eval).
-    c = centroids.select(
-        F.col(centroid_id), F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col), dim).alias("_cn"),
-    )
-    scored = df.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col), dim).alias("_vn")
-    ).crossJoin(F.broadcast(c)).select(
-        id_col,
-        centroid_id,
-        (dot(F.col(vec_col), F.col("_cvec"), dim)
-         / (F.col("_vn") * F.col("_cn"))).alias("cos"),
-    )
-    # max_by on a struct: (cos, -centroid_id) orders ties toward the
-    # smallest centroid id without a window shuffle-sort.
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.struct(F.col(centroid_id), F.col("cos")),
-            F.struct(F.col("cos"), (-F.col(centroid_id)).alias("neg")),
-        ).alias("_b")
-    )
-    return best.select(
-        id_col,
-        F.col("_b")[centroid_id].alias(centroid_id),
-        F.round(F.col("_b")["cos"], 6).alias("cos_sim"),
+    import numpy as np
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    crows = centroids.select(centroid_id, vec_col).orderBy(centroid_id).collect()
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    C = np.array([list(r[1])[:dim] for r in crows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = sc.broadcast((cids, Cn))
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    cid_t = centroids.schema[centroid_id].dataType.simpleString()
+
+    def _assign(batches):
+        b_cids, b_cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[:, :dim]
+            S = (V / np.linalg.norm(V, axis=1, keepdims=True)) @ b_cn.T
+            best = S.argmax(axis=1)
+            cos = S[np.arange(len(S)), best]
+            # F.round semantics: HALF_UP away from zero (np.round would
+            # be half-even); float64 throughout like the JVM expression.
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                centroid_id: b_cids[best],
+                                "cos_sim": cos})
+
+    src = df.select(id_col, vec_col)
+    # The gate corpora are single-row-group parquet files, which Spark
+    # cannot split — a CPU-bound map stage would run as ONE task. Fan
+    # out to the executor width when the source is under-partitioned;
+    # the shuffle moves each vector once and the O(k) matmul per row
+    # dwarfs it. A 100 TB source already has thousands of splits and
+    # must NOT be repartitioned down: the branch only ever widens.
+    target = sc.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(
+        _assign, f"{id_col} {id_t}, {centroid_id} {cid_t}, cos_sim double"
     )
 
 
