@@ -1992,10 +1992,20 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norm once per VECTOR, not per pair: cosine() with three inlined
     # unrolled dots (~390 expr nodes) blows the whole-stage-codegen limit
     # into interpreted eval — the exact 10x trap lsh_bucket_topk documents.
+    # The cast is materialized in a CHILD projection and the norm fold
+    # reads the bare `vec` attribute (round 11): written inline —
+    # norm(cast(embedding)) — the ARRAY cast sits inside the fold body
+    # and interpreted ArrayAggregate re-evaluates it on EVERY element
+    # access: O(dim²) castArray calls + one array allocation per step,
+    # ~8k interpreted ops/row (jstack at the sf10fresh cache build: one
+    # 428 s task). Two selects keep it O(dim): Catalyst's
+    # CollapseProject will not inline a non-cheap expression referenced
+    # more than once, and `vec` is referenced three times here.
     v = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"),
-        sim_ops.norm(F.col("embedding").cast("array<double>"), _DBSCAN_DIM)
-        .alias("nrm"),
+    ).select(
+        "vec_id", "vec",
+        sim_ops.norm(F.col("vec"), _DBSCAN_DIM).alias("nrm"),
     ).cache()
     n_vecs = v.count()  # drives the bucket schedule AND warms the cache
     # (counting e would add a second raw parquet scan per invocation)
@@ -2048,18 +2058,26 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n*B membership cost of the block-pair family.
     _thr = _DBSCAN_EPS - 1e-6
 
+    _thr_hi = _DBSCAN_EPS + 1e-6
+
     def _bucket_scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame({"pa": pd.Series(dtype="int64"),
                               "pb": pd.Series(dtype="int64"),
-                              "n_new": pd.Series(dtype="int64")})
+                              "n_new": pd.Series(dtype="int64"),
+                              "ok": pd.Series(dtype="bool")})
         n = len(pdf)
         if n < 2:
             return empty
-        # first-match candidate count for this group: C(n,2) minus the
-        # pairs whose carried `bks` already matched in a table t' < t
+        # first-match attribution: pairs whose carried `bks` already
+        # matched in a table t' < t belong to an earlier group — both
+        # the candidate COUNT and the pair EMISSION below exclude them,
+        # so every colliding pair is counted AND emitted exactly once
+        # corpus-wide (no global dropDuplicates shuffle; at the
+        # sf10fresh control that dedup alone carried ~10⁸ id pairs).
         total = n * (n - 1) // 2
         t = int(pdf["t"].iloc[0])
         if t == 0:
+            earlier = None
             n_new = total
         else:
             E = np.stack(pdf["bks"].to_numpy()).astype(np.int64)[:, :t]
@@ -2067,64 +2085,77 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(t):
                 col = E[:, k]
                 eq |= col[:, None] == col[None, :]
+            earlier = eq
             n_new = total - int(np.triu(eq, 1).sum())
         cnt_row = pd.DataFrame({"pa": np.array([-1], dtype="int64"),
                                 "pb": np.array([-1], dtype="int64"),
-                                "n_new": np.array([n_new], dtype="int64")})
+                                "n_new": np.array([n_new], dtype="int64"),
+                                "ok": np.zeros(1, dtype="bool")})
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        ii, jj = np.nonzero(np.triu(Vn @ Vn.T >= _thr, k=1))
+        G = Vn @ Vn.T
+        keep = np.triu(G >= _thr, k=1)
+        if earlier is not None:
+            keep &= ~earlier
+        ii, jj = np.nonzero(keep)
         if len(ii) == 0:
             return cnt_row
         la, lb = ids[ii], ids[jj]
+        # MARGIN-SPLIT verdict (round 11): gram and the exact JVM fold
+        # differ by matmul reordering only (≪1e-9 at dim 64), so a pair
+        # with gram ≥ eps+1e-6 is CONFIRMED ≥ eps without ever touching
+        # the interpreted per-pair dot — at the sf10fresh fresh corpus
+        # ~1% of ALL n² pairs clear eps (~1.6e8), and rescoring each at
+        # ~7 µs of interpreted ArrayAggregate was the measured
+        # scale-killer. Only the ±1e-6 boundary band (normally empty)
+        # takes the exact rescore, keeping verdicts bit-identical.
         pairs = pd.DataFrame({"pa": np.minimum(la, lb),
                               "pb": np.maximum(la, lb),
-                              "n_new": np.zeros(len(la), dtype="int64")})
+                              "n_new": np.zeros(len(la), dtype="int64"),
+                              "ok": G[ii, jj] >= _thr_hi})
         return pd.concat([pairs, cnt_row], ignore_index=True)
 
-    # Rows are either PREFILTER PAIRS (pa, pb, n_new=0) or ONE per-group
-    # COUNT row (pa=pb=-1 — vec_ids are nonnegative by the data
-    # contract, so the marker cannot collide; n_new = this group's
-    # first-match candidates). cache() because both the pair branch and
-    # the count branch of the single final plan consume it — uncached,
+    # Rows are either PREFILTER PAIRS (pa, pb, n_new=0, ok=confirmed) or
+    # ONE per-group COUNT row (pa=pb=-1 — vec_ids are nonnegative by the
+    # data contract, so the marker cannot collide; n_new = this group's
+    # first-match candidates). cache() because the count branch and the
+    # two pair branches of the single final plan consume it — uncached,
     # the FlatMapGroupsInPandas subtree (the gram work) would execute
     # once per consumer; the frame itself is eps-filtered-pairs-sized,
     # the smallest materialization in the operator.
     scan = mem.groupBy("t", "bucket").applyInPandas(
-        _bucket_scan, "pa long, pb long, n_new long").cache()
+        _bucket_scan, "pa long, pb long, n_new long, ok boolean").cache()
     n_cand = scan.agg(
         F.coalesce(F.sum("n_new") * 2, F.lit(0))
         .cast("bigint").alias("n_cand_pairs")
     )
-    near = (
-        scan.filter(F.col("pa") >= 0).select("pa", "pb")
-        .dropDuplicates(["pa", "pb"])
-    )
+    near = scan.filter(F.col("pa") >= 0).select("pa", "pb", "ok")
     va = v.select(F.col("vec_id").alias("pa"), "vec", "nrm")
     w = v.select(F.col("vec_id").alias("pb"), F.col("vec").alias("vec_b"),
                  F.col("nrm").alias("nrm_b"))
-    # SIZE-ADAPTIVE broadcast (round-11 judge item 2): near is a
-    # Python-stage frame with no stats, so the planner would sort-merge
-    # BOTH joins; hinting the vector side is the fast shape at gate
-    # scales, but an UNCONDITIONAL hint on the full vector table is a
-    # hard executor OOM at the 100 TB target. The hint is now gated on
+    # SIZE-ADAPTIVE broadcast (round-11 judge item 2): the marginal-band
+    # frame is a Python-stage frame with no stats, so the planner would
+    # sort-merge BOTH joins; hinting the vector side is the fast shape
+    # at gate scales, but an UNCONDITIONAL hint on the full vector table
+    # is a hard executor OOM at the 100 TB target. The hint is gated on
     # n_vecs (already counted for the plane schedule) — above
     # sim_ops.BROADCAST_MAX_ROWS the joins fall back to unhinted
     # co-partitioned shuffle joins on the pair ids (values identical;
     # both shapes measured at sf10fresh, BASELINE.md round 11).
-    half = (
-        near.join(sim_ops.adaptive_broadcast(va, n_vecs), "pa")
+    half_marginal = (
+        near.filter(~F.col("ok")).select("pa", "pb")
+        .join(sim_ops.adaptive_broadcast(va, n_vecs), "pa")
         .join(sim_ops.adaptive_broadcast(w, n_vecs), "pb")
-        .select(
-            "pa", "pb",
+        .filter(
             (sim_ops.dot(F.col("vec"), F.col("vec_b"), _DBSCAN_DIM)
-             / (F.col("nrm") * F.col("nrm_b"))).alias("cos"),
+             / (F.col("nrm") * F.col("nrm_b"))) >= _DBSCAN_EPS
         )
-        .filter(F.col("cos") >= _DBSCAN_EPS)
+        .select("pa", "pb")
     )
+    half = near.filter(F.col("ok")).select("pa", "pb").unionByName(half_marginal)
     sims = half.unionByName(
-        half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "cos")
+        half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     ).cache()
     neigh = sims.groupBy(F.col("pa").alias("vec_id")).agg(
         (1 + F.count(F.lit(1))).cast("bigint").alias("n_eps")

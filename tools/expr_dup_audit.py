@@ -48,6 +48,38 @@ MARKERS = {
 }
 
 
+def _array_cast_in_lambda(line: str) -> int:
+    """Count ARRAY casts nested inside higher-order-function bodies on
+    one plan line. Round 11: ``norm(col.cast("array<double>"), dim)``
+    put the array cast INSIDE the fold — interpreted ArrayAggregate
+    re-evaluates every non-lambda subexpression on each element access,
+    so the whole-array cast (an O(dim) loop plus an allocation) ran
+    once per fold STEP: O(dim²) per row, a 428 s single task at the
+    sf10fresh control. The duplicate-marker scan above cannot see it
+    (one textual occurrence), so it gets its own structural check:
+    a ``cast( ... as array<`` whose span lies inside the balanced-paren
+    extent of an ``aggregate(``/``transform(`` call."""
+    n = 0
+    for hof in ("aggregate(", "transform("):
+        start = 0
+        while True:
+            i = line.find(hof, start)
+            if i < 0:
+                break
+            depth, j = 0, i + len(hof) - 1
+            while j < len(line):
+                if line[j] == "(":
+                    depth += 1
+                elif line[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            n += line.count(" as array<", i, j)
+            start = i + 1
+    return n
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     threshold = 2
@@ -107,6 +139,11 @@ def main() -> int:
             if node_max >= threshold:
                 total = plan.count(marker)
                 hits.append(f"{marker_name} x{node_max}/node (x{total} plan-wide)")
+        # structural check, threshold-independent: ONE occurrence is
+        # already an O(dim²)-per-row bug (see _array_cast_in_lambda)
+        cast_max = max((_array_cast_in_lambda(ln) for ln in lines), default=0)
+        if cast_max >= 1:
+            hits.append(f"array_cast_in_lambda x{cast_max}/node")
         if hits:
             flagged += 1
             print(f"DUP   {name}: " + "; ".join(hits))
