@@ -183,7 +183,7 @@ def brute_force_topk(
 
 
 def _auto_blocks(n_rows: int, n_part: int, target_rows: int = 1024,
-                 max_rows: int = 65536) -> int:
+                 max_rows: int = 8192) -> int:
     """Data-aware block count for the block-pair BLAS decompositions.
 
     The round-5 default (B = ceil(sqrt(2 * shuffle_partitions)), i.e. 8 on
@@ -195,10 +195,17 @@ def _auto_blocks(n_rows: int, n_part: int, target_rows: int = 1024,
     superset only grows as B shrinks). Three constraints, applied in
     order:
 
-    - floor ceil(n/max_rows): a block PAIR (2 * n/B * dim doubles) must
-      fit executor memory — this is what grows B at 100 TB, where a
-      production deployment would read n from table stats instead of a
-      count();
+    - floor ceil(n/max_rows): the binding footprint is NOT the block
+      pair's input vectors (2 * n/B * dim doubles — megabytes) but the
+      (n/B)² float64 GRAM MATRIX the pandas worker builds, TIMES the
+      concurrent worker count. Round 11 measured the old 65,536 cap at
+      the sf10fresh control (200k vectors, B=8): 25k-row blocks → 5 GB
+      gram per group × 19 concurrent workers + the 48g driver JVM =
+      global OOM kill. 8,192-row blocks bound the gram at 512 MB
+      (≤ ~1.5 GB/worker with argpartition temps; 32 workers ≈ 48 GB —
+      fits beside the JVM here, and the same per-executor arithmetic
+      holds on a real cluster, where this floor is what grows B at
+      100 TB and n comes from table stats instead of a count());
     - cap ceil(n/target_rows): never split a corpus into blocks smaller
       than a BLAS-worthy slice — small corpora get 1-2 blocks and the
       per-group overhead disappears;
@@ -382,7 +389,13 @@ def knn_candidates(
             kk = min(keep, sims.shape[1])
             if kk <= 0:
                 return (np.empty(0, np.int64), np.empty(0, np.int64))
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # partition ASCENDING and take the tail: `-sims` would copy
+            # the full gram slice — at the 8k-row block cap that is an
+            # extra 512 MB temp per worker, and this closure runs on up
+            # to 32 workers at once (candidate set is identical either
+            # way; order within the kept kk is irrelevant, every
+            # candidate is exact-rescored and re-ranked globally)
+            idx = np.argpartition(sims, sims.shape[1] - kk, axis=1)[:, -kk:]
             srcs = np.repeat(src_ids, kk)
             return (srcs, dst_ids[idx.ravel()])
 
@@ -493,7 +506,10 @@ def cross_topk_candidates(
 
         def row_topk(sims, src_ids, dst_ids):
             kk = min(keep, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] if kk < sims.shape[1] \
+            # ascending partition + tail slice: no `-sims` full-gram
+            # copy (see knn_candidates.row_topk)
+            idx = np.argpartition(sims, sims.shape[1] - kk, axis=1)[:, -kk:] \
+                if kk < sims.shape[1] \
                 else np.tile(np.arange(sims.shape[1]), (sims.shape[0], 1))
             return (np.repeat(src_ids, idx.shape[1]), dst_ids[idx.ravel()])
 
