@@ -316,6 +316,40 @@ def embedding_near_dup_pairs_fast(
     )
 
 
+def _seq_norms(V: "np.ndarray", dim: int) -> "np.ndarray":
+    """Exact sequential norms, vectorized ACROSS rows: one IEEE float64
+    ``acc + v*v`` per element in index order — the same op sequence as
+    the JVM ``norm()`` fold (float32→float64 widening is exact, numpy
+    elementwise add/mul and sqrt are the same correctly-rounded IEEE
+    ops), so the results are bit-identical to the engine's column
+    expression."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0])
+    for i in range(dim):
+        c = V[:, i]
+        acc = acc + c * c
+    return np.sqrt(acc)
+
+
+def _seq_cos(A: "np.ndarray", Bm: "np.ndarray", rows: "np.ndarray",
+             cols: "np.ndarray", na: "np.ndarray", nb: "np.ndarray",
+             dim: int) -> "np.ndarray":
+    """Exact sequential cosine for the (rows[i], cols[i]) pairs —
+    left-to-right ``acc + a[j]*b[j]`` accumulation in index order, then
+    ``d / (na * nb)``: op-for-op the plan ``dot(a,b,dim)/(norm*norm)``
+    computes, hence bit-identical scores without shipping vectors
+    through a rescore join (the join attached 512-byte vectors to every
+    candidate row — ~100 GB of shuffle at the 200k-vector control)."""
+    import numpy as np
+
+    Av, Bv = A[rows], Bm[cols]
+    acc = np.zeros(len(rows))
+    for i in range(dim):
+        acc = acc + Av[:, i] * Bv[:, i]
+    return acc / (na[rows] * nb[cols])
+
+
 def knn_graph(
     df: DataFrame,
     k: int = 5,
@@ -339,8 +373,8 @@ def knn_graph(
     ids — never vectors, never n². Candidates are then RESCORED with the
     sequential index-fold dot and re-ranked globally, making the emitted
     scores and ranks bit-identical to a brute-force oracle."""
-    cand = knn_candidates(df, k + pad, id_col, vec_col, n_blocks)
-    return _knn_topk(_rescore(df, cand, dim, id_col, vec_col), k)
+    return _knn_topk(knn_candidates(df, k + pad, id_col, vec_col,
+                                    n_blocks, dim), k)
 
 
 def knn_candidates(
@@ -349,12 +383,20 @@ def knn_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Within-set candidate generation for the kNN graph: per node the
-    top ``keep`` neighbors by matmul cosine from each block-pair BLAS
-    slice (each node pair meets in exactly one slice). Callers rescore
-    with ``_rescore`` + ``_knn_topk``. B defaults to the data-aware
-    ``_auto_blocks`` (see its docstring for the exactness argument)."""
+    """Within-set SCORED candidate generation for the kNN graph: per
+    node the top ``keep`` neighbors by matmul cosine from each
+    block-pair BLAS slice (each node pair meets in exactly one slice),
+    each kept pair carrying its EXACT sequential cosine computed in the
+    same worker (``_seq_cos`` — bit-identical to the plan-side
+    ``dot/(norm·norm)`` fold). Round 11 moved scoring in-pass: the old
+    ``_rescore`` stage joined every candidate row against the vector
+    table twice, attaching 512-byte vectors to ~n·B·keep rows — ~100 GB
+    of shuffle and a measured 20.9x third-decade exponent; in-worker
+    scoring ships only (src, dst, cos_sim). Callers rank with
+    ``_knn_topk``. B defaults to the data-aware ``_auto_blocks`` (see
+    its docstring for the exactness argument)."""
     import numpy as np
 
     spark = df.sparkSession
@@ -376,7 +418,9 @@ def knn_candidates(
     mem = mem_a.unionByName(mem_b)
 
     def find_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+        empty = pd.DataFrame({"src": pd.Series(dtype="int64"),
+                              "dst": pd.Series(dtype="int64"),
+                              "cos_sim": pd.Series(dtype="float64")})
         a = pdf[pdf["_side"] == "a"]
         b = pdf[pdf["_side"] == "b"]
         if len(a) == 0:
@@ -384,8 +428,11 @@ def knn_candidates(
         ids_a = a["_id"].to_numpy(dtype=np.int64)
         A = np.stack(a["_vec"].to_numpy()).astype(np.float64)
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        d_eff = dim if dim is not None else A.shape[1]
+        na = _seq_norms(A, d_eff)
 
-        def row_topk(sims: np.ndarray, src_ids: np.ndarray, dst_ids: np.ndarray) -> tuple:
+        def row_topk(sims: np.ndarray) -> tuple:
+            """(src_idx, dst_idx) of the per-row top ``keep`` columns."""
             kk = min(keep, sims.shape[1])
             if kk <= 0:
                 return (np.empty(0, np.int64), np.empty(0, np.int64))
@@ -394,45 +441,34 @@ def knn_candidates(
             # extra 512 MB temp per worker, and this closure runs on up
             # to 32 workers at once (candidate set is identical either
             # way; order within the kept kk is irrelevant, every
-            # candidate is exact-rescored and re-ranked globally)
+            # candidate carries its exact score and re-ranks globally)
             idx = np.argpartition(sims, sims.shape[1] - kk, axis=1)[:, -kk:]
-            srcs = np.repeat(src_ids, kk)
-            return (srcs, dst_ids[idx.ravel()])
+            return (np.repeat(np.arange(sims.shape[0]), kk), idx.ravel())
 
         if len(b):  # cross pair: candidates in BOTH directions
             ids_b = b["_id"].to_numpy(dtype=np.int64)
             Bm = np.stack(b["_vec"].to_numpy()).astype(np.float64)
             Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+            nb = _seq_norms(Bm, d_eff)
             S = An @ Bn.T
-            s1, d1 = row_topk(S, ids_a, ids_b)
-            s2, d2 = row_topk(S.T, ids_b, ids_a)
-            src, dst = np.concatenate([s1, s2]), np.concatenate([d1, d2])
+            i1, j1 = row_topk(S)
+            i2, j2 = row_topk(S.T)
+            src = np.concatenate([ids_a[i1], ids_b[i2]])
+            dst = np.concatenate([ids_b[j1], ids_a[j2]])
+            cos = np.concatenate([_seq_cos(A, Bm, i1, j1, na, nb, d_eff),
+                                  _seq_cos(Bm, A, i2, j2, nb, na, d_eff)])
         else:  # diagonal: within-block, self excluded via -inf
             S = An @ An.T
             np.fill_diagonal(S, -np.inf)
-            src, dst = row_topk(S, ids_a, ids_a)
+            ii, jj = row_topk(S)
+            src, dst = ids_a[ii], ids_a[jj]
+            cos = _seq_cos(A, A, ii, jj, na, na, d_eff)
         if len(src) == 0:
             return empty
-        return pd.DataFrame({"src": src, "dst": dst})
+        return pd.DataFrame({"src": src, "dst": dst, "cos_sim": cos})
 
-    return mem.groupBy("pid").applyInPandas(find_candidates, "src long, dst long")
-
-
-def _rescore(
-    df: DataFrame, cand: DataFrame, dim: int | None,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
-    """Exact-score candidate (src, dst) pairs with the sequential
-    index-fold dot — scores bit-identical to a brute-force oracle
-    regardless of how the candidates were produced."""
-    vecs = df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col), dim).alias("_n"))
-    a = vecs.select(F.col(id_col).alias("src"), F.col(vec_col).alias("vec_a"), F.col("_n").alias("n_a"))
-    b = vecs.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vec_b"), F.col("_n").alias("n_b"))
-    return (
-        cand.join(a, "src").join(b, "dst")
-        .withColumn("cos_sim", dot(F.col("vec_a"), F.col("vec_b"), dim) / (F.col("n_a") * F.col("n_b")))
-        .select("src", "dst", "cos_sim")
-    )
+    return mem.groupBy("pid").applyInPandas(
+        find_candidates, "src long, dst long, cos_sim double")
 
 
 def _knn_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -454,15 +490,19 @@ def cross_topk_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Blocked cross-set candidate generation: per LEFT row the top
-    ``keep`` RIGHT rows by matmul cosine, and per RIGHT row the top
+    """Blocked cross-set SCORED candidate generation: per LEFT row the
+    top ``keep`` RIGHT rows by matmul cosine, and per RIGHT row the top
     ``keep`` LEFT rows — both directions from ONE pass over the
     B_L×B_R block-pair grid (each cross row pair is scored in exactly
-    one BLAS slice). The shuffle carries (|L|+|R|)·B·keep id pairs,
-    never vectors. Ids must be disjoint across the two sides. B defaults
-    to ``_auto_blocks`` on the LARGER side (the B×B grid's per-group
-    cost is bounded by the bigger block)."""
+    one BLAS slice), each kept pair carrying its exact sequential
+    cosine (``_seq_cos``, bit-identical to the plan-side fold — see
+    ``knn_candidates`` for why scoring moved in-pass). The shuffle
+    carries (|L|+|R|)·B·keep scored id pairs, never vectors. Ids must
+    be disjoint across the two sides. B defaults to ``_auto_blocks`` on
+    the LARGER side (the B×B grid's per-group cost is bounded by the
+    bigger block)."""
     import numpy as np
 
     spark = left.sparkSession
@@ -491,7 +531,9 @@ def cross_topk_candidates(
     )
 
     def find(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+        empty = pd.DataFrame({"src": pd.Series(dtype="int64"),
+                              "dst": pd.Series(dtype="int64"),
+                              "cos_sim": pd.Series(dtype="float64")})
         a = pdf[pdf["_side"] == "a"]
         b = pdf[pdf["_side"] == "b"]
         if len(a) == 0 or len(b) == 0:
@@ -502,23 +544,32 @@ def cross_topk_candidates(
         Bm = np.stack(b["_vec"].to_numpy()).astype(np.float64)
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
         Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+        d_eff = dim if dim is not None else A.shape[1]
+        na, nb = _seq_norms(A, d_eff), _seq_norms(Bm, d_eff)
         S = An @ Bn.T
 
-        def row_topk(sims, src_ids, dst_ids):
+        def row_topk(sims):
             kk = min(keep, sims.shape[1])
             # ascending partition + tail slice: no `-sims` full-gram
             # copy (see knn_candidates.row_topk)
             idx = np.argpartition(sims, sims.shape[1] - kk, axis=1)[:, -kk:] \
                 if kk < sims.shape[1] \
                 else np.tile(np.arange(sims.shape[1]), (sims.shape[0], 1))
-            return (np.repeat(src_ids, idx.shape[1]), dst_ids[idx.ravel()])
+            return (np.repeat(np.arange(sims.shape[0]), idx.shape[1]),
+                    idx.ravel())
 
-        s1, d1 = row_topk(S, ids_a, ids_b)
-        s2, d2 = row_topk(S.T, ids_b, ids_a)
-        return pd.DataFrame({"src": np.concatenate([s1, s2]),
-                             "dst": np.concatenate([d1, d2])})
+        i1, j1 = row_topk(S)
+        i2, j2 = row_topk(S.T)
+        return pd.DataFrame({
+            "src": np.concatenate([ids_a[i1], ids_b[i2]]),
+            "dst": np.concatenate([ids_b[j1], ids_a[j2]]),
+            "cos_sim": np.concatenate([
+                _seq_cos(A, Bm, i1, j1, na, nb, d_eff),
+                _seq_cos(Bm, A, i2, j2, nb, na, d_eff)]),
+        })
 
-    return mem.groupBy("pid").applyInPandas(find, "src long, dst long")
+    return mem.groupBy("pid").applyInPandas(
+        find, "src long, dst long, cos_sim double")
 
 
 def knn_graph_incremental(
@@ -558,21 +609,20 @@ def knn_graph_incremental(
     b_old = _auto_blocks(n_old, n_part)
     b_new = _auto_blocks(n_new, n_part)
     b_cross = _auto_blocks(max(n_old, n_new), n_part)
-    old_scored = _rescore(
-        old_df, knn_candidates(old_df, keep, id_col, vec_col, n_blocks=b_old),
-        dim, id_col, vec_col)
+    old_scored = knn_candidates(old_df, keep, id_col, vec_col,
+                                n_blocks=b_old, dim=dim)
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     stored = (
         old_scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k).select("src", "dst", "cos_sim")
     )
     # Fresh work — the only scoring the incremental update pays for:
-    # old×new both directions + new×new, candidates only.
-    fresh_cand = cross_topk_candidates(old_df, new_df, keep, id_col, vec_col,
-                                       n_blocks=b_cross) \
-        .unionByName(knn_candidates(new_df, keep, id_col, vec_col, n_blocks=b_new))
-    full = old_df.unionByName(new_df)
-    fresh_scored = _rescore(full, fresh_cand, dim, id_col, vec_col)
+    # old×new both directions + new×new, each pair scored exactly in
+    # the worker that computed its gram slice (see knn_candidates).
+    fresh_scored = cross_topk_candidates(old_df, new_df, keep, id_col, vec_col,
+                                         n_blocks=b_cross, dim=dim) \
+        .unionByName(knn_candidates(new_df, keep, id_col, vec_col,
+                                    n_blocks=b_new, dim=dim))
     # Branches are pairwise disjoint (old->old vs old->new vs new->old vs
     # new->new), so the union needs no dedup before the final top-k.
     return _knn_topk(stored.unionByName(fresh_scored), k)
