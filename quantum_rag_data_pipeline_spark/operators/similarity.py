@@ -350,6 +350,79 @@ def _seq_cos(A: "np.ndarray", Bm: "np.ndarray", rows: "np.ndarray",
     return acc / (na[rows] * nb[cols])
 
 
+def _chunked_pair_topk(An: "np.ndarray", Bn: "np.ndarray", keep: int,
+                       diagonal: bool, chunk: int = 1024):
+    """Per-row top-``keep`` gram neighbors for A rows (and, for cross
+    groups, per-row top-``keep`` for B rows) computed from CHUNK×n_b
+    gram slices — the full n_a×n_b gram is NEVER materialized.
+
+    Why chunk instead of one BLAS call + argpartition: the binding cost
+    on this rig is not flops but FRESH RSS GROWTH. Measured round 11:
+    first-touch page faults run at ~20 MB/s per core and cap at
+    ~0.2 GB/s aggregate across 32 concurrent workers, while same-size
+    realloc cycles run at >5 GB/s. A full 8192² float64 gram plus
+    argpartition's same-shape int64 output plus the S.T partition copy
+    grows each worker ~2 GB — at the measured fault rate that is
+    ~300 s of kernel time per pass, dwarfing the ~40 s of matmul (the
+    sf10fresh control measured 768 s where the arithmetic predicts
+    <100 s). Chunked slices keep every temp at chunk×n_b (~64 MB),
+    repeated-size across chunks and groups, so the worker reaches
+    steady-state allocation after its first slice. The same arithmetic
+    holds for real executors: peak-RSS-per-task is the number a 100-TB
+    cluster sizes its executor memory by, and bounding it decouples
+    worker memory from the block size entirely.
+
+    Candidate SETS are unchanged: each A row still keeps its exact
+    top-``keep`` gram columns (diagonal groups exclude self), and each
+    B row its top-``keep`` A rows via a running k-way merge across
+    chunks. Returns (rows_a, cols_a) for diagonal groups, plus
+    (rows_b, cols_b) for cross groups — all index pairs into An/Bn."""
+    import numpy as np
+
+    n_a, n_b = An.shape[0], Bn.shape[0]
+    kk_a = min(keep, n_b - 1 if diagonal else n_b)
+    kk_b = 0 if diagonal else min(keep, n_a)
+    e = np.empty(0, np.int64)
+    if kk_a <= 0 and kk_b <= 0:
+        return (e, e) if diagonal else (e, e, e, e)
+    rows_a, cols_a = [], []
+    best_s = best_i = None
+    for off in range(0, n_a, chunk):
+        Ac = An[off:off + chunk]
+        S_c = Ac @ Bn.T
+        m = S_c.shape[0]
+        if diagonal:
+            S_c[np.arange(m), np.arange(off, off + m)] = -np.inf
+        if kk_a > 0:
+            idx = np.argpartition(S_c, n_b - kk_a, axis=1)[:, -kk_a:]
+            rows_a.append(np.repeat(np.arange(off, off + m), kk_a))
+            cols_a.append(idx.ravel())
+        if kk_b > 0:
+            gi = np.broadcast_to(np.arange(off, off + m)[:, None], S_c.shape)
+            if best_s is None:
+                cat_s, cat_i = S_c, gi
+            else:
+                cat_s = np.concatenate([best_s, S_c], axis=0)
+                cat_i = np.concatenate([best_i, gi], axis=0)
+            if cat_s.shape[0] > kk_b:
+                sel = np.argpartition(cat_s, cat_s.shape[0] - kk_b,
+                                      axis=0)[-kk_b:, :]
+                best_s = np.take_along_axis(cat_s, sel, axis=0)
+                best_i = np.take_along_axis(cat_i, sel, axis=0)
+            else:
+                best_s = cat_s.copy()
+                best_i = np.ascontiguousarray(cat_i)
+    ra = np.concatenate(rows_a) if rows_a else e
+    ca = np.concatenate(cols_a) if cols_a else e
+    if diagonal:
+        return ra, ca
+    if kk_b <= 0 or best_i is None:
+        return ra, ca, e, e
+    rb = np.repeat(np.arange(n_b), best_i.shape[0])
+    cb = best_i.T.ravel()
+    return ra, ca, rb, cb
+
+
 def knn_graph(
     df: DataFrame,
     k: int = 5,
@@ -431,36 +504,18 @@ def knn_candidates(
         d_eff = dim if dim is not None else A.shape[1]
         na = _seq_norms(A, d_eff)
 
-        def row_topk(sims: np.ndarray) -> tuple:
-            """(src_idx, dst_idx) of the per-row top ``keep`` columns."""
-            kk = min(keep, sims.shape[1])
-            if kk <= 0:
-                return (np.empty(0, np.int64), np.empty(0, np.int64))
-            # partition ASCENDING and take the tail: `-sims` would copy
-            # the full gram slice — at the 8k-row block cap that is an
-            # extra 512 MB temp per worker, and this closure runs on up
-            # to 32 workers at once (candidate set is identical either
-            # way; order within the kept kk is irrelevant, every
-            # candidate carries its exact score and re-ranks globally)
-            idx = np.argpartition(sims, sims.shape[1] - kk, axis=1)[:, -kk:]
-            return (np.repeat(np.arange(sims.shape[0]), kk), idx.ravel())
-
         if len(b):  # cross pair: candidates in BOTH directions
             ids_b = b["_id"].to_numpy(dtype=np.int64)
             Bm = np.stack(b["_vec"].to_numpy()).astype(np.float64)
             Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
             nb = _seq_norms(Bm, d_eff)
-            S = An @ Bn.T
-            i1, j1 = row_topk(S)
-            i2, j2 = row_topk(S.T)
+            i1, j1, i2, j2 = _chunked_pair_topk(An, Bn, keep, diagonal=False)
             src = np.concatenate([ids_a[i1], ids_b[i2]])
             dst = np.concatenate([ids_b[j1], ids_a[j2]])
             cos = np.concatenate([_seq_cos(A, Bm, i1, j1, na, nb, d_eff),
                                   _seq_cos(Bm, A, i2, j2, nb, na, d_eff)])
-        else:  # diagonal: within-block, self excluded via -inf
-            S = An @ An.T
-            np.fill_diagonal(S, -np.inf)
-            ii, jj = row_topk(S)
+        else:  # diagonal: within-block, self excluded
+            ii, jj = _chunked_pair_topk(An, An, keep, diagonal=True)
             src, dst = ids_a[ii], ids_a[jj]
             cos = _seq_cos(A, A, ii, jj, na, na, d_eff)
         if len(src) == 0:
@@ -546,20 +601,7 @@ def cross_topk_candidates(
         Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
         d_eff = dim if dim is not None else A.shape[1]
         na, nb = _seq_norms(A, d_eff), _seq_norms(Bm, d_eff)
-        S = An @ Bn.T
-
-        def row_topk(sims):
-            kk = min(keep, sims.shape[1])
-            # ascending partition + tail slice: no `-sims` full-gram
-            # copy (see knn_candidates.row_topk)
-            idx = np.argpartition(sims, sims.shape[1] - kk, axis=1)[:, -kk:] \
-                if kk < sims.shape[1] \
-                else np.tile(np.arange(sims.shape[1]), (sims.shape[0], 1))
-            return (np.repeat(np.arange(sims.shape[0]), idx.shape[1]),
-                    idx.ravel())
-
-        i1, j1 = row_topk(S)
-        i2, j2 = row_topk(S.T)
+        i1, j1, i2, j2 = _chunked_pair_topk(An, Bn, keep, diagonal=False)
         return pd.DataFrame({
             "src": np.concatenate([ids_a[i1], ids_b[i2]]),
             "dst": np.concatenate([ids_b[j1], ids_a[j2]]),
