@@ -335,10 +335,12 @@ def test_auto_blocks_regimes():
     # big-enough data: the round-5 parallelism rule sqrt(2*n_part)
     assert _auto_blocks(20000, 32) == 8       # sf1 regime unchanged
     assert _auto_blocks(20000, 200) == 20
-    # huge corpus: the memory floor ceil(n/65536) dominates
-    assert _auto_blocks(10_000_000, 32) == 153
+    # huge corpus: the memory floor ceil(n/8192) dominates (round 11:
+    # the floor budgets the worker's gram-slice footprint, measured at
+    # the 200k sf10fresh control — see _auto_blocks docstring)
+    assert _auto_blocks(10_000_000, 32) == 1221
     # floor never exceeds what the cap allows going UP (floor > cap case)
-    assert _auto_blocks(65536 * 4, 2) == 4
+    assert _auto_blocks(8192 * 4, 2) == 4
 
 
 def test_knn_graph_invariant_to_block_count(spark, sf_dir):
