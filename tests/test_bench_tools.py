@@ -174,32 +174,41 @@ def test_compare_subfloor_drift_is_visible_but_informational(tmp_path):
 
 def test_override_expiry_warns_and_never_fails(tmp_path):
     """Round-10 judge item 4: every OVERRIDES entry's removal condition
-    ("remove if a future full bench records <= the raw minimum it
-    displaced") is now machine-checked per compare run. A run at the raw
-    minimum prints OVERRIDE-EXPIRED (exit still 0 — warning, not gate);
-    a run above it stays silent; a warm-retry minimum is not accepted
-    as evidence (same policy as anchor adoption)."""
+    ("remove if a future full bench records <= the displaced minimum
+    its prose names, recorded in REMOVAL_THRESHOLDS") is machine-
+    checked per compare run. A run at the threshold prints
+    OVERRIDE-EXPIRED (exit still 0 — warning, not gate); a run above
+    it stays silent; a warm-retry minimum is not accepted as evidence
+    (same policy as anchor adoption). Round 11: the condition compares
+    against the EXPLICIT documented threshold, not collect()'s raw
+    min-of-history — for queries whose historical runs were all
+    warm-retry minima, the reconstruction's only raw record is the run
+    being judged, which made the old uniform rule expire overrides on
+    every run (false positive caught on the first real bench)."""
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import bench_anchors
 
     if not bench_anchors.OVERRIDES:
         import pytest
         pytest.skip("no live OVERRIDES to audit")
-    raw = bench_anchors.collect()
-    name = next(n for n in bench_anchors.OVERRIDES if n in raw)
-    hit = _run({"sf": 0.1, "queries": {name: raw[name]}}, tmp_path)
+    # every override must carry its documented removal threshold
+    assert set(bench_anchors.OVERRIDES) == set(
+        bench_anchors.REMOVAL_THRESHOLDS)
+    name = next(iter(sorted(bench_anchors.OVERRIDES)))
+    thr = bench_anchors.REMOVAL_THRESHOLDS[name]
+    hit = _run({"sf": 0.1, "queries": {name: thr}}, tmp_path)
     assert hit.returncode == 0, hit.stdout + hit.stderr
     assert f"OVERRIDE-EXPIRED {name}" in hit.stdout
-    miss = _run({"sf": 0.1, "queries": {name: raw[name] + 0.5}}, tmp_path)
+    miss = _run({"sf": 0.1, "queries": {name: thr + 0.5}}, tmp_path)
     assert "OVERRIDE-EXPIRED" not in miss.stdout
-    warm = _run({"sf": 0.1, "queries": {name: raw[name]},
+    warm = _run({"sf": 0.1, "queries": {name: thr},
                  "warm_retry_minima": [name]}, tmp_path)
     assert "OVERRIDE-EXPIRED" not in warm.stdout
 
-    # unit-level: the helper reports (name, current, raw_min) triples
+    # unit-level: the helper reports (name, current, threshold) triples
     got = bench_anchors.expired_overrides(
-        {"queries": {name: raw[name] - 0.01}})
-    assert (name, raw[name] - 0.01, raw[name]) in [
+        {"queries": {name: thr - 0.01}})
+    assert (name, round(thr - 0.01, 3), thr) in [
         (n, round(c, 3), r) for n, c, r in got]
 
 

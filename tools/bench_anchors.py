@@ -112,6 +112,26 @@ OVERRIDES: dict[str, float] = {
     "graph_connected_components": 2.39,
 }
 
+# The displaced minimum each override's prose names in its "remove if a
+# future full bench records <= X" condition. Kept EXPLICIT because the
+# raw min-of-history reconstruction (collect()) cannot recover these
+# for queries whose historical runs were warm-retry minima (excluded
+# from _timings by design): for such names collect()'s raw min IS the
+# run being judged, and "cur <= raw_min" would expire the override on
+# every run — round-11 false positive caught on the first full bench
+# after the audit landed (quantile 1.37 s flagged against a documented
+# 0.856 s condition). Must cover every OVERRIDES key; a KeyError here
+# means a new override was added without recording its condition.
+REMOVAL_THRESHOLDS: dict[str, float] = {
+    "mmr_diversified_rerank": 0.909,
+    "quantile_transform_scaler": 0.856,
+    "hits_hubs_authorities": 1.041,
+    "streaming_sessionization": 1.02,
+    "streaming_watermark_append_semantics": 1.03,
+    "streaming_sliding_window": 0.946,
+    "graph_connected_components": 1.916,
+}
+
 
 def _timings(path: str) -> dict[str, float]:
     try:
@@ -167,30 +187,27 @@ def expired_overrides(bench: dict) -> list[tuple[str, float, float]]:
     nothing re-checked, so overrides could outlive their justification
     and silently loosen the ratchet).
 
-    Every override's removal threshold IS the raw pre-override
-    min-of-history anchor — the value the override displaced — so the
-    check is uniform: the run's timing at or under ``collect()[name]``
-    means the old speed is back and the entry must be deleted this
-    round (the ratchet then re-lowers automatically). Warm-retry minima
-    are excluded as evidence for the same reason they never become
-    anchors: a JVM-hot retry is a one-sidedly easier measurement than
-    the cold-prefix run the anchor models.
+    Each override's removal threshold is the displaced minimum its
+    prose names, recorded explicitly in ``REMOVAL_THRESHOLDS`` (the
+    min-of-history reconstruction cannot recover it for names whose
+    historical runs were warm-retry minima — see that dict's comment).
+    A run's timing at or under the threshold means the old speed is
+    back and the entry must be deleted this round (the ratchet then
+    re-lowers automatically). Warm-retry minima are excluded as
+    evidence for the same reason they never become anchors: a JVM-hot
+    retry is a one-sidedly easier measurement than the cold-prefix run
+    the anchor models.
 
-    Returns ``[(name, current_s, raw_min_s), ...]`` for met conditions.
+    Returns ``[(name, current_s, threshold_s), ...]`` for met conditions.
     """
     timings = dict(bench.get("queries") or {})
     for name in bench.get("warm_retry_minima") or []:
         timings.pop(name, None)
-    raw = collect()
     out = []
     for name in sorted(OVERRIDES):
-        cur, raw_min = timings.get(name), raw.get(name)
-        # collect() already folds the run being judged in via
-        # BENCH_FULL.json when that is the compared file, so
-        # cur <= raw_min iff this run set/tied the all-time raw minimum
-        # — exactly "a future full bench records <= the old minimum".
-        if cur is not None and raw_min is not None and cur <= raw_min:
-            out.append((name, float(cur), float(raw_min)))
+        cur, thr = timings.get(name), REMOVAL_THRESHOLDS[name]
+        if cur is not None and float(cur) <= thr:
+            out.append((name, float(cur), thr))
     return out
 
 

@@ -123,10 +123,10 @@ def main() -> int:
     from bench_anchors import expired_overrides
 
     expired = expired_overrides(bench)
-    for name, cur, raw_min in expired:
-        print(f"OVERRIDE-EXPIRED {name}: {cur:.2f}s <= raw minimum "
-              f"{raw_min:.2f}s — removal condition met; delete its "
-              "OVERRIDES entry in tools/bench_anchors.py this round")
+    for name, cur, thr in expired:
+        print(f"OVERRIDE-EXPIRED {name}: {cur:.2f}s <= documented "
+              f"threshold {thr:.2f}s — removal condition met; delete "
+              "its OVERRIDES entry in tools/bench_anchors.py this round")
     n_ok = len(timings) - len(violations) - len(fresh)
     print(f"bench_compare: {n_ok} within {factor:.1f}x anchor "
           f"({len(warnings_)} warned > {ns.warn_factor:.1f}x, "
