@@ -37,6 +37,12 @@ UDF_EXPECTED = {"ann_lsh_topk", "multimodal_features", "multimodal_resize_and_fr
                 # round 10: the intra-cluster scan is one BLAS gram per
                 # cluster (applyInPandas diagonal case + exact rescore)
                 "semdedup_prune",
+                # round 11: the kmeans E-step is a BLAS mapInPandas
+                # assignment (replaced the N-by-k interpreted column
+                # fold — similarity.assign_to_centroids); these
+                # four consume it
+                "cluster_purity_eval", "ivf_centroid_assign",
+                "kmeans_one_step", "ivf_topk_search",
                 # round 5: int-SRP bucket hashing feeds the LSH-bounded
                 # DBSCAN pair stage
                 "dbscan_core_border_noise",
