@@ -286,6 +286,9 @@ def embedding_near_dup_pairs_fast(
     mem = mem_a.unionByName(mem_b)
 
     def find_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        from quantum_rag_data_pipeline_spark.operators.alloctune import \
+            tune_worker_allocator
+        tune_worker_allocator()
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
         a = pdf[pdf["_side"] == "a"]
         b = pdf[pdf["_side"] == "b"]
@@ -507,6 +510,9 @@ def knn_candidates(
     mem = mem_a.unionByName(mem_b)
 
     def find_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        from quantum_rag_data_pipeline_spark.operators.alloctune import \
+            tune_worker_allocator
+        tune_worker_allocator()  # the kept-pair gathers are varied-size
         empty = pd.DataFrame({"src": pd.Series(dtype="int64"),
                               "dst": pd.Series(dtype="int64"),
                               "cos_sim": pd.Series(dtype="float64")})
@@ -602,6 +608,9 @@ def cross_topk_candidates(
     )
 
     def find(pdf: pd.DataFrame) -> pd.DataFrame:
+        from quantum_rag_data_pipeline_spark.operators.alloctune import \
+            tune_worker_allocator
+        tune_worker_allocator()  # the kept-pair gathers are varied-size
         empty = pd.DataFrame({"src": pd.Series(dtype="int64"),
                               "dst": pd.Series(dtype="int64"),
                               "cos_sim": pd.Series(dtype="float64")})
@@ -1166,6 +1175,9 @@ def semdedup_prune(
     thr = threshold - 1e-6
 
     def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        from quantum_rag_data_pipeline_spark.operators.alloctune import \
+            tune_worker_allocator
+        tune_worker_allocator()  # varied-size per-cluster grams re-fault
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                               "id_b": pd.Series(dtype="int64")})
         if len(pdf) < 2:

@@ -2061,6 +2061,9 @@ def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     _thr_hi = _DBSCAN_EPS + 1e-6
 
     def _bucket_scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from quantum_rag_data_pipeline_spark.operators.alloctune import \
+            tune_worker_allocator
+        tune_worker_allocator()  # varied-size per-bucket grams re-fault
         empty = pd.DataFrame({"pa": pd.Series(dtype="int64"),
                               "pb": pd.Series(dtype="int64"),
                               "n_new": pd.Series(dtype="int64"),
