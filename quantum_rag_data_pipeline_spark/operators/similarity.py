@@ -957,6 +957,9 @@ def assign_to_centroids(
     cid_t = centroids.schema[centroid_id].dataType.simpleString()
 
     def _assign(batches):
+        from quantum_rag_data_pipeline_spark.operators.alloctune import \
+            tune_worker_allocator
+        tune_worker_allocator()  # Arrow batch sizes vary -> varied temps
         b_cids, b_cn = bc.value
         for pdf in batches:
             if not len(pdf):
