@@ -46,11 +46,11 @@ def main() -> None:
         fn = QUERIES[name]
         row = {}
         outs = {}
-        for label, env in (("broadcast", None), ("shuffle", "0")):
-            if env is None:
-                os.environ.pop("SPARK_GRAFT_BCAST_MAX_ROWS", None)
-            else:
-                os.environ["SPARK_GRAFT_BCAST_MAX_ROWS"] = env
+        # force the hint ON for the broadcast phase (after round 11 the
+        # default gate is 100k rows, under the 200k control — unsetting
+        # the env var would measure shuffle vs shuffle)
+        for label, env in (("broadcast", str(1 << 40)), ("shuffle", "0")):
+            os.environ["SPARK_GRAFT_BCAST_MAX_ROWS"] = env
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
