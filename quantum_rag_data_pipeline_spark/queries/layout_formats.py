@@ -2016,18 +2016,28 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     builders start from. Block-pair matmul candidate generation (each
     node pair scored in exactly one BLAS slice, per-node top-(k+pad)
     kept) + sequential-dot rescore makes ranks bit-identical to the
-    O(n²) oracle while shuffling only candidate id pairs. The mutuality
-    join is kNN-output-sized (n·k rows), self-joined on the reversed
-    key."""
+    O(n²) oracle while shuffling only candidate id pairs. Mutuality is
+    a COUNT over the unordered pair key, not a self-join: a directed
+    kNN edge set has distinct (src, dst) rows with src != dst, so the
+    unordered pair (least, greatest) appears exactly twice iff both
+    directions made each other's top-k — count==2 IS the oracle's
+    reverse-key LEFT JOIN hit. The round-11 in-pass scoring change had
+    broken exchange reuse on the old self-join shape (the executed plan
+    carried TWO FlatMapGroupsInPandas candidate stages, zero
+    ReusedExchange — the whole BLAS block-pair pass ran twice, the
+    round-11 bench's single 2.40x gate violation); the window shape
+    references the kNN subplan once by construction, so the fix is
+    structural rather than dependent on the optimizer rediscovering
+    reuse. One extra n·k-row shuffle on the pair key replaces an
+    n·k ⋈ n·k join — strictly less work at any scale."""
+    from pyspark.sql.window import Window
+
     e = _t(spark, sf_dir, "embeddings")
     edges = sim_ops.knn_graph(e, k=5, dim=64)
-    rev = edges.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("_m")
-    )
-    return (
-        edges.join(rev, ["src", "dst"], "left")
-        .select("src", "dst", "cos_sim", "rnk",
-                F.coalesce(F.col("_m"), F.lit(False)).alias("is_mutual"))
+    pw = Window.partitionBy(F.least("src", "dst"), F.greatest("src", "dst"))
+    return edges.select(
+        "src", "dst", "cos_sim", "rnk",
+        (F.count(F.lit(1)).over(pw) == 2).alias("is_mutual"),
     )
 
 
