@@ -933,12 +933,26 @@ def assign_to_centroids(
     ArrayAggregate evaluations — higher-order functions never reach
     whole-stage codegen, so at the sf10fresh control (200k × 800) the
     E-step was ~21 CPU-minutes of interpreted fold in what the matmul
-    does in under a second. Verdict parity: argmax ties break toward
-    the lowest centroid id (centroids sorted ascending + first-hit
-    argmax); ``cos_sim`` is rounded half-away-from-zero to 6 dp in
-    float64 exactly like the ``F.round`` it replaces — the 6 dp grid is
-    the operator's established cross-engine tolerance (the DuckDB
-    oracle's ``list_dot_product`` sums in yet another order).
+    does in under a second. Parity notes (round 12, advisor-reviewed):
+
+    - ``cos_sim`` rounds half-away-from-zero to 6 dp in float64
+      (``sign·floor(|cos|·1e6 + 0.5)/1e6``). This matches the
+      ``F.round`` it replaced everywhere EXCEPT values whose shortest
+      decimal repr lands exactly on the 6-dp half grid: Spark rounds
+      the BigDecimal of the shortest repr (so a double printing as
+      0.1234565 rounds up) while the float64 product can evaluate to
+      123456.4999... and floor down. Real cosines hit that grid with
+      measure zero, and the 6 dp grid is the operator's established
+      cross-engine tolerance anyway (the DuckDB oracle's
+      ``list_dot_product`` sums in yet another order).
+    - argmax ties break toward the lowest centroid id (centroids sorted
+      ascending + first-hit argmax) — same RULE as the old JVM
+      ``max_by`` shape, but the tie inputs are now BLAS matmul scores,
+      so a pair of centroids within ~1e-14 of each other can flip
+      assignment relative to the fold-dot engine. cos_sim carries the
+      6-dp tolerance grid; the assignment id inherently cannot, and
+      consumers that need grid-stable ids should round scores before
+      argmax themselves.
 
     This is also the building block for IVF ANN (cluster-route, then
     search within cluster) — see ``lsh_bucket_topk`` for the SRP
@@ -948,6 +962,15 @@ def assign_to_centroids(
 
     sc = df.sparkSession.sparkContext
     crows = centroids.select(centroid_id, vec_col).orderBy(centroid_id).collect()
+    if not crows:
+        # empty centroid table: the old broadcast-join shape returned an
+        # empty frame (join against nothing); the BLAS shape would
+        # instead raise AxisError normalizing a (0,) array. Keep the
+        # join semantics.
+        id_t0 = df.schema[id_col].dataType.simpleString()
+        cid_t0 = centroids.schema[centroid_id].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_t0}, {centroid_id} {cid_t0}, cos_sim double")
     cids = np.array([r[0] for r in crows], dtype=np.int64)
     C = np.array([list(r[1])[:dim] for r in crows], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)

@@ -74,24 +74,46 @@ def drain_available_now(
     query_name: str = "drain",
     output_mode: str = "complete",
     state_partitions: int = 8,
+    sink: str = "blocks",
 ) -> DataFrame:
     """Run the streaming query in availableNow mode with a DISTRIBUTED
-    sink (foreachBatch -> parquet) and return the final result as a
-    batch DataFrame — streaming and batch must agree (the oracle checks
-    that). ``output_mode="append"`` for stateful-but-unaggregated
-    streams (dropDuplicatesWithinWatermark).
+    sink and return the final result as a batch DataFrame — streaming
+    and batch must agree (the oracle checks that).
+    ``output_mode="append"`` for stateful-but-unaggregated streams
+    (dropDuplicatesWithinWatermark).
 
-    Sink choice (round 10): the original memory sink COLLECTS every
-    result row into driver-local storage, which is invisible at sf0.1
-    but superlinear under growth — the 100x fresh-events control
-    measured sessionization at 113 s of which 84 s was the driver-side
-    collection + GC of 9.2 M session rows (A/B on identical state/plan:
-    memory sink 113 s, foreachBatch parquet 29 s, identical output).
-    foreachBatch keeps the write distributed, which is also what a
-    production deployment does (no one memory-sinks a 100 TB stream).
-    Batch semantics per mode: complete rewrites the full result each
-    batch (overwrite), append/update emit per-batch deltas (append) —
-    exactly the rows the memory sink would have accumulated.
+    Sink choice (round 10, revised round 12): the original memory sink
+    COLLECTS every result row into driver-local storage, which is
+    invisible at sf0.1 but superlinear under growth — the 100x
+    fresh-events control measured sessionization at 113 s of which 84 s
+    was the driver-side collection + GC of 9.2 M session rows (A/B on
+    identical state/plan: memory sink 113 s, foreachBatch parquet 29 s,
+    identical output). Round 12 split the distributed sink in two:
+
+    - ``sink="blocks"`` (default): each batch is captured with
+      ``localCheckpoint(eager=True)`` inside foreachBatch — one
+      distributed materialization into executor block storage
+      (MEMORY_AND_DISK, so large results spill instead of OOMing; rows
+      never pass through the driver) and the returned frame reads those
+      blocks directly. This retires the parquet path's fixed per-drain
+      cost — Hadoop commit protocol (_temporary dirs + renames), footer
+      write, and the read-back scan job — which dominated the
+      sub-second streaming anchors (measured round 12, warm min-of-3 at
+      sf0.1: sessionization 2.51 -> 1.52 s, watermark_append
+      2.19 -> 1.99 s, sliding_window 1.52 -> 1.44 s). Right for
+      single-session consumers (bench / oracle gate / tests) whose
+      result is consumed within the session.
+    - ``sink="parquet"``: the round-10 foreachBatch parquet writer —
+      what a production deployment drains to (durable across sessions,
+      any number of downstream readers). ``run_stream_to_upsert`` stays
+      on its keyed-upsert variant of this path.
+
+    Batch semantics per mode are identical across sinks: complete keeps
+    the full rewritten result of the LAST batch (earlier checkpoints
+    are unpersisted eagerly in blocks mode; overwrite in parquet mode),
+    append/update accumulate per-batch deltas (unionByName of the
+    checkpointed batches; parquet append) — exactly the rows the memory
+    sink would have accumulated.
 
     ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` around
     query START only (restored in a finally): a streaming query locks
@@ -110,6 +132,38 @@ def drain_available_now(
 
     spark = stream_df.sparkSession
     schema = stream_df.schema
+    if sink == "blocks":
+        batches: list[DataFrame] = []
+
+        def _hold_batch(batch_df: DataFrame, _epoch: int) -> None:
+            held = batch_df.localCheckpoint(eager=True)
+            if output_mode == "complete" and batches:
+                # complete rewrites the full result each batch: only the
+                # last survives, so free the superseded blocks now.
+                batches.pop().unpersist()
+            batches.append(held)
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                stream_df.writeStream.foreachBatch(_hold_batch)
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if not batches:  # zero batches: empty result, same schema
+            return spark.createDataFrame([], schema)
+        out_df = batches[0]
+        for b in batches[1:]:
+            out_df = out_df.unionByName(b)
+        return out_df
+
+    # sink == "parquet"
     # Numbered run dirs: the returned frame is a LAZY parquet read, so a
     # frame returned by the previous same-name drain must survive this
     # one (df1 = drain(..); df2 = drain(..); df1.collect()). Keep the

@@ -397,6 +397,20 @@ def test_assign_to_centroids_self_and_ties(spark):
     assert got[12][0] == 0
 
 
+def test_assign_to_centroids_empty_centroid_table(spark):
+    """Round-12 advisor pin: an empty centroid table must return an
+    empty frame with the declared schema (the old broadcast-join shape's
+    semantics), not raise AxisError normalizing a (0,) array."""
+    from quantum_rag_data_pipeline_spark.operators.similarity import assign_to_centroids
+
+    cents = spark.createDataFrame([], "centroid_id long, embedding array<double>")
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    out = assign_to_centroids(vecs, cents, dim=2)
+    assert out.columns == ["vec_id", "centroid_id", "cos_sim"]
+    assert out.count() == 0
+
+
 def test_gopher_flags_rules(spark):
     from quantum_rag_data_pipeline_spark.operators.curation import gopher_quality_flags
 

@@ -35,3 +35,123 @@ def test_drain_previous_frame_survives_next_same_name_drain(spark, sf_dir):
     n1 = df1.count()
     QUERIES["streaming_sessionization"](spark, sf_dir)  # same query_name
     assert df1.count() == n1  # df1's files must not have been reclaimed
+
+
+def _events_stream(spark, sf_dir, name):
+    """Tiny watermarked daily-count stream over the events table, built
+    on its own landing dir so tests don't share file-source state."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    from quantum_rag_data_pipeline_spark.paths import landing_root
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    landing = f"{landing_root()}/{os.path.basename(os.path.normpath(sf_dir))}/{name}"
+    os.makedirs(landing, exist_ok=True)
+    link = f"{landing}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # 2-day watermark (not "longer than the data span"): append mode only
+    # EMITS windows the watermark has closed, so a span-dominating
+    # watermark would make every append-mode drain legitimately empty.
+    return (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def test_drain_blocks_matches_parquet_sink(spark, sf_dir):
+    """Round-12: the default blocks sink (localCheckpoint capture) must
+    return exactly the rows the round-10 parquet sink returns, for both
+    complete and append output modes."""
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import (
+        drain_available_now,
+    )
+
+    for mode in ("complete", "append"):
+        rows_b = {
+            tuple(r)
+            for r in drain_available_now(
+                _events_stream(spark, sf_dir, f"ev_sinkpar_{mode}"),
+                f"sinkpar_b_{mode}", output_mode=mode, sink="blocks",
+            ).collect()
+        }
+        rows_p = {
+            tuple(r)
+            for r in drain_available_now(
+                _events_stream(spark, sf_dir, f"ev_sinkpar_{mode}"),
+                f"sinkpar_p_{mode}", output_mode=mode, sink="parquet",
+            ).collect()
+        }
+        assert rows_b == rows_p and rows_b
+
+
+def test_drain_blocks_frame_survives_next_same_name_drain(spark, sf_dir):
+    """Round-12: blocks-sink survivorship twin of the parquet run-dir
+    pin — a frame returned by drain N must stay collectible across a
+    same-name drain N+1 (its checkpointed blocks are only unpersisted
+    within their own drain call, never by a later one)."""
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import (
+        drain_available_now,
+    )
+
+    df1 = drain_available_now(
+        _events_stream(spark, sf_dir, "ev_surv"), "blocks_surv", sink="blocks")
+    n1 = df1.count()
+    drain_available_now(
+        _events_stream(spark, sf_dir, "ev_surv"), "blocks_surv", sink="blocks")
+    assert n1 > 0 and df1.count() == n1
+
+
+def test_concurrent_drains_use_disjoint_app_dirs(spark, sf_dir):
+    """Round-11 advisor fix, round-12 regression pin: parquet drain run
+    dirs are namespaced by applicationId, so two live sessions draining
+    the SAME query_name must neither interleave run numbering nor
+    reclaim each other's files. Simulates the second application by
+    planting a foreign app's run dir (a drain output copied under a
+    fake applicationId) and asserting a real drain leaves it intact
+    and readable."""
+    import os
+    import shutil
+
+    from quantum_rag_data_pipeline_spark.paths import artifact_root
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import (
+        drain_available_now,
+    )
+
+    app = spark.sparkContext.applicationId
+    qname = "concurrent_drain_pin"
+    df1 = drain_available_now(
+        _events_stream(spark, sf_dir, "ev_conc"), qname, sink="parquet")
+    n = df1.count()
+    my_base = os.path.join(artifact_root(), "stream_drain", app, qname)
+    my_runs = sorted(d for d in os.listdir(my_base) if d.isdigit())
+    assert my_runs  # run dirs live under THIS app's namespace
+
+    # plant the "other session": same query_name, different applicationId
+    other_base = os.path.join(
+        artifact_root(), "stream_drain", "app-fake-concurrent-0001", qname)
+    shutil.rmtree(other_base, ignore_errors=True)
+    os.makedirs(other_base)
+    shutil.copytree(os.path.join(my_base, my_runs[-1]),
+                    os.path.join(other_base, "0"))
+
+    # two more same-name drains in THIS session: survivor logic may
+    # reclaim OUR old runs but must never touch the other app's tree
+    drain_available_now(
+        _events_stream(spark, sf_dir, "ev_conc"), qname, sink="parquet")
+    drain_available_now(
+        _events_stream(spark, sf_dir, "ev_conc"), qname, sink="parquet")
+    assert os.path.isdir(os.path.join(other_base, "0"))
+    assert spark.read.parquet(os.path.join(other_base, "0")).count() == n
+    shutil.rmtree(os.path.dirname(other_base), ignore_errors=True)

@@ -1,7 +1,8 @@
 """Prove the NON-broadcast rescore-join shape (round-11 judge item 2).
 
 ``adaptive_broadcast`` gates the rescore-join hint on the counted
-vector rows (BROADCAST_MAX_ROWS = 1M): under the gate the full vector
+vector rows (``sim_ops.BROADCAST_MAX_ROWS``, default 100k — the single
+source of truth): under the gate the full vector
 table is broadcast (correct at gate scales), above it the join falls
 back to a co-partitioned shuffle join (the only shape that survives
 100 TB — a broadcast vector table there is a hard executor OOM, not a
