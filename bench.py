@@ -48,9 +48,117 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "too
 from bench_anchors import ANCHOR_FLOOR  # noqa: E402
 
 
+def fault_probe_gbps(size_mb: int = 128, reps: int = 3) -> float:
+    """First-touch page-fault throughput probe (GB/s), median of
+    ``reps`` fresh-mmap touch loops (~1 s total at a healthy era).
+
+    Round 11 established that this VM's dominant noise source is the
+    KERNEL's fresh-page fault rate, which swings by era (measured
+    55 s/GB -> 9.3 s/GB within one day; BASELINE.md round-11) and
+    uniformly drags every query that grows worker RSS. Rounds 6-11 each
+    spent a triage session re-litigating era drift from timings alone;
+    recording the era WITH the run makes the next drift self-labeling:
+    a slow bench with a slow probe is the documented VM era, a slow
+    bench with a healthy probe is a real regression. Each rep maps a
+    fresh anonymous region and touches one byte per 4 KiB page (the
+    fault is the cost being measured; the ~32k-iteration Python loop
+    overhead is ~10 ms against a >=100 ms fault bill). Median of 3
+    rejects the first-rep page-table warm-up skew observed at
+    calibration (0.53/0.93/1.12 GB/s on a quiet VM; re-touch control
+    10 GB/s)."""
+    import mmap
+
+    samples = []
+    for _ in range(reps):
+        n = size_mb << 20
+        buf = mmap.mmap(-1, n)
+        mv = memoryview(buf)
+        t0 = time.perf_counter()
+        for off in range(0, n, 4096):
+            mv[off] = 1
+        dt = time.perf_counter() - t0
+        mv.release()
+        buf.close()
+        samples.append((size_mb / 1024.0) / dt)
+    return round(sorted(samples)[len(samples) // 2], 4)
+
+
+def era_probe() -> dict:
+    """Three-dimension VM-era vector, ~4 s total: the round-12 bench
+    (342 s, 8 violations, ALL on round-untouched queries) ran under a
+    HEALTHY fault probe, proving one dimension can't label the era —
+    that day's degraded dimension was disk (write+fsync swinging
+    0.02-0.4 GB/s within a minute), which the fault probe is blind to.
+
+    - ``fault_gbps``: first-touch page-fault throughput (the round-11
+      mechanism; healthy ~0.9-1.5, degraded era ~0.02-0.1).
+    - ``cpu_gflops``: aggregate float64 matmul throughput across 32
+      single-BLAS-thread processes (host CPU oversubscription shows
+      here first; healthy ~1000, quiet calibration 2026-08-16).
+      Subprocess-isolated so OPENBLAS_NUM_THREADS=1 binds before numpy
+      loads and no fork touches a live py4j gateway.
+    - ``disk_wgbps``: median of three 32 MB write+fsync rounds on the
+      Spark scratch filesystem (shuffle files, drain parquet, state
+      stores all land there; healthy >=0.4, contended ~0.02).
+
+    bench_compare flags a run ERA-DEGRADED naming WHICH dimension(s)
+    fell below half their reference (bench_anchors.ERA_REF), so drift
+    triage starts from a mechanism instead of re-deriving one from
+    timing shapes (the round-6..12 loop)."""
+    import subprocess
+
+    out = {"fault_gbps": fault_probe_gbps()}
+    cpu_script = (
+        "import multiprocessing as mp, time\n"
+        "def w(_):\n"
+        "    import numpy as np, time\n"
+        "    a = np.arange(256*256, dtype='float64').reshape(256,256)/65536.\n"
+        "    b = a.T.copy(); a @ b\n"
+        "    t0 = time.perf_counter(); n = 0\n"
+        "    while time.perf_counter() - t0 < 0.4:\n"
+        "        a @ b; n += 1\n"
+        "    return n * 2 * 256**3 / (time.perf_counter() - t0)\n"
+        "if __name__ == '__main__':\n"
+        "    with mp.Pool(32) as p:\n"
+        "        r = sorted(p.map(w, range(32)))\n"
+        "    print(round(sum(r) / 1e9, 1), round(r[0] / 1e9, 1))\n"
+    )
+    try:
+        env = dict(os.environ, OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1")
+        r = subprocess.run([sys.executable, "-c", cpu_script], env=env,
+                           capture_output=True, text=True, timeout=60)
+        agg, worst = r.stdout.split()
+        # the straggler minimum matters as much as the aggregate: a
+        # 32-task Spark stage's wall is its SLOWEST task, so a few
+        # host-throttled vCPUs (measured round 12: workers at 6-20
+        # GFLOP/s while siblings ran 40) drag every wide stage without
+        # moving the aggregate much.
+        out["cpu_gflops"] = float(agg)
+        out["cpu_gflops_min"] = float(worst)
+    except Exception:  # noqa: BLE001 — probe must never fail the bench
+        out["cpu_gflops"] = None
+        out["cpu_gflops_min"] = None
+    try:
+        import tempfile
+        buf = b"\xa5" * (32 << 20)
+        samples = []
+        for _ in range(3):
+            with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
+                t0 = time.perf_counter()
+                f.write(buf)
+                f.flush()
+                os.fsync(f.fileno())
+                samples.append((32 / 1024.0) / (time.perf_counter() - t0))
+        out["disk_wgbps"] = round(sorted(samples)[1], 4)
+    except Exception:  # noqa: BLE001
+        out["disk_wgbps"] = None
+    return out
+
+
 def build_compact(total: float, timings: dict, errors: dict,
                   retried: list, sf: float, budget: int = 1700,
-                  total_pre_retry: float | None = None) -> dict:
+                  total_pre_retry: float | None = None,
+                  era: dict | None = None) -> dict:
     """The FINAL stdout line the driver records as BENCH_r*.json: total
     plus as many of the SLOWEST per-query timings as fit a hard byte
     budget (the round-2 line with 99 timings blew past the driver's
@@ -72,6 +180,11 @@ def build_compact(total: float, timings: dict, errors: dict,
         # cross-round comparable even without BENCH_FULL.json.
         **({"value_pre_retry": total_pre_retry}
            if total_pre_retry is not None else {}),
+        # the measured era vector (pre+post: fault GB/s, wide-CPU
+        # GFLOP/s, disk-write GB/s) travels on the driver-recorded line
+        # so cross-round totals are era-attributable without
+        # BENCH_FULL.json (~130 bytes against the 1700 budget).
+        **({"era": era} if era is not None else {}),
         "n_errors": len(errors),
         "queries_full": "BENCH_FULL.json",
         "sf": sf,
@@ -98,6 +211,7 @@ def build_compact(total: float, timings: dict, errors: dict,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    probe_pre = era_probe()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -246,6 +360,10 @@ def main() -> None:
         # can tell the two apart instead of silently ratcheting anchors
         # down on systematically easier measurements.
         "warm_retry_minima": sorted(retried),
+        # First-touch page-fault era, before and after the run (GB/s;
+        # see fault_probe_gbps). bench_compare reads this to annotate
+        # era-degraded runs instead of re-triaging them from timings.
+        "era_probe": {"pre": probe_pre, "post": era_probe()},
         "sf": float(sf),
     }
     # Full per-query detail goes to a file (and an early stdout line for
@@ -260,7 +378,8 @@ def main() -> None:
     print(json.dumps(full))
 
     print(json.dumps(build_compact(total, timings, errors, retried, float(sf),
-                                   total_pre_retry=total_pre_retry),
+                                   total_pre_retry=total_pre_retry,
+                                   era=full["era_probe"]),
                      separators=(",", ":")))
 
 

@@ -42,6 +42,28 @@ ANCHORS = os.path.join(REPO, "ANCHORS.json")
 # value cannot desynchronize.
 ANCHOR_FLOOR = 1.0
 
+# VM-era references the anchors were recorded under — one per probe
+# dimension of bench.py's era_probe() (round-12 calibration on a quiet
+# VM; see era_probe's docstring for what each dimension measures and
+# which historical degradation it catches). bench_compare annotates any
+# run with a dimension under HALF its reference as ERA-DEGRADED naming
+# the dimension — its timings then compare against anchors set on a
+# healthier host, and uniform 1.2-3x drift is the documented VM
+# mechanism (BASELINE.md rounds 11-12), not a plan regression. Max-of-
+# history semantics like the anchors themselves: raise a value if a
+# future run records a healthier era.
+ERA_REF = {
+    "fault_gbps": 0.93,      # first-touch page faults (r11 mechanism)
+    "cpu_gflops": 1000.0,    # 32-wide float64 matmul aggregate
+    "cpu_gflops_min": 20.0,  # slowest of the 32 procs — a wide Spark
+                             # stage's wall is its slowest task, so a
+                             # few throttled vCPUs drag every stage
+                             # without moving the aggregate (r12)
+    "disk_wgbps": 0.39,      # 32 MB write+fsync median (r12 mechanism)
+}
+# Back-compat alias (round-12 transitional; triage_bench imports it).
+FAULT_PROBE_REF_GBPS = ERA_REF["fault_gbps"]
+
 # Explicit, explained re-anchors — applied LAST, unconditionally. The
 # min-of-history ratchet can only lower anchors; if a query ever drifts
 # for a proven environmental reason, record the new anchor here WITH its

@@ -74,6 +74,19 @@ def main() -> int:
         names = sorted((n for n in anchors if n in QUERIES),
                        key=anchors.get)[:cheapest]
 
+    # Label the era before measuring anything (round-12): a triage
+    # verdict without the era probe can't distinguish "still slow"
+    # from "VM era still degraded" — the round-6..12 re-litigation loop.
+    from bench import era_probe
+    from bench_anchors import ERA_REF
+
+    probe = era_probe()
+    bad = sorted(d for d, ref in ERA_REF.items()
+                 if isinstance(probe.get(d), (int, float))
+                 and probe[d] < ref / 2)
+    print(f"era: probe {probe} vs refs {ERA_REF} "
+          f"({'DEGRADED on ' + ','.join(bad) if bad else 'healthy'})")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="triage")
     spark.sparkContext.setLogLevel("ERROR")
