@@ -216,6 +216,22 @@ def _auto_blocks(n_rows: int, n_part: int, target_rows: int = 1024,
       round-5 rule, still decides whenever the data is big enough to
       use the cluster.
 
+    Round 12 re-measured the floor per the advisor's suggestion that
+    the chunked kernels (which bound slice width at chunk×n/B
+    regardless of block size) might prefer a 16-32k floor to cut the
+    B-fold row replication through the shuffle. Measured at the
+    sf10fresh control (200k vectors, knn_graph, same session, era
+    bracketed by a repeat): floor 8192/B=25 186-199 s, 16384/B=13
+    360 s, 32768/B=7 281 s — LARGER blocks lose despite the smaller
+    shuffle, because group count is the load-balancing grain: 325
+    groups give ~10 scheduling waves across 32 heterogeneous-speed
+    vCPUs (the era probe measures a 2x straggler spread), while 28-91
+    groups make each wave wait on its slowest big task. The shuffle
+    saving (2.6 -> 0.7 GB of id+vector rows at this control) is small
+    against that. Keep 8192; on a real cluster the same arithmetic
+    holds — the floor should track per-task memory AND keep groups ≳
+    several per core.
+
     Shrinking B never affects RESULTS: every row pair still meets in
     exactly one group, and each node's per-group top-(k+pad) only keeps
     MORE global candidates when groups get bigger (a true top-k

@@ -119,13 +119,17 @@ OVERRIDES: dict[str, float] = {
     # which exec is 0.04-0.06 s), which no distributed sink removes.
     # Remove if a future full bench records at or under the memory-sink
     # anchors (possible on a fast-era VM: the blocks drain's sink cost
-    # is near zero).
-    "streaming_sessionization": 1.64,
-    "streaming_watermark_append_semantics": 1.56,
+    # is near zero). Values tightened round 12 to the clean full-bench
+    # readings after the blocks drain landed (1.429/1.313/1.093 s,
+    # healthy recorded era, 0-violation run) — the override exists to
+    # keep the anchor above the unreachable memory-sink minima, not to
+    # grant the old parquet-drain slack.
+    "streaming_sessionization": 1.43,
+    "streaming_watermark_append_semantics": 1.31,
     # streaming_sliding_window is the third memory-sink-era anchor in
-    # this class (0.946, sub-second): post-restructure quiet min-of-3 is
-    # 1.248 s (build 1.185 = the drain itself). Same removal condition.
-    "streaming_sliding_window": 1.25,
+    # this class (0.946, sub-second): round-12 clean bench 1.093 s with
+    # the blocks drain. Same removal condition.
+    "streaming_sliding_window": 1.09,
     # Round 10: the 1.916 minimum is a JIT-hot-era artifact for a
     # DRIVER-LOOP-bound query. Code unchanged since round 8 (git log on
     # operators/graph.py); per-round instrumentation shows the cost is 7
