@@ -524,7 +524,8 @@ def streaming_watermark_append_semantics(spark: SparkSession, sf_dir: str) -> Da
     )
     from quantum_rag_data_pipeline_spark.streaming.daily_stream import drain_available_now
 
-    return drain_available_now(agg, "wm_append_semantics", output_mode="append")
+    return drain_available_now(agg, "wm_append_semantics", output_mode="append",
+                               sink="blocks")  # bounded: one row per closed day
 
 
 @query(
@@ -2032,6 +2033,7 @@ def streaming_outer_join_null_emission(spark: SparkSession, sf_dir: str) -> Data
         drain_available_now,
     )
 
+    # default parquet sink: one output row per click — data-proportional
     out = drain_available_now(
         clicks_left_outer_purchases_stream(clicks, purchases),
         "outer_join_null_emission", output_mode="append",

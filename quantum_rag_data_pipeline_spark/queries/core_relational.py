@@ -1164,7 +1164,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_schema,
         ts_from_nanos_col="ts" if nanos else None,
     )
-    return drain_available_now(agg, "stream_w1")
+    return drain_available_now(agg, "stream_w1", sink="blocks")  # bounded: day windows
 
 
 # ---------------------------------------------------------------------------

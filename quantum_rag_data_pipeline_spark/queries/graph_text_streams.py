@@ -722,7 +722,8 @@ def streaming_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     out = drain_available_now(
-        weekly, "chained_window_aggs", output_mode="append"
+        weekly, "chained_window_aggs", output_mode="append",
+        sink="blocks",  # bounded: one row per closed week
     )
     return out.select(
         F.col("ww.start").alias("week_start"),
@@ -1431,7 +1432,8 @@ def streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     streamed = drain_available_now(
-        agg, "stream_approx_distinct", output_mode="complete"
+        agg, "stream_approx_distinct", output_mode="complete",
+        sink="blocks",  # bounded: one row per event_type
     ).select(F.col("event_type"), F.col("est").alias("stream_est"))
     ev = _t(spark, sf_dir, "events")
     batch = ev.groupBy("event_type").agg(

@@ -941,6 +941,8 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("w.start").alias("session_start"), "n_events", "session_value"
         )
     )
+    # default parquet sink: sessions are DATA-PROPORTIONAL (9.2 M rows
+    # at the 100x control, where the blocks sink measured 1.7-3x slower)
     return drain_available_now(agg, "stream_sessions")
 
 
@@ -1326,7 +1328,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
-    return drain_available_now(agg, "stream_enrich")
+    return drain_available_now(agg, "stream_enrich", sink="blocks")  # bounded: 5 segments
 
 
 # ---------------------------------------------------------------------------
@@ -2129,6 +2131,7 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type")
     )
+    # default parquet sink: deduped events are data-proportional
     drained = drain_available_now(deduped, "stream_dedup_once", output_mode="append")
     return drained.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -2871,4 +2874,5 @@ def streaming_stateful_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     out = streaming_stateful_accumulate(
         stream, "user_id", "event_id", "user_id long, n_events long, min_id long"
     )
+    # default parquet sink: one row per user — keyspace grows with data
     return drain_available_now(out, "stateful_key_counts", output_mode="append")

@@ -395,7 +395,8 @@ def streaming_update_mode_semantics(spark: SparkSession, sf_dir: str) -> DataFra
         drain_available_now,
     )
 
-    sink = drain_available_now(agg, "update_mode_semantics", output_mode="update")
+    sink = drain_available_now(agg, "update_mode_semantics", output_mode="update",
+                               sink="blocks")  # bounded: event_type x batch emissions
     return sink.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_emissions"),
         F.min("c").cast("bigint").alias("first_emitted_count"),

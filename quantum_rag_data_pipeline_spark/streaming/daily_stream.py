@@ -74,7 +74,7 @@ def drain_available_now(
     query_name: str = "drain",
     output_mode: str = "complete",
     state_partitions: int = 8,
-    sink: str = "blocks",
+    sink: str = "parquet",
 ) -> DataFrame:
     """Run the streaming query in availableNow mode with a DISTRIBUTED
     sink and return the final result as a batch DataFrame — streaming
@@ -82,31 +82,38 @@ def drain_available_now(
     ``output_mode="append"`` for stateful-but-unaggregated streams
     (dropDuplicatesWithinWatermark).
 
-    Sink choice (round 10, revised round 12): the original memory sink
+    Sink contract (round 10, split round 12): the original memory sink
     COLLECTS every result row into driver-local storage, which is
     invisible at sf0.1 but superlinear under growth — the 100x
     fresh-events control measured sessionization at 113 s of which 84 s
     was the driver-side collection + GC of 9.2 M session rows (A/B on
     identical state/plan: memory sink 113 s, foreachBatch parquet 29 s,
-    identical output). Round 12 split the distributed sink in two:
+    identical output). Both round-12 sinks are distributed; the CALLER
+    picks by what it knows at plan-authoring time — whether the drained
+    result is BOUNDED (window/key-cardinality output: days, segments,
+    event types) or DATA-PROPORTIONAL (sessions, deduped events, join
+    rows) — the same kind of declaration as a broadcast-join hint:
 
-    - ``sink="blocks"`` (default): each batch is captured with
-      ``localCheckpoint(eager=True)`` inside foreachBatch — one
-      distributed materialization into executor block storage
-      (MEMORY_AND_DISK, so large results spill instead of OOMing; rows
-      never pass through the driver) and the returned frame reads those
-      blocks directly. This retires the parquet path's fixed per-drain
-      cost — Hadoop commit protocol (_temporary dirs + renames), footer
-      write, and the read-back scan job — which dominated the
-      sub-second streaming anchors (measured round 12, warm min-of-3 at
-      sf0.1: sessionization 2.51 -> 1.52 s, watermark_append
-      2.19 -> 1.99 s, sliding_window 1.52 -> 1.44 s). Right for
-      single-session consumers (bench / oracle gate / tests) whose
-      result is consumed within the session.
-    - ``sink="parquet"``: the round-10 foreachBatch parquet writer —
-      what a production deployment drains to (durable across sessions,
-      any number of downstream readers). ``run_stream_to_upsert`` stays
+    - ``sink="parquet"`` (default — the only shape that is safe without
+      knowing the result size): the round-10 foreachBatch parquet
+      writer. Durable, columnar, parallel-scannable on read-back; what
+      a production deployment drains to. ``run_stream_to_upsert`` stays
       on its keyed-upsert variant of this path.
+    - ``sink="blocks"`` (opt-in for BOUNDED results): each batch is
+      captured with ``localCheckpoint(eager=True)`` inside foreachBatch
+      — one distributed materialization into executor block storage
+      (spills to disk, rows never pass the driver) and the returned
+      frame reads those blocks directly. Retires the parquet path's
+      fixed per-drain cost — commit protocol, footer write, read-back
+      scan job — which dominates sub-second drains (measured round 12
+      at sf0.1: sessionization 2.51 -> 1.52 s warm; the clean full
+      bench read the bounded family at 1.09-1.43 s vs 1.25-1.64
+      parquet-era anchors). NOT for data-proportional results: at the
+      100x fresh-events control (9.2 M session rows) blocks measured
+      73-180 s vs parquet's 44-65 s in the same sessions — cached JVM
+      row storage (either storage level; MEMORY_AND_DISK ser was A/B'd
+      too) loses to columnar parquet once the result is large, so a
+      drain that grows with the data must stay on parquet.
 
     Batch semantics per mode are identical across sinks: complete keeps
     the full rewritten result of the LAST batch (earlier checkpoints
