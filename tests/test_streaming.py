@@ -71,9 +71,9 @@ def _events_stream(spark, sf_dir, name):
 
 
 def test_drain_blocks_matches_parquet_sink(spark, sf_dir):
-    """Round-12: the default blocks sink (localCheckpoint capture) must
-    return exactly the rows the round-10 parquet sink returns, for both
-    complete and append output modes."""
+    """Round-12: the opt-in blocks sink (localCheckpoint capture, for
+    bounded-result drains) must return exactly the rows the default
+    parquet sink returns, for both complete and append output modes."""
     from quantum_rag_data_pipeline_spark.streaming.daily_stream import (
         drain_available_now,
     )
@@ -155,3 +155,18 @@ def test_concurrent_drains_use_disjoint_app_dirs(spark, sf_dir):
     assert os.path.isdir(os.path.join(other_base, "0"))
     assert spark.read.parquet(os.path.join(other_base, "0")).count() == n
     shutil.rmtree(os.path.dirname(other_base), ignore_errors=True)
+
+
+def test_knn_mutual_single_candidates_stage(spark, sf_dir):
+    """Round-12 plan-shape pin: knn_graph_mutual must carry exactly ONE
+    FlatMapGroupsInPandas candidates stage. The round-11 in-pass scoring
+    change silently broke exchange reuse under the query's old reversed
+    self-join — the executed plan ran the whole block-pair BLAS pass
+    TWICE (the round's single 2x bench-gate violation) — and the window
+    rewrite fixed it structurally. A second candidates stage reappearing
+    means some future edit reintroduced a multi-reference shape."""
+    from quantum_rag_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["knn_graph_mutual"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
