@@ -162,3 +162,45 @@ def test_int_srp_bucket_determinism_property():
             assert (b2 == b1).all()
 
     check()
+
+
+# --- round-12: window-count mutuality == reverse-key-join mutuality -----
+# knn_graph_mutual was rewritten from a reversed self-join (which lost
+# exchange reuse and ran the BLAS candidates stage twice) to a count over
+# the unordered pair key. The rewrite's correctness argument — on a
+# DISTINCT directed edge set with src != dst, count==2 within
+# (least, greatest) iff both directions exist — is checked here against
+# the join formulation on arbitrary random edge sets, not just kNN output.
+
+edge_sets = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12),
+              st.integers(min_value=0, max_value=12)),
+    min_size=0, max_size=40,
+).map(lambda es: sorted({(a, b) for a, b in es if a != b}))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edge_sets)
+def test_window_count_mutuality_equals_reverse_join(spark, edges):
+    if not edges:
+        return
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pw = Window.partitionBy(F.least("src", "dst"), F.greatest("src", "dst"))
+    via_window = {
+        (r.src, r.dst): r.m
+        for r in df.select(
+            "src", "dst", (F.count(F.lit(1)).over(pw) == 2).alias("m")
+        ).collect()
+    }
+    rev = df.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                    F.lit(True).alias("_m"))
+    via_join = {
+        (r.src, r.dst): r.m
+        for r in df.join(rev, ["src", "dst"], "left")
+        .select("src", "dst", F.coalesce("_m", F.lit(False)).alias("m"))
+        .collect()
+    }
+    assert via_window == via_join
