@@ -107,7 +107,13 @@ def era_probe() -> dict:
     timing shapes (the round-6..12 loop)."""
     import subprocess
 
-    out = {"fault_gbps": fault_probe_gbps()}
+    try:
+        out = {"fault_gbps": fault_probe_gbps()}
+    except Exception:  # noqa: BLE001 — probe must never fail the bench
+        # mmap of the 128 MB probe region can ENOMEM on a pressured VM;
+        # a missing era label must not cost the run its timings (the
+        # round-3 lesson, applied to the probes too).
+        out = {"fault_gbps": None}
     cpu_script = (
         "import multiprocessing as mp, time\n"
         "def w(_):\n"

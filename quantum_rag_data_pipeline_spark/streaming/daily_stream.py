@@ -116,8 +116,9 @@ def drain_available_now(
       drain that grows with the data must stay on parquet.
 
     Batch semantics per mode are identical across sinks: complete keeps
-    the full rewritten result of the LAST batch (earlier checkpoints
-    are unpersisted eagerly in blocks mode; overwrite in parquet mode),
+    the full rewritten result of the LAST batch (superseded checkpoints
+    are dereferenced for the ContextCleaner in blocks mode; overwrite in
+    parquet mode),
     append/update accumulate per-batch deltas (unionByName of the
     checkpointed batches; parquet append) — exactly the rows the memory
     sink would have accumulated.
@@ -137,24 +138,26 @@ def drain_available_now(
 
     from quantum_rag_data_pipeline_spark.paths import artifact_root
 
+    if sink not in ("parquet", "blocks"):
+        # a typo ("block", "Blocks") must not silently fall back to the
+        # other sink — the whole point of the parameter is a deliberate
+        # boundedness declaration.
+        raise ValueError(f"unknown drain sink {sink!r}: "
+                         f"expected 'parquet' or 'blocks'")
+
     spark = stream_df.sparkSession
     schema = stream_df.schema
-    if sink == "blocks":
-        batches: list[DataFrame] = []
 
-        def _hold_batch(batch_df: DataFrame, _epoch: int) -> None:
-            held = batch_df.localCheckpoint(eager=True)
-            if output_mode == "complete" and batches:
-                # complete rewrites the full result each batch: only the
-                # last survives, so free the superseded blocks now.
-                batches.pop().unpersist()
-            batches.append(held)
-
+    def _run_stream(batch_fn) -> None:
+        """One stream-run scaffold for both sinks: the state-partition
+        scoping (and its finally-restore) must stay byte-identical
+        between them — a sink choice may only change where batches land,
+        never the streaming semantics."""
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         try:
             q = (
-                stream_df.writeStream.foreachBatch(_hold_batch)
+                stream_df.writeStream.foreachBatch(batch_fn)
                 .queryName(query_name)
                 .outputMode(output_mode)
                 .trigger(availableNow=True)
@@ -163,6 +166,24 @@ def drain_available_now(
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    if sink == "blocks":
+        batches: list[DataFrame] = []
+
+        def _hold_batch(batch_df: DataFrame, _epoch: int) -> None:
+            held = batch_df.localCheckpoint(eager=True)
+            if output_mode == "complete" and batches:
+                # complete rewrites the full result each batch: only the
+                # last survives. Dropping the reference is the release
+                # mechanism — Dataset.unpersist would be a no-op here
+                # (it only uncaches CacheManager entries, not the
+                # checkpoint's persisted internal RDD), so superseded
+                # blocks are reclaimed by the ContextCleaner once the
+                # dropped frame is GC'd, not synchronously.
+                batches.pop()
+            batches.append(held)
+
+        _run_stream(_hold_batch)
         if not batches:  # zero batches: empty result, same schema
             return spark.createDataFrame([], schema)
         out_df = batches[0]
@@ -191,19 +212,7 @@ def drain_available_now(
     def _write_batch(batch_df: DataFrame, _epoch: int) -> None:
         batch_df.write.mode(write_mode).parquet(out)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            stream_df.writeStream.foreachBatch(_write_batch)
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _run_stream(_write_batch)
     if not os.path.exists(out):  # zero batches: empty result, same schema
         return spark.createDataFrame([], schema)
     return spark.read.parquet(out)

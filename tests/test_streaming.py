@@ -78,21 +78,26 @@ def test_drain_blocks_matches_parquet_sink(spark, sf_dir):
         drain_available_now,
     )
 
+    from collections import Counter
+
     for mode in ("complete", "append"):
-        rows_b = {
+        # multiset compare, not set: a double-appended batch in the
+        # blocks accumulation (the class of bug that path could have)
+        # produces duplicate rows a set compare would collapse away
+        rows_b = Counter(
             tuple(r)
             for r in drain_available_now(
                 _events_stream(spark, sf_dir, f"ev_sinkpar_{mode}"),
                 f"sinkpar_b_{mode}", output_mode=mode, sink="blocks",
             ).collect()
-        }
-        rows_p = {
+        )
+        rows_p = Counter(
             tuple(r)
             for r in drain_available_now(
                 _events_stream(spark, sf_dir, f"ev_sinkpar_{mode}"),
                 f"sinkpar_p_{mode}", output_mode=mode, sink="parquet",
             ).collect()
-        }
+        )
         assert rows_b == rows_p and rows_b
 
 

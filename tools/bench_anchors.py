@@ -61,8 +61,21 @@ ERA_REF = {
                              # without moving the aggregate (r12)
     "disk_wgbps": 0.39,      # 32 MB write+fsync median (r12 mechanism)
 }
-# Back-compat alias (round-12 transitional; triage_bench imports it).
-FAULT_PROBE_REF_GBPS = ERA_REF["fault_gbps"]
+
+
+def degraded_era_dims(probe: dict) -> list[str]:
+    """Dimensions of an era-probe reading (one side, or a {pre, post}
+    pair) below HALF their ERA_REF reference — the single definition of
+    'era-degraded' shared by bench_compare's run annotation and
+    triage_bench's header, so the threshold cannot desynchronize."""
+    if not isinstance(probe, dict) or not probe:
+        return []
+    sides = [probe[k] for k in ("pre", "post")
+             if isinstance(probe.get(k), dict)] or [probe]
+    return sorted({
+        dim for side in sides for dim, ref in ERA_REF.items()
+        if isinstance(side.get(dim), (int, float)) and side[dim] < ref / 2
+    })
 
 # Explicit, explained re-anchors — applied LAST, unconditionally. The
 # min-of-history ratchet can only lower anchors; if a query ever drifts

@@ -78,12 +78,10 @@ def main() -> int:
     # verdict without the era probe can't distinguish "still slow"
     # from "VM era still degraded" — the round-6..12 re-litigation loop.
     from bench import era_probe
-    from bench_anchors import ERA_REF
+    from bench_anchors import ERA_REF, degraded_era_dims
 
     probe = era_probe()
-    bad = sorted(d for d, ref in ERA_REF.items()
-                 if isinstance(probe.get(d), (int, float))
-                 and probe[d] < ref / 2)
+    bad = degraded_era_dims(probe)
     print(f"era: probe {probe} vs refs {ERA_REF} "
           f"({'DEGRADED on ' + ','.join(bad) if bad else 'healthy'})")
 
