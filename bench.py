@@ -133,6 +133,13 @@ def era_probe() -> dict:
         env = dict(os.environ, OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1")
         r = subprocess.run([sys.executable, "-c", cpu_script], env=env,
                            capture_output=True, text=True, timeout=60)
+        if r.returncode != 0:
+            # fail-open stays (None, never abort the bench) but leave the
+            # subprocess's own diagnostics behind: a persistently-None
+            # dimension with no stderr trail is undebuggable (r12 advisor).
+            print(f"era_probe: cpu probe exited rc={r.returncode}: "
+                  f"{(r.stderr or '').strip().splitlines()[-1:]}",
+                  file=sys.stderr)
         agg, worst = r.stdout.split()
         # the straggler minimum matters as much as the aggregate: a
         # 32-task Spark stage's wall is its SLOWEST task, so a few
@@ -141,15 +148,31 @@ def era_probe() -> dict:
         # moving the aggregate much.
         out["cpu_gflops"] = float(agg)
         out["cpu_gflops_min"] = float(worst)
-    except Exception:  # noqa: BLE001 — probe must never fail the bench
+    except Exception as exc:  # noqa: BLE001 — probe must never fail the bench
+        print(f"era_probe: cpu probe failed: {type(exc).__name__}: "
+              f"{str(exc)[:160]}", file=sys.stderr)
         out["cpu_gflops"] = None
         out["cpu_gflops_min"] = None
     try:
         import tempfile
+
+        # Probe the filesystem Spark's scratch I/O actually lands on:
+        # drain parquet, landing zones, and stream state all live under
+        # artifact_root() (paths.py — honors XDG_CACHE_HOME/TMPDIR the
+        # same way spark.local.dir's java.io.tmpdir default does in this
+        # rig), so the disk_wgbps label attributes degradation to the
+        # right disk even when TMPDIR points elsewhere (r12 advisor:
+        # tempfile.gettempdir() could measure a different mount than the
+        # one the queries write to).
+        try:
+            from quantum_rag_data_pipeline_spark.paths import artifact_root
+            probe_dir = artifact_root()
+        except Exception:  # noqa: BLE001 — probe must never fail the bench
+            probe_dir = tempfile.gettempdir()
         buf = b"\xa5" * (32 << 20)
         samples = []
         for _ in range(3):
-            with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
+            with tempfile.NamedTemporaryFile(dir=probe_dir) as f:
                 t0 = time.perf_counter()
                 f.write(buf)
                 f.flush()

@@ -69,6 +69,37 @@ def sliding_window_stream(
     )
 
 
+class _BlockAccumulator:
+    """foreachBatch sink for ``drain_available_now(sink="blocks")``:
+    holds each micro-batch as an eager ``localCheckpoint``, KEYED BY
+    EPOCH ID. foreachBatch is at-least-once — a retried micro-batch
+    re-invokes the sink with the SAME epoch id, so an unkeyed list
+    would union the retried batch twice under append/update;
+    ``batches[epoch] = held`` makes a retry REPLACE its batch instead
+    (round-12 advisor item). Complete mode clears first: the mode
+    rewrites the full result each batch, so only the last epoch
+    survives — dropping the references is the release mechanism
+    (``Dataset.unpersist`` would be a no-op here: it only uncaches
+    CacheManager entries, not the checkpoint's persisted internal RDD),
+    so superseded blocks are reclaimed by the ContextCleaner once the
+    dropped frames are GC'd, not synchronously."""
+
+    def __init__(self, output_mode: str) -> None:
+        self.output_mode = output_mode
+        self.batches: dict[int, DataFrame] = {}
+
+    def __call__(self, batch_df: DataFrame, epoch: int) -> None:
+        held = batch_df.localCheckpoint(eager=True)
+        if self.output_mode == "complete":
+            self.batches.clear()
+        self.batches[epoch] = held
+
+    def drained(self) -> list[DataFrame]:
+        """Held batches in epoch order (union order must be
+        deterministic for the append/update accumulation semantics)."""
+        return [self.batches[e] for e in sorted(self.batches)]
+
+
 def drain_available_now(
     stream_df: DataFrame,
     query_name: str = "drain",
@@ -113,7 +144,12 @@ def drain_available_now(
       73-180 s vs parquet's 44-65 s in the same sessions — cached JVM
       row storage (either storage level; MEMORY_AND_DISK ser was A/B'd
       too) loses to columnar parquet once the result is large, so a
-      drain that grows with the data must stay on parquet.
+      drain that grows with the data must stay on parquet. Blocks is
+      also SINGLE-APP / LOCAL-MODE SAFE ONLY: localCheckpoint is
+      explicitly not fault-tolerant — on a real cluster, executor loss
+      or dynamic-allocation decommissioning invalidates the returned
+      frame after the drain; a production deployment uses the durable
+      parquet default.
 
     Batch semantics per mode are identical across sinks: complete keeps
     the full rewritten result of the LAST batch (superseded checkpoints
@@ -168,26 +204,13 @@ def drain_available_now(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     if sink == "blocks":
-        batches: list[DataFrame] = []
-
-        def _hold_batch(batch_df: DataFrame, _epoch: int) -> None:
-            held = batch_df.localCheckpoint(eager=True)
-            if output_mode == "complete" and batches:
-                # complete rewrites the full result each batch: only the
-                # last survives. Dropping the reference is the release
-                # mechanism — Dataset.unpersist would be a no-op here
-                # (it only uncaches CacheManager entries, not the
-                # checkpoint's persisted internal RDD), so superseded
-                # blocks are reclaimed by the ContextCleaner once the
-                # dropped frame is GC'd, not synchronously.
-                batches.pop()
-            batches.append(held)
-
-        _run_stream(_hold_batch)
-        if not batches:  # zero batches: empty result, same schema
+        acc = _BlockAccumulator(output_mode)
+        _run_stream(acc)
+        ordered = acc.drained()
+        if not ordered:  # zero batches: empty result, same schema
             return spark.createDataFrame([], schema)
-        out_df = batches[0]
-        for b in batches[1:]:
+        out_df = ordered[0]
+        for b in ordered[1:]:
             out_df = out_df.unionByName(b)
         return out_df
 

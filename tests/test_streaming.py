@@ -175,3 +175,39 @@ def test_knn_mutual_single_candidates_stage(spark, sf_dir):
     df = QUERIES["knn_graph_mutual"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_block_accumulator_retry_replaces_epoch():
+    """Round-12 advisor item: foreachBatch is at-least-once, so a
+    micro-batch RETRY re-invokes the sink with the same epoch id. The
+    blocks accumulator must key held batches by epoch — a retried epoch
+    REPLACES its earlier (possibly partial) capture instead of
+    double-appending it. Pure-Python test via a localCheckpoint fake:
+    the accumulator's only DataFrame contact is .localCheckpoint()."""
+    from quantum_rag_data_pipeline_spark.streaming.daily_stream import (
+        _BlockAccumulator,
+    )
+
+    class FakeBatch:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def localCheckpoint(self, eager=True):
+            assert eager
+            return self
+
+    # append mode: epochs accumulate, a retry replaces in place
+    acc = _BlockAccumulator("append")
+    acc(FakeBatch("e0"), 0)
+    acc(FakeBatch("e1-try1"), 1)
+    acc(FakeBatch("e1-try2"), 1)  # the retry
+    acc(FakeBatch("e2"), 2)
+    assert [b.tag for b in acc.drained()] == ["e0", "e1-try2", "e2"]
+
+    # complete mode: each batch rewrites the full result; only the last
+    # epoch survives, and a retry of it still yields exactly one batch
+    acc = _BlockAccumulator("complete")
+    acc(FakeBatch("e0"), 0)
+    acc(FakeBatch("e1-try1"), 1)
+    acc(FakeBatch("e1-try2"), 1)
+    assert [b.tag for b in acc.drained()] == ["e1-try2"]
