@@ -232,3 +232,70 @@ def test_gen_scaledata_rejects_label_colliding_tiles():
     r = subprocess.run([sys.executable, tool, "--fresh-events",
                         "--tiles", "15"], capture_output=True, text=True)
     assert r.returncode != 0 and "multiple of 10" in (r.stdout + r.stderr)
+
+
+def test_anchor_eras_sidecar_covers_anchors():
+    """Round-13 judge item 3: ANCHOR_ERAS.json stamps every anchor with
+    the source record that set its minimum and (when the record carries
+    one) that run's era vector. The sidecar must cover ANCHORS.json
+    exactly and agree on the values — ANCHORS.json itself stays the flat
+    {query: seconds} contract its three consumers read."""
+    anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
+    eras = json.load(open(os.path.join(REPO, "ANCHOR_ERAS.json")))
+    assert set(eras) == set(anchors)
+    for name, a in anchors.items():
+        assert abs(eras[name]["anchor_s"] - a) < 1e-9, name
+        assert "src" in eras[name] and "era" in eras[name]
+
+
+def test_compare_prints_anchor_era_delta_on_violation(tmp_path):
+    """Round-13 judge item 3 (the Done criterion): a violation whose
+    anchor carries an era stamp gets a sub-line with the per-dimension
+    run-vs-anchor-run era ratios, degraded dims marked '<<'; an
+    unstamped anchor gets an explicit 'unrecorded' line. Uses a private
+    repo copy of nothing — bench_compare reads ANCHOR_ERAS.json from
+    the repo root, so the test picks a real anchored query and relies
+    only on line SHAPE, not specific values."""
+    anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
+    eras = json.load(open(os.path.join(REPO, "ANCHOR_ERAS.json")))
+    name = next(iter(anchors))
+    eff = max(anchors[name], 1.0)
+    bench = {"sf": 0.1, "queries": {name: eff * 3 + 1.0},
+             "era_probe": {"pre": {"fault_gbps": 1.0, "cpu_gflops": 900.0,
+                                   "cpu_gflops_min": 20.0,
+                                   "disk_wgbps": 0.3}}}
+    r = _run(bench, tmp_path)
+    assert r.returncode == 1 and "VIOLATION" in r.stdout
+    if eras[name].get("era"):
+        assert "anchor-era [" in r.stdout and "run vs anchor-run" in r.stdout
+    else:
+        assert "anchor-era: unrecorded" in r.stdout
+
+
+def test_era_dims_min_takes_worst_side():
+    """era_dims_min is the conservative per-dimension MIN over the
+    pre/post probe pair — the 'worst era seen during the run' reading
+    both the stamping and the compare sub-line use."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_anchors
+
+    pair = {"pre": {"fault_gbps": 1.2, "disk_wgbps": 0.4},
+            "post": {"fault_gbps": 0.8, "disk_wgbps": 0.5,
+                     "cpu_gflops": 900.0}}
+    got = bench_anchors.era_dims_min(pair)
+    assert got == {"fault_gbps": 0.8, "disk_wgbps": 0.4,
+                   "cpu_gflops": 900.0}
+    assert bench_anchors.era_dims_min(None) == {}
+    # single-sided probe (no pre/post nesting) is accepted as-is
+    assert bench_anchors.era_dims_min(
+        {"disk_wgbps": 0.2})["disk_wgbps"] == 0.2
+
+
+def test_round_gate_current_round_from_progress():
+    """round_gate versions its bench snapshot by the driver's round
+    counter; the PROGRESS.jsonl tail is the source of truth."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import round_gate
+
+    n = round_gate.current_round()
+    assert isinstance(n, int) and n >= 13

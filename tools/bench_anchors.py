@@ -33,6 +33,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ANCHORS = os.path.join(REPO, "ANCHORS.json")
+ANCHOR_ERAS = os.path.join(REPO, "ANCHOR_ERAS.json")
 
 # Anchor-floor policy (BASELINE.md round-10): every anchor consumer
 # judges against max(recorded_min, ANCHOR_FLOOR) — sub-second recorded
@@ -184,51 +185,88 @@ REMOVAL_THRESHOLDS: dict[str, float] = {
 }
 
 
-def _timings(path: str) -> dict[str, float]:
+def _parse_record(path: str) -> tuple[dict[str, float], dict | None]:
+    """(timings, era_probe) from one committed bench record — either a
+    driver compact record ({"sf": .., "parsed": {...}}) or a bench.py
+    full dump. era is None for records predating the round-12 probes."""
     try:
         data = json.load(open(path))
     except (OSError, json.JSONDecodeError):
-        return {}
-    # driver record: {"sf": .., "parsed": {"queries": {...}}}
-    if "parsed" in data:
-        if data.get("sf") != 0.1:
-            return {}
-        parsed = data.get("parsed") or {}
-        out = dict(parsed.get("queries") or {})
-        # Same warm-retry exclusion as the full-dump branch below: the
-        # driver's compact record lists the SLOWEST queries — exactly the
-        # ones that get warm-retried — so without this strip a warm
-        # minimum could still become an anchor via the driver-record path
-        # (round-7 advisor item). Records from rounds before bench.py
-        # emitted the marker simply have no key here.
-        for name in parsed.get("warm_retry_minima") or []:
-            out.pop(name, None)
-        return out
-    # bench.py full dump: {"sf": .., "queries": {...}}
+        return {}, None
     if data.get("sf") != 0.1:
-        return {}
-    out = dict(data.get("queries") or {})
+        return {}, None
+    # driver record: {"sf": .., "parsed": {"queries": {...}, "era": ..}}
+    body = data.get("parsed") or {} if "parsed" in data else data
+    out = dict(body.get("queries") or {})
     # A warm-retry minimum (round-6 retry pass: JVM hot, shared artifacts
     # already materialized) is a systematically easier measurement than
     # the paired cold-prefix runs — folding it into min-of-history would
     # one-sidedly ratchet the anchor below what a cold run can ever hit.
     # Keep it in the run's compare, but never let it BECOME an anchor.
-    for name in data.get("warm_retry_minima") or []:
+    # (The driver's compact record lists the SLOWEST queries — exactly
+    # the ones that get warm-retried — so the strip matters on both
+    # record shapes; round-7 advisor item.)
+    for name in body.get("warm_retry_minima") or []:
         out.pop(name, None)
+    era = body.get("era_probe") or body.get("era")
+    return out, (era if isinstance(era, dict) and era else None)
+
+
+def _timings(path: str) -> dict[str, float]:
+    return _parse_record(path)[0]
+
+
+def era_dims_min(probe: dict | None) -> dict[str, float]:
+    """Per-dimension MIN across an era reading's pre/post sides — the
+    conservative 'worst era seen during the run' scalar used when
+    comparing an anchor-setting run's era against the current run's
+    (round-13 judge item 3). Shared by bench_anchors (stamping) and
+    bench_compare (the per-violation era-delta line)."""
+    if not isinstance(probe, dict) or not probe:
+        return {}
+    sides = [probe[k] for k in ("pre", "post")
+             if isinstance(probe.get(k), dict)] or [probe]
+    out: dict[str, float] = {}
+    for side in sides:
+        for dim in ERA_REF:
+            v = side.get(dim)
+            if isinstance(v, (int, float)):
+                out[dim] = min(out.get(dim, v), v)
     return out
 
 
-def collect() -> dict[str, float]:
-    anchors: dict[str, float] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))) + [
-        os.path.join(REPO, "BENCH_FULL.json")
-    ]:
-        for name, sec in _timings(path).items():
+def collect_with_provenance() -> dict[str, dict]:
+    """Min-of-history anchors WITH provenance: for each query, the
+    wall-seconds minimum plus the source record that set it and that
+    run's era vector (per-dim min of its pre/post probes; None for
+    records predating the round-12 probes). Round-13 judge item 3:
+    min-of-history anchors ratcheted under best-ever disk eras
+    structurally guarantee violations on disk-bound queries whenever
+    the VM sits below that era — stamping WHICH era set each minimum
+    lets bench_compare print the per-query era delta on a violation
+    instead of requiring a manual triage session."""
+    anchors: dict[str, dict] = {}
+    # BENCH_GATE_r*.json are round_gate's versioned snapshots of its
+    # in-round full bench (round-13): same full-dump format, legitimate
+    # cold runs, so they feed the ratchet like driver records do — and
+    # they survive the driver overwriting BENCH_FULL.json at round close.
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))) + sorted(
+        glob.glob(os.path.join(REPO, "BENCH_GATE_r*.json"))
+    ) + [os.path.join(REPO, "BENCH_FULL.json")]:
+        timings, era = _parse_record(path)
+        era_min = era_dims_min(era) or None
+        src = os.path.basename(path)
+        for name, sec in timings.items():
             if not isinstance(sec, (int, float)) or sec <= 0:
                 continue
-            if name not in anchors or sec < anchors[name]:
-                anchors[name] = round(float(sec), 3)
+            if name not in anchors or sec < anchors[name]["anchor_s"]:
+                anchors[name] = {"anchor_s": round(float(sec), 3),
+                                 "src": src, "era": era_min}
     return anchors
+
+
+def collect() -> dict[str, float]:
+    return {n: v["anchor_s"] for n, v in collect_with_provenance().items()}
 
 
 def expired_overrides(bench: dict) -> list[tuple[str, float, float]]:
@@ -274,18 +312,40 @@ def expired_overrides(bench: dict) -> list[tuple[str, float, float]]:
 
 
 def main() -> int:
-    anchors = collect()
+    prov = collect_with_provenance()
+    anchors = {n: v["anchor_s"] for n, v in prov.items()}
     if "--merge" in sys.argv and os.path.exists(ANCHORS):
         old = json.load(open(ANCHORS))
         for name, sec in old.items():
             if name not in anchors or sec < anchors[name]:
                 anchors[name] = sec
+                # a merged-in value lower than every surviving record has
+                # unknown provenance (its source file is gone)
+                prov[name] = {"anchor_s": sec,
+                              "src": "ANCHORS.json (merged, source record "
+                                     "no longer on disk)", "era": None}
     anchors.update(OVERRIDES)
+    for name in OVERRIDES:
+        # override evidence is the prose above, not a committed run file;
+        # the quiet-triage eras those values were measured under are
+        # quoted there
+        prov[name] = {"anchor_s": OVERRIDES[name], "src": "OVERRIDES",
+                      "era": None}
     with open(ANCHORS, "w") as f:
         json.dump(dict(sorted(anchors.items())), f, indent=1)
         f.write("\n")
+    # Era provenance sidecar (round-13 judge item 3). ANCHORS.json stays
+    # the flat {query: seconds} map — three consumers (bench.py's
+    # warm-retry bar, bench_compare, triage_bench) and the driver-run
+    # bench read it mid-run, so its contract does not change; the stamp
+    # lives beside it and only bench_compare's annotation layer reads it.
+    with open(ANCHOR_ERAS, "w") as f:
+        json.dump(dict(sorted(prov.items())), f, indent=1)
+        f.write("\n")
+    stamped = sum(1 for v in prov.values() if v.get("era"))
     print(f"ANCHORS.json: {len(anchors)} query anchors "
-          f"(sf0.1 min-of-history wall seconds)")
+          f"(sf0.1 min-of-history wall seconds); ANCHOR_ERAS.json: "
+          f"{stamped}/{len(prov)} minima carry their setting run's era")
     return 0
 
 

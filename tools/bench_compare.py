@@ -113,10 +113,45 @@ def main() -> int:
     # re-derived from timing shapes. (The round-12 bench proved the
     # need for the vector form: 8 violations on untouched queries under
     # a HEALTHY fault probe; the degraded dimension that day was disk.)
-    from bench_anchors import ERA_REF, degraded_era_dims
+    from bench_anchors import ERA_REF, degraded_era_dims, era_dims_min
 
     probe = bench.get("era_probe") or bench.get("era")
     degraded = degraded_era_dims(probe)
+    run_era = era_dims_min(probe)
+
+    # Per-query anchor-era stamps (round-13 judge item 3): which era the
+    # run that SET each minimum was recorded under. Violations/warnings
+    # get a sub-line comparing the current run's era to the anchor's —
+    # a disk-bound query violating while the run's disk era sits far
+    # below the anchor-setting run's is the documented VM window, shown
+    # in place instead of requiring a manual triage session.
+    try:
+        anchor_eras = json.load(
+            open(os.path.join(REPO, "ANCHOR_ERAS.json")))
+    except (OSError, json.JSONDecodeError):
+        anchor_eras = {}
+
+    def era_note(name: str) -> str | None:
+        info = anchor_eras.get(name)
+        if not info:
+            return None
+        a_era = info.get("era")
+        if not a_era:
+            return (f"    anchor-era: unrecorded (anchor from "
+                    f"{info.get('src', '?')} — no era vector survives "
+                    f"for the run that set this minimum)")
+        parts = []
+        for dim in sorted(a_era):
+            ref, cur = a_era[dim], run_era.get(dim)
+            if isinstance(cur, (int, float)) and isinstance(
+                    ref, (int, float)) and ref > 0:
+                mark = " <<" if cur < ref / 2 else ""
+                parts.append(f"{dim} {cur:g} vs {ref:g} "
+                             f"({cur / ref:.2f}x{mark})")
+        if not parts:
+            return None
+        return (f"    anchor-era [{info.get('src', '?')}] run vs "
+                f"anchor-run: " + "; ".join(parts))
     if degraded:
         print(f"ERA-DEGRADED run on {degraded}: probe {probe} vs "
               f"anchors' era {ERA_REF} — uniform 1.2-3x drift on "
@@ -135,9 +170,15 @@ def main() -> int:
     for name, sec, anchor, ratio in sorted(warnings_, key=lambda v: -v[3]):
         print(f"WARNING {name}: {sec:.2f}s vs anchor {anchor:.2f}s "
               f"({ratio:.2f}x > {ns.warn_factor:.1f}x; gate passes, watch)")
+        note = era_note(name)
+        if note:
+            print(note)
     for name, sec, anchor, ratio in sorted(violations, key=lambda v: -v[3]):
         print(f"VIOLATION {name}: {sec:.2f}s vs anchor {anchor:.2f}s "
               f"({ratio:.2f}x > {factor:.1f}x)")
+        note = era_note(name)
+        if note:
+            print(note)
     # Override-expiry audit (round-10 judge item 4): warn — never fail —
     # when this run meets an OVERRIDES entry's removal condition, so an
     # override cannot outlive its justification unnoticed.

@@ -24,13 +24,33 @@ warm-retry pass cannot de-noise a shadow it runs inside of.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PY = sys.executable
+
+
+def current_round() -> int:
+    """Round number for versioned gate artifacts: the last PROGRESS.jsonl
+    heartbeat's round, falling back to max committed CORRECTNESS_r*.json
+    + 1 (the driver writes those at round close)."""
+    try:
+        with open(os.path.join(REPO, "PROGRESS.jsonl")) as f:
+            lines = [ln for ln in f if ln.strip()]
+        return int(json.loads(lines[-1])["round"])
+    except Exception:  # noqa: BLE001 — any fallback beats crashing the gate
+        import glob
+        import re
+
+        rounds = [int(m.group(1)) for p in
+                  glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+                  if (m := re.search(r"_r(\d+)\.json$", p))]
+        return (max(rounds) + 1) if rounds else 0
 
 
 def main() -> int:
@@ -88,6 +108,23 @@ def main() -> int:
             detail = (p.stdout + "\n" + p.stderr).strip().splitlines()[-15:]
             for line in detail:
                 print(f"    | {line}")
+        if name == "bench":
+            # Versioned gate artifact (round-12 judge item 2): the
+            # driver's post-round bench overwrites BENCH_FULL.json, so
+            # an in-round clean-gate run used to survive only as prose
+            # in BASELINE.md — unverifiable. Snapshot this gate's full
+            # per-query dump (timings + era vector) to a round-stamped
+            # file; committing it makes any "0 violations" claim
+            # re-checkable with `bench_compare BENCH_GATE_r<N>.json`.
+            # Repeated gates in one round overwrite the same round's
+            # file — the LAST gate of a round is the one its claims
+            # cite.
+            src = os.path.join(REPO, "BENCH_FULL.json")
+            if os.path.exists(src) and os.path.getmtime(src) >= t0:
+                dst = os.path.join(REPO, f"BENCH_GATE_r{current_round():02d}.json")
+                shutil.copyfile(src, dst)
+                print(f"           bench snapshot -> {os.path.basename(dst)}"
+                      f" (commit it; bench_compare re-checks it)")
     failed = [n for n, (rc, _, _) in results.items() if rc > 0]
     skipped = sorted(n for n, (rc, _, _) in results.items() if rc == -1)
     green = len(gates) - len(failed) - len(skipped)
