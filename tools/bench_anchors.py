@@ -162,6 +162,28 @@ OVERRIDES: dict[str, float] = {
     # 2.39 = best recent driver record. Remove if a future full bench
     # records <= 1.916 again.
     "graph_connected_components": 2.39,
+    # Round 13: the four r12 driver-bench violations, dispositioned by a
+    # same-session era-bracketed A/B of r12 code vs r11 code (worktree
+    # at 52b8d25), five alternating arms (r12/r11/r12/r11/r12, min-of-3
+    # each, era probe between every arm; BASELINE.md round-13 "Four
+    # violations A/B"). On the cleanest adjacent healthy-era pair the
+    # r12 code is AT PAR OR FASTER than r11 on all four (outer_join
+    # 3.60 vs 4.26, update_mode 1.55 vs 1.59, dpo 1.96 vs 1.95, pca
+    # 1.50 vs 1.54), so none is a code regression; the old anchors are
+    # era minima neither code version can reach today (r11's own best
+    # healthy-era readings sit 1.5-1.9x over them). The drain profiler
+    # (tools/profile_drain.py, round-13) further exonerates the r12
+    # drain restructure for the streaming pair: drain machinery is
+    # ~0.5 s total (plan 0.25 + start 0.07 + read-back 0.16) while the
+    # cost is engine addBatch (state-store commits + join + parquet
+    # appends, disk-bound) inside stream_run. Values = best r12
+    # quiet-arm minima. Remove each if a future full bench records at
+    # or under its displaced minimum (the ratchet re-lowers
+    # automatically).
+    "streaming_outer_join_null_emission": 3.60,
+    "streaming_update_mode_semantics": 1.55,
+    "dynamic_partition_overwrite": 1.96,
+    "pca_power_iteration": 1.50,
 }
 
 # The displaced minimum each override's prose names in its "remove if a
@@ -182,6 +204,10 @@ REMOVAL_THRESHOLDS: dict[str, float] = {
     "streaming_watermark_append_semantics": 1.03,
     "streaming_sliding_window": 0.946,
     "graph_connected_components": 1.916,
+    "streaming_outer_join_null_emission": 2.561,
+    "streaming_update_mode_semantics": 0.925,
+    "dynamic_partition_overwrite": 1.289,
+    "pca_power_iteration": 0.756,
 }
 
 
