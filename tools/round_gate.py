@@ -97,6 +97,7 @@ def main() -> int:
             print(f"[skipped ] {name}")
             continue
         t0 = time.perf_counter()
+        wall0 = time.time()  # epoch stamp for the mtime freshness check
         p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
         dt = time.perf_counter() - t0
         tail = (p.stdout.strip().splitlines() or [""])[-1][:160]
@@ -120,7 +121,7 @@ def main() -> int:
             # file — the LAST gate of a round is the one its claims
             # cite.
             src = os.path.join(REPO, "BENCH_FULL.json")
-            if os.path.exists(src) and os.path.getmtime(src) >= t0:
+            if os.path.exists(src) and os.path.getmtime(src) >= wall0:
                 dst = os.path.join(REPO, f"BENCH_GATE_r{current_round():02d}.json")
                 shutil.copyfile(src, dst)
                 print(f"           bench snapshot -> {os.path.basename(dst)}"
