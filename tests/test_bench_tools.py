@@ -299,3 +299,28 @@ def test_round_gate_current_round_from_progress():
 
     n = round_gate.current_round()
     assert isinstance(n, int) and n >= 13
+
+
+def test_compare_era_sensitivity_fallback(tmp_path):
+    """Round-13: when a violating query's anchor era is unrecorded but
+    its binding mechanism is tagged in ERA_SENSITIVITY, the sub-line
+    names the mechanism and compares the run's probe against the
+    healthy reference for that dimension."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_anchors
+
+    anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
+    eras = json.load(open(os.path.join(REPO, "ANCHOR_ERAS.json")))
+    name = next((n for n in bench_anchors.ERA_SENSITIVITY
+                 if n in anchors and not (eras.get(n) or {}).get("era")),
+                None)
+    if name is None:
+        import pytest
+        pytest.skip("every tagged query's anchor already carries an era")
+    dim = bench_anchors.ERA_SENSITIVITY[name]
+    eff = max(anchors[name], 1.0)
+    bench = {"sf": 0.1, "queries": {name: eff * 3 + 1.0},
+             "era_probe": {"pre": {dim: 0.1}}}
+    r = _run(bench, tmp_path)
+    assert r.returncode == 1
+    assert f"{dim}-bound query" in r.stdout and "healthy ref" in r.stdout

@@ -78,6 +78,35 @@ def degraded_era_dims(probe: dict) -> list[str]:
         if isinstance(side.get(dim), (int, float)) and side[dim] < ref / 2
     })
 
+# Mechanism-based era-sensitivity tags (round-13): which probe dimension
+# a query's wall time tracks, recorded ONLY where the binding mechanism
+# was measured, not guessed. The 10 streaming drains + dynamic partition
+# overwrite are disk-bound (per-run state-store commits / WAL / parquet
+# writes: the r13 profiler bills their cost to engine addBatch, and the
+# r12/r13 violation sets are exactly this family in disk-degraded
+# windows); pca_power_iteration is straggler-bound (wide BLAS
+# mapInPandas stages whose wall is the slowest vCPU — the r12
+# cpu_gflops_min mechanism). bench_compare uses this as the fallback
+# annotation when a violating query's anchor has no recorded era: the
+# reader still gets a mechanism ("disk-bound query, run disk at 0.69x
+# the healthy reference") instead of an unexplained ratio.
+ERA_SENSITIVITY: dict[str, str] = {
+    **{n: "disk_wgbps" for n in (
+        "streaming_outer_join_null_emission",
+        "streaming_update_mode_semantics",
+        "streaming_sessionization",
+        "streaming_sliding_window",
+        "streaming_static_enrich",
+        "streaming_dedup_exactly_once",
+        "streaming_stateful_key_counts",
+        "streaming_watermark_append_semantics",
+        "streaming_chained_window_aggs",
+        "streaming_approx_distinct",
+        "dynamic_partition_overwrite",
+    )},
+    "pca_power_iteration": "cpu_gflops_min",
+}
+
 # Explicit, explained re-anchors — applied LAST, unconditionally. The
 # min-of-history ratchet can only lower anchors; if a query ever drifts
 # for a proven environmental reason, record the new anchor here WITH its

@@ -113,7 +113,8 @@ def main() -> int:
     # re-derived from timing shapes. (The round-12 bench proved the
     # need for the vector form: 8 violations on untouched queries under
     # a HEALTHY fault probe; the degraded dimension that day was disk.)
-    from bench_anchors import ERA_REF, degraded_era_dims, era_dims_min
+    from bench_anchors import (ERA_REF, ERA_SENSITIVITY, degraded_era_dims,
+                               era_dims_min)
 
     probe = bench.get("era_probe") or bench.get("era")
     degraded = degraded_era_dims(probe)
@@ -133,19 +134,33 @@ def main() -> int:
 
     def era_note(name: str) -> str | None:
         info = anchor_eras.get(name)
-        if not info:
-            return None
-        a_era = info.get("era")
+        sens = ERA_SENSITIVITY.get(name)
+        # mechanism fallback: when the anchor's era is unrecorded but the
+        # query's binding dimension is known, compare the run against the
+        # healthy REFERENCE for that dimension — a mechanism beats an
+        # unexplained ratio
+        sens_part = ""
+        if sens:
+            cur, ref = run_era.get(sens), ERA_REF.get(sens)
+            if isinstance(cur, (int, float)) and ref:
+                sens_part = (f"; {sens}-bound query — run {cur:g} vs "
+                             f"healthy ref {ref:g} ({cur / ref:.2f}x)")
+            else:
+                sens_part = f"; {sens}-bound query"
+        a_era = info.get("era") if info else None
         if not a_era:
-            return (f"    anchor-era: unrecorded (anchor from "
-                    f"{info.get('src', '?')} — no era vector survives "
-                    f"for the run that set this minimum)")
+            src = info.get("src", "?") if info else "no ANCHOR_ERAS entry"
+            return (f"    anchor-era: unrecorded (anchor from {src} — no "
+                    f"era vector survives for the run that set this "
+                    f"minimum){sens_part}")
         parts = []
         for dim in sorted(a_era):
             ref, cur = a_era[dim], run_era.get(dim)
             if isinstance(cur, (int, float)) and isinstance(
                     ref, (int, float)) and ref > 0:
                 mark = " <<" if cur < ref / 2 else ""
+                if dim == sens:
+                    mark += " [sensitive]"
                 parts.append(f"{dim} {cur:g} vs {ref:g} "
                              f"({cur / ref:.2f}x{mark})")
         if not parts:
