@@ -173,10 +173,13 @@ OVERRIDES: dict[str, float] = {
     # parquet-era override value.
     "streaming_sessionization": 1.64,
     "streaming_watermark_append_semantics": 1.31,
-    # streaming_sliding_window is the third memory-sink-era anchor in
-    # this class (0.946, sub-second): round-12 clean bench 1.093 s with
-    # the blocks drain. Same removal condition.
-    "streaming_sliding_window": 1.09,
+    # streaming_sliding_window's round-12 entry (1.09; displaced minimum
+    # 0.946) EXPIRED in round 13: the healthy-window full bench recorded
+    # 0.857 s on a paired cold run — the memory-sink-era speed is back
+    # (the blocks drain's sink cost is near zero on a fast-era VM, as
+    # the removal note predicted), so the entry was deleted per its
+    # documented condition and the ratchet adopted 0.857 with its era
+    # stamp.
     # Round 10: the 1.916 minimum is a JIT-hot-era artifact for a
     # DRIVER-LOOP-bound query. Code unchanged since round 8 (git log on
     # operators/graph.py); per-round instrumentation shows the cost is 7
@@ -231,7 +234,6 @@ REMOVAL_THRESHOLDS: dict[str, float] = {
     "hits_hubs_authorities": 1.041,
     "streaming_sessionization": 1.02,
     "streaming_watermark_append_semantics": 1.03,
-    "streaming_sliding_window": 0.946,
     "graph_connected_components": 1.916,
     "streaming_outer_join_null_emission": 2.561,
     "streaming_update_mode_semantics": 0.925,
