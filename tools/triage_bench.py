@@ -78,7 +78,7 @@ def main() -> int:
     # verdict without the era probe can't distinguish "still slow"
     # from "VM era still degraded" — the round-6..12 re-litigation loop.
     from bench import era_probe
-    from bench_anchors import ERA_REF, degraded_era_dims
+    from bench_anchors import ERA_REF, ERA_SENSITIVITY, degraded_era_dims
 
     probe = era_probe()
     bad = degraded_era_dims(probe)
@@ -135,9 +135,23 @@ def main() -> int:
             "ratio": round(ratio, 2) if ratio else None,
             "verdict": verdict,
         }
+        # mechanism tag (round-13): a WARN on a query whose binding era
+        # dimension is known prints it inline, with this session's probe
+        # reading for that dimension — the triage verdict then carries
+        # its own discount context.
+        sens = ERA_SENSITIVITY.get(name)
+        sens_note = ""
+        if sens and verdict != "ok":
+            cur, ref = probe.get(sens), ERA_REF.get(sens)
+            if isinstance(cur, (int, float)) and ref:
+                sens_note = (f" [{sens}-bound; probe {cur:g} vs ref "
+                             f"{ref:g} = {cur / ref:.2f}x]")
+            else:
+                sens_note = f" [{sens}-bound]"
         print(f"{verdict:5s} {name}: anchor={anchor} min={best:.3f} "
               f"(build {min(builds):.3f} + exec {min(execs):.3f}) "
-              f"med={statistics.median(totals):.3f} ratio={ratio and round(ratio, 2)}")
+              f"med={statistics.median(totals):.3f} "
+              f"ratio={ratio and round(ratio, 2)}{sens_note}")
     print(json.dumps(out))
     return 0
 
