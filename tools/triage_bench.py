@@ -99,6 +99,11 @@ def main() -> int:
 
     spark.range(0, 32, 1, 32).mapInPandas(_py_warm, "id long") \
         .write.mode("overwrite").format("noop").save()
+    # streaming machinery too (round 13) — otherwise the first streaming
+    # suspect in the list absorbs the session's one-time engine spin-up
+    # and triages as a phantom WARN
+    from bench import warm_streaming
+    warm_streaming(spark)
 
     out = {}
     for name in names:
