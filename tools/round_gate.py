@@ -123,6 +123,18 @@ def main() -> int:
             src = os.path.join(REPO, "BENCH_FULL.json")
             if os.path.exists(src) and os.path.getmtime(src) >= wall0:
                 dst = os.path.join(REPO, f"BENCH_GATE_r{current_round():02d}.json")
+                if os.path.exists(dst):
+                    # A superseded same-round gate run keeps its full
+                    # dump under an indexed name: its minima (and their
+                    # era stamps) must keep feeding the anchor ratchet —
+                    # overwriting in place silently demoted provenance
+                    # to "source record no longer on disk" (seen on the
+                    # second r13 gate). The unsuffixed file remains "the
+                    # LAST gate of the round", the one its claims cite.
+                    i = 1
+                    while os.path.exists(f"{dst[:-5]}.{i}.json"):
+                        i += 1
+                    os.replace(dst, f"{dst[:-5]}.{i}.json")
                 shutil.copyfile(src, dst)
                 print(f"           bench snapshot -> {os.path.basename(dst)}"
                       f" (commit it; bench_compare re-checks it)")
