@@ -324,3 +324,39 @@ def test_compare_era_sensitivity_fallback(tmp_path):
     r = _run(bench, tmp_path)
     assert r.returncode == 1
     assert f"{dim}-bound query" in r.stdout and "healthy ref" in r.stdout
+
+
+def test_gate_snapshot_rotates_superseded_runs(tmp_path):
+    """Round-13: a repeated in-round gate must ROTATE the previous
+    snapshot to an indexed name (its minima + era stamps keep feeding
+    the ratchet), never overwrite it; the unsuffixed file is always the
+    latest run. A stale BENCH_FULL.json (older than the gate's start)
+    must not be re-snapshotted."""
+    import time as _time
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import round_gate
+
+    repo = str(tmp_path)
+    full = tmp_path / "BENCH_FULL.json"
+    n = round_gate.current_round()
+    base = tmp_path / f"BENCH_GATE_r{n:02d}.json"
+
+    full.write_text('{"run": 1}')
+    t0 = _time.time() - 60  # bench "started" a minute ago
+    p1 = round_gate.snapshot_gate_bench(t0, repo=repo)
+    assert p1 == str(base) and base.read_text() == '{"run": 1}'
+
+    full.write_text('{"run": 2}')
+    p2 = round_gate.snapshot_gate_bench(t0, repo=repo)
+    assert p2 == str(base) and base.read_text() == '{"run": 2}'
+    rotated = tmp_path / f"BENCH_GATE_r{n:02d}.1.json"
+    assert rotated.read_text() == '{"run": 1}'
+
+    full.write_text('{"run": 3}')
+    round_gate.snapshot_gate_bench(t0, repo=repo)
+    assert (tmp_path / f"BENCH_GATE_r{n:02d}.2.json").read_text() == '{"run": 2}'
+    assert base.read_text() == '{"run": 3}'
+
+    # stale source: mtime before the gate started -> no snapshot
+    assert round_gate.snapshot_gate_bench(_time.time() + 60, repo=repo) is None
