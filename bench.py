@@ -136,18 +136,24 @@ def era_probe() -> dict:
         if r.returncode != 0:
             # fail-open stays (None, never abort the bench) but leave the
             # subprocess's own diagnostics behind: a persistently-None
-            # dimension with no stderr trail is undebuggable (r12 advisor).
+            # dimension with no stderr trail is undebuggable (r12
+            # advisor). One clean line, then skip the parse — letting the
+            # unpack throw would add a second line blaming the wrong
+            # proximate cause (round-13 self-review).
+            tail = (r.stderr or "").strip().splitlines()
             print(f"era_probe: cpu probe exited rc={r.returncode}: "
-                  f"{(r.stderr or '').strip().splitlines()[-1:]}",
-                  file=sys.stderr)
-        agg, worst = r.stdout.split()
-        # the straggler minimum matters as much as the aggregate: a
-        # 32-task Spark stage's wall is its SLOWEST task, so a few
-        # host-throttled vCPUs (measured round 12: workers at 6-20
-        # GFLOP/s while siblings ran 40) drag every wide stage without
-        # moving the aggregate much.
-        out["cpu_gflops"] = float(agg)
-        out["cpu_gflops_min"] = float(worst)
+                  f"{tail[-1] if tail else '(no stderr)'}", file=sys.stderr)
+            out["cpu_gflops"] = None
+            out["cpu_gflops_min"] = None
+        else:
+            agg, worst = r.stdout.split()
+            # the straggler minimum matters as much as the aggregate: a
+            # 32-task Spark stage's wall is its SLOWEST task, so a few
+            # host-throttled vCPUs (measured round 12: workers at 6-20
+            # GFLOP/s while siblings ran 40) drag every wide stage
+            # without moving the aggregate much.
+            out["cpu_gflops"] = float(agg)
+            out["cpu_gflops_min"] = float(worst)
     except Exception as exc:  # noqa: BLE001 — probe must never fail the bench
         print(f"era_probe: cpu probe failed: {type(exc).__name__}: "
               f"{str(exc)[:160]}", file=sys.stderr)

@@ -164,7 +164,14 @@ def main() -> int:
                 parts.append(f"{dim} {cur:g} vs {ref:g} "
                              f"({cur / ref:.2f}x{mark})")
         if not parts:
-            return None
+            # stamped anchor but the CURRENT run carries no comparable
+            # probe (pre-era-format record): still print the stamp and
+            # the mechanism — the better-provenanced case must never
+            # produce less output than an unstamped one (r13 self-review)
+            stamp = "; ".join(f"{d} {a_era[d]:g}" for d in sorted(a_era)
+                              if isinstance(a_era[d], (int, float)))
+            return (f"    anchor-era [{info.get('src', '?')}]: {stamp} — "
+                    f"current run has no era probe to compare{sens_part}")
         return (f"    anchor-era [{info.get('src', '?')}] run vs "
                 f"anchor-run: " + "; ".join(parts))
     if degraded:

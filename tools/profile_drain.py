@@ -172,9 +172,15 @@ def main() -> int:
 
     spark = get_spark(app_name="profile_drain")
     spark.sparkContext.setLogLevel("ERROR")
-    # same warm-up discipline as bench.py: JVM + py-worker pool
+    # same warm-up discipline as bench.py: JVM + STREAMING engine —
+    # without warm_streaming, run 0's stream_start/stream_run would
+    # absorb the ~2-3 s one-time engine spin-up and the tool would
+    # misattribute session overhead to the drain machinery it exists
+    # to measure (round-13 self-review).
     QUERIES["j2_join_agg"](spark, sf_dir).write.mode("overwrite") \
         .format("noop").save()
+    from bench import warm_streaming
+    warm_streaming(spark)
 
     results = [one_run(spark, sf_dir, i) for i in range(runs)]
     keys = ["plan_build", "stream_start", "stream_run", "read_back",
