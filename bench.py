@@ -185,6 +185,13 @@ def era_probe() -> dict:
                 os.fsync(f.fileno())
                 samples.append((32 / 1024.0) / (time.perf_counter() - t0))
         out["disk_wgbps"] = round(sorted(samples)[1], 4)
+        # Which mount the number describes (round-13 advisor): ERA_REF
+        # and all pre-r13 anchor stamps were measured against the bare
+        # tempdir; r13 moved the probe to the Spark scratch root. The
+        # two coincide today, but if XDG_CACHE_HOME/TMPDIR ever diverge,
+        # a run-vs-anchor disk ratio would silently compare different
+        # disks — the recorded target makes that detectable in the data.
+        out["disk_probe_path"] = probe_dir
     except Exception:  # noqa: BLE001
         out["disk_wgbps"] = None
     return out
@@ -250,8 +257,14 @@ def build_compact(total: float, timings: dict, errors: dict,
         # the measured era vector (pre+post: fault GB/s, wide-CPU
         # GFLOP/s, disk-write GB/s) travels on the driver-recorded line
         # so cross-round totals are era-attributable without
-        # BENCH_FULL.json (~130 bytes against the 1700 budget).
-        **({"era": era} if era is not None else {}),
+        # BENCH_FULL.json (~130 bytes against the 1700 budget). String
+        # annotations (disk_probe_path) stay in the full dump only —
+        # every byte here displaces a slow-query timing.
+        **({"era": {side: ({d: x for d, x in vec.items()
+                            if not isinstance(x, str)}
+                           if isinstance(vec, dict) else vec)
+                    for side, vec in era.items()}}
+           if isinstance(era, dict) else {}),
         "n_errors": len(errors),
         "queries_full": "BENCH_FULL.json",
         "sf": sf,
@@ -305,7 +318,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Mid-run era probes (round-13 judge item 4): the r13 driver run's
+    # disk probe went 0.096 -> 0.366 GB/s across a ~20-minute bench — a
+    # single pre/post pair cannot say WHICH queries ran degraded. Probe
+    # every ~80 completed queries so every query has a bracketing pair;
+    # bench_compare attributes each violation to its LOCAL era window
+    # instead of the global min. ~4 s per probe, never inside a timed
+    # region, ~16 s total against a ~300 s bench.
+    PROBE_EVERY = 80
+    seq: list[str] = []  # run order, for timeline attribution
+    era_timeline: list[dict] = [{"n_done": 0, "probe": probe_pre}]
     for name in HEADLINE:
+        seq.append(name)
         # A failing query must never abort the bench (round 3: one
         # AnalysisException killed the whole run and the round recorded no
         # timings at all). Record the error, keep timing everything else.
@@ -343,6 +367,9 @@ def main() -> None:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             time.sleep(1.5)
+        done = len(timings) + len(errors)
+        if done - era_timeline[-1]["n_done"] >= PROBE_EVERY:
+            era_timeline.append({"n_done": done, "probe": era_probe()})
 
     # Retry pass (round 6): min-of-2 cannot reject a VM stall that spans
     # BOTH paired runs, and the rotation prefix puts 50 queries at the
@@ -410,6 +437,9 @@ def main() -> None:
             if floored_ok and raw_ok:
                 break
 
+    probe_post = era_probe()
+    era_timeline.append({"n_done": len(seq), "probe": probe_post})
+
     total = round(sum(timings.values()), 3)
     # Comparability control (round-9 verdict item 5): the warm-retry
     # pass replaces per-query timings with fully-warm minima, which
@@ -436,7 +466,16 @@ def main() -> None:
         # First-touch page-fault era, before and after the run (GB/s;
         # see fault_probe_gbps). bench_compare reads this to annotate
         # era-degraded runs instead of re-triaging them from timings.
-        "era_probe": {"pre": probe_pre, "post": era_probe()},
+        "era_probe": {"pre": probe_pre, "post": probe_post},
+        # Per-segment probes (pre + every ~80 queries + post) and the
+        # run order they bracket: bench_compare/bench_anchors attribute
+        # each query to the per-dim MIN of its two bracketing probes
+        # (tools/bench_anchors.local_era). Warm-retry minima run at the
+        # session tail, but those are already excluded from anchoring,
+        # and for violation triage the paired cold run's window is the
+        # one that matters.
+        "era_timeline": era_timeline,
+        "query_seq": seq,
         "sf": float(sf),
     }
     # Full per-query detail goes to a file (and an early stdout line for

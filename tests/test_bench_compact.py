@@ -106,3 +106,15 @@ def test_pre_retry_total_travels_on_compact_line():
     assert c["value"] == 10.0
     c2 = BENCH.build_compact(10.0, {"a": 1.0, "b": 9.0}, {}, [], 0.1)
     assert "value_pre_retry" not in c2
+
+
+def test_compact_era_drops_string_annotations():
+    """Round-14: era probes carry a disk_probe_path string in the full
+    dump; the byte-budgeted compact line must keep only the numeric
+    dims — every annotation byte displaces a slow-query timing."""
+    era = {"pre": {"disk_wgbps": 0.4, "disk_probe_path": "/tmp/x"},
+           "post": {"disk_wgbps": 0.5, "fault_gbps": None,
+                    "disk_probe_path": "/tmp/x"}}
+    c = BENCH.build_compact(1.0, {"q": 1.0}, {}, [], 0.1, era=era)
+    assert c["era"]["pre"] == {"disk_wgbps": 0.4}
+    assert c["era"]["post"] == {"disk_wgbps": 0.5, "fault_gbps": None}

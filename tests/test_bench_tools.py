@@ -339,7 +339,12 @@ def test_gate_snapshot_rotates_superseded_runs(tmp_path):
 
     repo = str(tmp_path)
     full = tmp_path / "BENCH_FULL.json"
-    n = round_gate.current_round()
+    # the snapshot must be versioned by the TARGET repo's round counter
+    # (round-13 advisor: it used to read the module-level repo's, and
+    # this test only passed because the tmp repo mirrored its number)
+    (tmp_path / "PROGRESS.jsonl").write_text('{"round": 42}\n')
+    n = round_gate.current_round(repo)
+    assert n == 42
     base = tmp_path / f"BENCH_GATE_r{n:02d}.json"
 
     full.write_text('{"run": 1}')
@@ -360,3 +365,121 @@ def test_gate_snapshot_rotates_superseded_runs(tmp_path):
 
     # stale source: mtime before the gate started -> no snapshot
     assert round_gate.snapshot_gate_bench(_time.time() + 60, repo=repo) is None
+
+
+def test_local_era_brackets_query_position():
+    """Round-14 mid-run probes: a query at run index i is attributed
+    the per-dim MIN of the last probe at-or-before it and the first
+    probe after it — not the whole run's min."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_anchors
+
+    seq = [f"q{i}" for i in range(6)]
+    timeline = [
+        {"n_done": 0, "probe": {"disk_wgbps": 0.5, "fault_gbps": 1.0}},
+        {"n_done": 3, "probe": {"disk_wgbps": 0.05, "fault_gbps": 1.1}},
+        {"n_done": 6, "probe": {"disk_wgbps": 0.4, "fault_gbps": 0.9}},
+    ]
+    # q1 (index 1) ran between n=0 and n=3 probes
+    got = bench_anchors.local_era("q1", timeline, seq)
+    assert got["disk_wgbps"] == 0.05 and got["fault_gbps"] == 1.0
+    # q4 (index 4) ran between n=3 and n=6 — its bracket includes the
+    # degraded n=3 reading but NOT the healthy n=0 one
+    got = bench_anchors.local_era("q4", timeline, seq)
+    assert got["disk_wgbps"] == 0.05 and got["fault_gbps"] == 0.9
+    # q2 (index 2) completed exactly AT the n=3 probe: bracket = [0, 3]
+    got = bench_anchors.local_era("q2", timeline, seq)
+    assert got == {"disk_wgbps": 0.05, "fault_gbps": 1.0}
+    # pre-timeline records and unknown names fall back to {}
+    assert bench_anchors.local_era("q1", None, seq) == {}
+    assert bench_anchors.local_era("nope", timeline, seq) == {}
+
+
+def test_compare_cites_segment_era(tmp_path):
+    """Round-14: with a timeline in the dump, a violation's era
+    sub-line compares against the query's LOCAL bracketing window and
+    says 'segment', and the header carries the per-probe era-timeline
+    summary — a degraded window inside an otherwise-healthy run labels
+    only the queries that ran inside it."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_anchors
+
+    anchors = json.load(open(os.path.join(REPO, "ANCHORS.json")))
+    name = next((n for n in bench_anchors.ERA_SENSITIVITY if n in anchors),
+                None)
+    assert name is not None
+    dim = bench_anchors.ERA_SENSITIVITY[name]
+    eff = max(anchors[name], 1.0)
+    healthy = dict(bench_anchors.ERA_REF)
+    degraded = {**healthy, dim: healthy[dim] / 10.0}
+    bench = {
+        "sf": 0.1,
+        "queries": {name: eff * 3 + 1.0},
+        "query_seq": [name],
+        # run probes healthy on both global sides; the degraded reading
+        # sits INSIDE the query's bracket, so only the local view sees it
+        "era_probe": {"pre": healthy, "post": healthy},
+        "era_timeline": [{"n_done": 0, "probe": degraded},
+                         {"n_done": 1, "probe": healthy}],
+    }
+    r = _run(bench, tmp_path)
+    assert r.returncode == 1
+    assert "era-timeline:" in r.stdout
+    assert f"n=0 {dim}" in r.stdout and "n=1 ok" in r.stdout
+    # the sub-line must cite the segment-scoped value (0.10x of ref)
+    assert "segment" in r.stdout
+
+
+def test_round_gate_current_round_reads_target_repo(tmp_path):
+    """current_round(repo) must read the GIVEN repo's counters, not the
+    module-level one (round-13 advisor item)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import round_gate
+
+    (tmp_path / "PROGRESS.jsonl").write_text(
+        '{"round": 7}\n{"round": 9}\n')
+    assert round_gate.current_round(str(tmp_path)) == 9
+    # fallback: no PROGRESS.jsonl -> max CORRECTNESS_r*.json + 1
+    other = tmp_path / "other"
+    other.mkdir()
+    (other / "CORRECTNESS_r05.json").write_text("{}")
+    assert round_gate.current_round(str(other)) == 6
+    # early-round window (round-14): heartbeats lag the boundary by up
+    # to ~15 min, so the round-close CORRECTNESS ledger must win when
+    # it is ahead of the last heartbeat — else a gate snapshot rotates
+    # the PREVIOUS round's committed artifact aside
+    (other / "PROGRESS.jsonl").write_text('{"round": 5}\n')
+    assert round_gate.current_round(str(other)) == 6
+    (other / "PROGRESS.jsonl").write_text('{"round": 8}\n')
+    assert round_gate.current_round(str(other)) == 8
+
+
+def test_bench_full_provenance_marked_ephemeral():
+    """Round-13 advisor: an ANCHOR_ERAS stamp citing the gitignored,
+    per-round-overwritten BENCH_FULL.json must say so — a bare
+    'BENCH_FULL.json' src reads as a durable citation."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_anchors
+
+    prov = bench_anchors.collect_with_provenance()
+    bare = [n for n, v in prov.items() if v.get("src") == "BENCH_FULL.json"]
+    assert bare == []
+
+
+def test_baseline_header_block_current_and_complete():
+    """Round-14 (r13 judge item 8): BASELINE.md's current-state header
+    is generated from the live override/era state and must not drift —
+    every standing override appears in the committed block, and a
+    refresh is a no-op when the block is current."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import baseline_header
+    import bench_anchors
+
+    text = open(os.path.join(REPO, "BASELINE.md")).read()
+    assert baseline_header.BEGIN in text and baseline_header.END in text
+    block = text.split(baseline_header.BEGIN, 1)[1].split(
+        baseline_header.END, 1)[0]
+    for name in bench_anchors.OVERRIDES:
+        assert name in block, f"override {name} missing from header"
+    # the committed block matches a fresh render (stale -> exit 1)
+    assert baseline_header.refresh(check=True) == 0

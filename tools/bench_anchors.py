@@ -242,16 +242,18 @@ REMOVAL_THRESHOLDS: dict[str, float] = {
 }
 
 
-def _parse_record(path: str) -> tuple[dict[str, float], dict | None]:
-    """(timings, era_probe) from one committed bench record — either a
-    driver compact record ({"sf": .., "parsed": {...}}) or a bench.py
-    full dump. era is None for records predating the round-12 probes."""
+def _parse_record(path: str) -> tuple[dict[str, float], dict | None, dict]:
+    """(timings, era_probe, body) from one committed bench record —
+    either a driver compact record ({"sf": .., "parsed": {...}}) or a
+    bench.py full dump. era is None for records predating the round-12
+    probes; body is the parsed record itself so callers can reach the
+    round-14 era_timeline/query_seq fields without re-reading."""
     try:
         data = json.load(open(path))
     except (OSError, json.JSONDecodeError):
-        return {}, None
+        return {}, None, {}
     if data.get("sf") != 0.1:
-        return {}, None
+        return {}, None, {}
     # driver record: {"sf": .., "parsed": {"queries": {...}, "era": ..}}
     body = data.get("parsed") or {} if "parsed" in data else data
     out = dict(body.get("queries") or {})
@@ -266,11 +268,36 @@ def _parse_record(path: str) -> tuple[dict[str, float], dict | None]:
     for name in body.get("warm_retry_minima") or []:
         out.pop(name, None)
     era = body.get("era_probe") or body.get("era")
-    return out, (era if isinstance(era, dict) and era else None)
+    return out, (era if isinstance(era, dict) and era else None), body
 
 
 def _timings(path: str) -> dict[str, float]:
     return _parse_record(path)[0]
+
+
+def local_era(name: str, timeline, seq) -> dict[str, float]:
+    """Per-dimension MIN over the two era probes BRACKETING one query's
+    run position (round-13 judge item 4). bench.py records a probe at
+    n_done=0, every ~80 completed queries, and at the end; a query at
+    run index i executed between the last probe with n_done <= i and
+    the first with n_done > i. Returns {} when the record predates the
+    timeline format or the query isn't in the recorded order — callers
+    fall back to the whole-run era."""
+    if not (isinstance(timeline, list) and isinstance(seq, list)
+            and name in seq):
+        return {}
+    i = seq.index(name)
+    entries = [e for e in timeline if isinstance(e, dict)
+               and isinstance(e.get("n_done"), (int, float))
+               and isinstance(e.get("probe"), dict)]
+    before = [e for e in entries if e["n_done"] <= i]
+    after = [e for e in entries if e["n_done"] > i]
+    pair: dict[str, dict] = {}
+    if before:
+        pair["pre"] = max(before, key=lambda e: e["n_done"])["probe"]
+    if after:
+        pair["post"] = min(after, key=lambda e: e["n_done"])["probe"]
+    return era_dims_min(pair)
 
 
 def era_dims_min(probe: dict | None) -> dict[str, float]:
@@ -310,15 +337,30 @@ def collect_with_provenance() -> dict[str, dict]:
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))) + sorted(
         glob.glob(os.path.join(REPO, "BENCH_GATE_r*.json"))
     ) + [os.path.join(REPO, "BENCH_FULL.json")]:
-        timings, era = _parse_record(path)
+        timings, era, body = _parse_record(path)
         era_min = era_dims_min(era) or None
+        timeline = body.get("era_timeline")
+        qseq = body.get("query_seq")
         src = os.path.basename(path)
+        if src == "BENCH_FULL.json":
+            # gitignored and overwritten by every bench run: a stamp
+            # citing it is only as durable as the next run, so mark it
+            # ephemeral — an ANCHOR_ERAS entry must say when its cited
+            # source can no longer back the claim (round-13 advisor;
+            # the BENCH_GATE_r* snapshots exist precisely because an
+            # uncommitted citation is unverifiable later).
+            src = "BENCH_FULL.json (uncommitted, overwritten per round)"
         for name, sec in timings.items():
             if not isinstance(sec, (int, float)) or sec <= 0:
                 continue
             if name not in anchors or sec < anchors[name]["anchor_s"]:
+                # prefer the query's LOCAL bracketing era (round-14:
+                # records now carry a probe every ~80 queries) over the
+                # whole-run min — a minimum set in a healthy segment of
+                # an otherwise-degraded run deserves the healthy stamp
+                loc = local_era(name, timeline, qseq) or None
                 anchors[name] = {"anchor_s": round(float(sec), 3),
-                                 "src": src, "era": era_min}
+                                 "src": src, "era": loc or era_min}
     return anchors
 
 

@@ -114,11 +114,25 @@ def main() -> int:
     # need for the vector form: 8 violations on untouched queries under
     # a HEALTHY fault probe; the degraded dimension that day was disk.)
     from bench_anchors import (ERA_REF, ERA_SENSITIVITY, degraded_era_dims,
-                               era_dims_min)
+                               era_dims_min, local_era)
 
     probe = bench.get("era_probe") or bench.get("era")
     degraded = degraded_era_dims(probe)
     run_era = era_dims_min(probe)
+    # Round-14: full dumps carry a probe every ~80 queries plus the run
+    # order; each query is judged against the per-dim MIN of its two
+    # BRACKETING probes, so a violation in a degraded 20-minute window
+    # is labeled by the era it actually ran under, not the run's global
+    # min (the r13 driver bench drifted 0.096 -> 0.366 GB/s disk across
+    # one run — a single pre/post pair can't attribute that).
+    timeline = bench.get("era_timeline")
+    qseq = bench.get("query_seq")
+
+    def query_era(name: str) -> tuple[dict, str]:
+        """(era vector, scope label) — the query's bracketing-segment
+        era when the record carries a timeline, else the whole run's."""
+        loc = local_era(name, timeline, qseq)
+        return (loc, "segment") if loc else (run_era, "run")
 
     # Per-query anchor-era stamps (round-13 judge item 3): which era the
     # run that SET each minimum was recorded under. Violations/warnings
@@ -135,15 +149,16 @@ def main() -> int:
     def era_note(name: str) -> str | None:
         info = anchor_eras.get(name)
         sens = ERA_SENSITIVITY.get(name)
+        cur_era, scope = query_era(name)
         # mechanism fallback: when the anchor's era is unrecorded but the
         # query's binding dimension is known, compare the run against the
         # healthy REFERENCE for that dimension — a mechanism beats an
         # unexplained ratio
         sens_part = ""
         if sens:
-            cur, ref = run_era.get(sens), ERA_REF.get(sens)
+            cur, ref = cur_era.get(sens), ERA_REF.get(sens)
             if isinstance(cur, (int, float)) and ref:
-                sens_part = (f"; {sens}-bound query — run {cur:g} vs "
+                sens_part = (f"; {sens}-bound query — {scope} {cur:g} vs "
                              f"healthy ref {ref:g} ({cur / ref:.2f}x)")
             else:
                 sens_part = f"; {sens}-bound query"
@@ -155,7 +170,7 @@ def main() -> int:
                     f"minimum){sens_part}")
         parts = []
         for dim in sorted(a_era):
-            ref, cur = a_era[dim], run_era.get(dim)
+            ref, cur = a_era[dim], cur_era.get(dim)
             if isinstance(cur, (int, float)) and isinstance(
                     ref, (int, float)) and ref > 0:
                 mark = " <<" if cur < ref / 2 else ""
@@ -172,7 +187,7 @@ def main() -> int:
                               if isinstance(a_era[d], (int, float)))
             return (f"    anchor-era [{info.get('src', '?')}]: {stamp} — "
                     f"current run has no era probe to compare{sens_part}")
-        return (f"    anchor-era [{info.get('src', '?')}] run vs "
+        return (f"    anchor-era [{info.get('src', '?')}] {scope} vs "
                 f"anchor-run: " + "; ".join(parts))
     if degraded:
         print(f"ERA-DEGRADED run on {degraded}: probe {probe} vs "
@@ -182,6 +197,19 @@ def main() -> int:
               f"lines accordingly")
     elif probe:
         print(f"era: probe {probe} (anchors' era {ERA_REF})")
+    if isinstance(timeline, list) and timeline:
+        # one line per probe point: which dims (if any) sat below half
+        # their healthy reference AT THAT POINT — the run self-reports
+        # its degraded windows instead of a single whole-run verdict
+        segs = []
+        for e in timeline:
+            if not (isinstance(e, dict) and isinstance(e.get("probe"), dict)):
+                continue
+            dims = degraded_era_dims(e["probe"])
+            segs.append(f"n={e.get('n_done')} "
+                        + ("/".join(dims) if dims else "ok"))
+        if segs:
+            print("era-timeline: " + " | ".join(segs))
 
     for name, sec in fresh:
         print(f"NO-ANCHOR {name}: {sec:.2f}s (informational; "

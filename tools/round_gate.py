@@ -35,22 +35,34 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PY = sys.executable
 
 
-def current_round() -> int:
+def current_round(repo: str = REPO) -> int:
     """Round number for versioned gate artifacts: the last PROGRESS.jsonl
-    heartbeat's round, falling back to max committed CORRECTNESS_r*.json
-    + 1 (the driver writes those at round close)."""
-    try:
-        with open(os.path.join(REPO, "PROGRESS.jsonl")) as f:
-            lines = [ln for ln in f if ln.strip()]
-        return int(json.loads(lines[-1])["round"])
-    except Exception:  # noqa: BLE001 — any fallback beats crashing the gate
-        import glob
-        import re
+    heartbeat's round, or max committed CORRECTNESS_r*.json + 1 (the
+    driver writes those at round close) — whichever is LARGER. The max
+    matters early in a round: heartbeats lag the round boundary by up
+    to their ~15 min cadence, and a gate run in that window used to
+    version its snapshot into the PREVIOUS round's name, rotating a
+    committed clean-gate artifact aside (round-14). Reads ``repo``'s
+    own counters — a snapshot taken for a non-default repo must be
+    versioned by THAT repo's round, not the module-level one (round-13
+    advisor: the rotation test only passed because its tmp repo
+    happened to mirror the real repo's round number)."""
+    import glob
+    import re
 
-        rounds = [int(m.group(1)) for p in
-                  glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-                  if (m := re.search(r"_r(\d+)\.json$", p))]
-        return (max(rounds) + 1) if rounds else 0
+    candidates = [0]
+    try:
+        with open(os.path.join(repo, "PROGRESS.jsonl")) as f:
+            lines = [ln for ln in f if ln.strip()]
+        candidates.append(int(json.loads(lines[-1])["round"]))
+    except Exception:  # noqa: BLE001 — any fallback beats crashing the gate
+        pass
+    rounds = [int(m.group(1)) for p in
+              glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+              if (m := re.search(r"_r(\d+)\.json$", p))]
+    if rounds:
+        candidates.append(max(rounds) + 1)
+    return max(candidates)
 
 
 def snapshot_gate_bench(min_mtime: float, repo: str = REPO) -> str | None:
@@ -76,7 +88,7 @@ def snapshot_gate_bench(min_mtime: float, repo: str = REPO) -> str | None:
     src = os.path.join(repo, "BENCH_FULL.json")
     if not (os.path.exists(src) and os.path.getmtime(src) >= min_mtime):
         return None
-    dst = os.path.join(repo, f"BENCH_GATE_r{current_round():02d}.json")
+    dst = os.path.join(repo, f"BENCH_GATE_r{current_round(repo):02d}.json")
     if os.path.exists(dst):
         i = 1
         while os.path.exists(f"{dst[:-5]}.{i}.json"):
@@ -143,10 +155,32 @@ def main() -> int:
             for line in detail:
                 print(f"    | {line}")
         if name == "bench":
-            dst = snapshot_gate_bench(wall0)
-            if dst:
-                print(f"           bench snapshot -> {os.path.basename(dst)}"
-                      f" (commit it; bench_compare re-checks it)")
+            # Only a CLEAN bench run becomes a versioned, ratchet-feeding
+            # snapshot (round-13 advisor): a failing bench's dump carries
+            # partial/aborted timings whose minima would still feed the
+            # anchor ratchet and whose "gate artifact" status would read
+            # as a clean-run citation. The uncommitted BENCH_FULL.json
+            # remains on disk for triage either way.
+            if p.returncode != 0:
+                print("           bench FAILED — gate snapshot skipped "
+                      "(BENCH_FULL.json left for triage, not versioned)")
+            else:
+                dst = snapshot_gate_bench(wall0)
+                if dst:
+                    print(f"           bench snapshot -> "
+                          f"{os.path.basename(dst)}"
+                          f" (commit it; bench_compare re-checks it)")
+    # Keep BASELINE.md's auto-generated "Current state" header in sync
+    # with the code it mirrors (round-13 judge item 8) — refresh is
+    # idempotent and never fails the gate.
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        import baseline_header
+
+        baseline_header.refresh()
+    except Exception as exc:  # noqa: BLE001 — doc refresh must not gate
+        print(f"round_gate: baseline_header refresh failed: {exc}")
+
     failed = [n for n, (rc, _, _) in results.items() if rc > 0]
     skipped = sorted(n for n, (rc, _, _) in results.items() if rc == -1)
     green = len(gates) - len(failed) - len(skipped)
