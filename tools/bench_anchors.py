@@ -361,8 +361,15 @@ def collect_with_provenance() -> dict[str, dict]:
     # in-round full bench (round-13): same full-dump format, legitimate
     # cold runs, so they feed the ratchet like driver records do — and
     # they survive the driver overwriting BENCH_FULL.json at round close.
+    # BENCH_RUN_r*.json (round-14) are hand-committed STANDALONE bench.py
+    # dumps — a full run outside the gate whose minima/era stamps are
+    # worth keeping must be copied there before the next run overwrites
+    # BENCH_FULL.json (first instance: r14 run 1 set knn_graph_mutual's
+    # 1.326 minimum and its stamp briefly lived only in the ephemeral
+    # file).
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))) + sorted(
         glob.glob(os.path.join(REPO, "BENCH_GATE_r*.json"))
+    ) + sorted(glob.glob(os.path.join(REPO, "BENCH_RUN_r*.json"))
     ) + [os.path.join(REPO, "BENCH_FULL.json")]:
         timings, era, body = _parse_record(path)
         era_min = era_dims_min(era) or None
