@@ -483,3 +483,34 @@ def test_baseline_header_block_current_and_complete():
         assert name in block, f"override {name} missing from header"
     # the committed block matches a fresh render (stale -> exit 1)
     assert baseline_header.refresh(check=True) == 0
+
+
+def test_round_gate_wait_healthy_needs_consecutive_pair():
+    """Round-14: a single healthy probe is not a launch window (the r14
+    gate launched on disk 0.43 and the bench's own pre-probe read 0.063
+    seconds later). wait_healthy launches only on two CONSECUTIVE
+    healthy readings, resets the streak on a degraded one, and falls
+    through (False) on budget exhaustion rather than blocking forever."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import round_gate
+
+    good = {"disk_wgbps": 0.4, "cpu_gflops_min": 20.0}
+    bad = {"disk_wgbps": 0.05, "cpu_gflops_min": 20.0}
+    slept = []
+
+    def run(seq, max_minutes=50):
+        it = iter(seq)
+        return round_gate.wait_healthy(
+            max_minutes=max_minutes, poll_s=1,
+            probe_fn=lambda: next(it), sleep_fn=slept.append)
+
+    # healthy pair after a degraded start
+    assert run([bad, good, good]) is True
+    # a lone healthy probe followed by a flip resets the streak
+    assert run([good, bad, good, good]) is True
+    # missing dim fails closed
+    assert not round_gate.probe_is_healthy({"disk_wgbps": 0.4})
+    assert not round_gate.probe_is_healthy(
+        {"disk_wgbps": None, "cpu_gflops_min": 25.0})
+    # budget exhaustion -> False (deadline already passed at entry)
+    assert run([bad, bad], max_minutes=0) is False
