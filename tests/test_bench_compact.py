@@ -118,3 +118,22 @@ def test_compact_era_drops_string_annotations():
     c = BENCH.build_compact(1.0, {"q": 1.0}, {}, [], 0.1, era=era)
     assert c["era"]["pre"] == {"disk_wgbps": 0.4}
     assert c["era"]["post"] == {"disk_wgbps": 0.5, "fault_gbps": None}
+
+
+def test_compact_carries_era_segment_labels():
+    """Round-14: the driver line carries ~80-byte per-segment degraded
+    labels derived from the mid-run probe timeline (the raw timeline
+    only lives in the overwritten full dump). Healthy probes read
+    'ok'; degraded ones name their dims; no timeline -> no field."""
+    healthy = {"fault_gbps": 1.2, "cpu_gflops": 1100.0,
+               "cpu_gflops_min": 25.0, "disk_wgbps": 0.5}
+    degraded = {**healthy, "disk_wgbps": 0.05, "cpu_gflops_min": 4.0}
+    tl = [{"n_done": 0, "probe": healthy},
+          {"n_done": 80, "probe": degraded},
+          {"n_done": 160, "probe": healthy}]
+    c = BENCH.build_compact(1.0, {"q": 1.0}, {}, [], 0.1, era_timeline=tl)
+    assert c["era_seg"] == [[0, "ok"],
+                            [80, "cpu_gflops_min|disk_wgbps"],
+                            [160, "ok"]]
+    c2 = BENCH.build_compact(1.0, {"q": 1.0}, {}, [], 0.1)
+    assert "era_seg" not in c2
