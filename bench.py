@@ -45,7 +45,7 @@ HEADLINE = list(QUERIES)
 # bar judges against max(recorded_min, ANCHOR_FLOOR). Imported from the
 # anchors owner so all three mirrors share one value.
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-from bench_anchors import ANCHOR_FLOOR  # noqa: E402
+from bench_anchors import ANCHOR_FLOOR, era_seg_summary  # noqa: E402
 
 
 def fault_probe_gbps(size_mb: int = 128, reps: int = 3) -> float:
@@ -227,26 +227,6 @@ def warm_streaming(spark) -> None:
     except Exception as exc:  # noqa: BLE001 — warm-up must never fail a run
         print(f"warm_streaming: skipped ({type(exc).__name__}: "
               f"{str(exc)[:120]})", file=sys.stderr)
-
-
-def era_seg_summary(timeline) -> list | None:
-    """Compact per-probe era labels for the driver-recorded line:
-    ``[[n_done, "ok" | "dim1|dim2"], ...]`` — which dims sat below half
-    their healthy reference at each probe point (round-14). ~80 bytes
-    for a full run, so the judge can era-attribute the driver's own
-    bench per segment even though BENCH_FULL.json (which carries the
-    raw timeline) is overwritten at round close."""
-    if not isinstance(timeline, list) or not timeline:
-        return None
-    from bench_anchors import degraded_era_dims
-
-    out = []
-    for e in timeline:
-        if not (isinstance(e, dict) and isinstance(e.get("probe"), dict)):
-            continue
-        dims = degraded_era_dims(e["probe"])
-        out.append([e.get("n_done"), "|".join(dims) if dims else "ok"])
-    return out or None
 
 
 def build_compact(total: float, timings: dict, errors: dict,

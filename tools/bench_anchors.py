@@ -302,6 +302,24 @@ def _timings(path: str) -> dict[str, float]:
     return _parse_record(path)[0]
 
 
+def era_seg_summary(timeline) -> list | None:
+    """Compact per-probe era labels: ``[[n_done, "ok" | "dim1|dim2"],
+    ...]`` — which dims sat below half their healthy reference at each
+    probe point (round-14). Two consumers: bench.py puts it on the
+    driver-recorded compact line (~80 bytes, survives the per-round
+    BENCH_FULL.json overwrite) and bench_compare renders it as the
+    ``era-timeline:`` header."""
+    if not isinstance(timeline, list) or not timeline:
+        return None
+    out = []
+    for e in timeline:
+        if not (isinstance(e, dict) and isinstance(e.get("probe"), dict)):
+            continue
+        dims = degraded_era_dims(e["probe"])
+        out.append([e.get("n_done"), "|".join(dims) if dims else "ok"])
+    return out or None
+
+
 def local_era(name: str, timeline, seq) -> dict[str, float]:
     """Per-dimension MIN over the two era probes BRACKETING one query's
     run position (round-13 judge item 4). bench.py records a probe at

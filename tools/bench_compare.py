@@ -197,19 +197,14 @@ def main() -> int:
               f"lines accordingly")
     elif probe:
         print(f"era: probe {probe} (anchors' era {ERA_REF})")
-    if isinstance(timeline, list) and timeline:
-        # one line per probe point: which dims (if any) sat below half
-        # their healthy reference AT THAT POINT — the run self-reports
-        # its degraded windows instead of a single whole-run verdict
-        segs = []
-        for e in timeline:
-            if not (isinstance(e, dict) and isinstance(e.get("probe"), dict)):
-                continue
-            dims = degraded_era_dims(e["probe"])
-            segs.append(f"n={e.get('n_done')} "
-                        + ("/".join(dims) if dims else "ok"))
-        if segs:
-            print("era-timeline: " + " | ".join(segs))
+    # one label per probe point: which dims (if any) sat below half
+    # their healthy reference AT THAT POINT — the run self-reports its
+    # degraded windows instead of a single whole-run verdict
+    from bench_anchors import era_seg_summary
+
+    if segs := era_seg_summary(timeline):
+        print("era-timeline: "
+              + " | ".join(f"n={n} {label}" for n, label in segs))
 
     for name, sec in fresh:
         print(f"NO-ANCHOR {name}: {sec:.2f}s (informational; "
