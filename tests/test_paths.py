@@ -10,13 +10,39 @@ import stat
 from quantum_rag_data_pipeline_spark import paths
 
 
-def test_roots_are_uid_keyed_and_private():
+def test_roots_are_uid_keyed_private_and_process_scoped():
     uid = os.getuid()
+    pid = os.getpid()
     for root in (paths.artifact_root(), paths.landing_root()):
-        assert root.endswith(f"_{uid}")
-        st = os.stat(root)
-        assert st.st_uid == uid
-        assert stat.S_IMODE(st.st_mode) == 0o700
+        # round 14: <base>/<kind>_<uid>/run_<pid> — per-process so no
+        # derived artifact survives into a later bench/oracle invocation
+        assert os.path.basename(root) == f"run_{pid}"
+        assert os.path.dirname(root).endswith(f"_{uid}")
+        for p in (root, os.path.dirname(root)):
+            st = os.stat(p)
+            assert st.st_uid == uid
+            assert stat.S_IMODE(st.st_mode) == 0o700
+
+
+def test_dead_run_dirs_are_pruned(monkeypatch, tmp_path):
+    """A killed harness leaves its run_<pid> dir behind; the next
+    process using the same per-user base must sweep it (pid no longer
+    alive) and must NOT touch the live process's own dir."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    base = tmp_path / f"spark_graft_artifacts_{os.getuid()}"
+    base.mkdir(mode=0o700)
+    # pick a pid that cannot be alive: max_pid + 1 is unreachable
+    try:
+        dead = int(open("/proc/sys/kernel/pid_max").read()) + 1
+    except OSError:
+        dead = 2**22 + 17
+    stale = base / f"run_{dead}"
+    stale.mkdir()
+    (stale / "leftover.parquet").write_text("x")
+    paths._PRUNED.discard(str(base))
+    root = paths.artifact_root()
+    assert not stale.exists()
+    assert os.path.isdir(root)
 
 
 def test_foreign_owned_root_is_refused(monkeypatch, tmp_path):
