@@ -23,8 +23,30 @@ changed-label count, the same driver-side loop GraphX/GraphFrames use.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The pointer-jump SELF-JOIN squares the logical plan's sizeInBytes every
+# round: SizeInBytesOnlyStatsPlanVisitor.visitJoin multiplies child sizes,
+# and localCheckpoint's rewriteStatsAndConstraints re-computes stats over
+# the round's plan — so the BigInteger behind sizeInBytes DOUBLES its
+# digit count per round and the DRIVER ends up in million-digit
+# Karatsuba/Toom-Cook multiplications (measured: a 131k-node path graph
+# reads 83 → 16,048,949 stats bits over 18 rounds, with rounds 17-18
+# already paying ~1 s of pure BigInt arithmetic each; a 2-jumps/round
+# variant quadruples digits per round and ground for 19 minutes inside
+# BigInteger.multiplyToomCook3 — tools/r14/cc_stats_growth.py). Every
+# STATS_RESET_EVERY rounds the label frame is therefore spilled to
+# per-process scratch parquet and re-read: the fresh file-backed relation
+# carries file-size stats (~20 bits) and growth restarts from there. The
+# cadence never triggers at bench scale (sf0.1 converges in 7 rounds)
+# and costs one (node,lbl)-longs write per 8 rounds at cluster scale —
+# where a reliable checkpoint at this cadence is standard iterative-graph
+# practice anyway.
+_STATS_RESET_EVERY = 8
+_CC_SPILL_SEQ = itertools.count()
 
 
 def connected_components(
@@ -39,6 +61,8 @@ def connected_components(
     Returns (node, cluster_id). Raises if ``max_iter`` rounds don't
     converge (pointer jumping makes that ~2^25 effective hops).
     """
+    import os
+
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -62,7 +86,8 @@ def connected_components(
     # compiles, AQE wrapping is overhead), while these rounds EXECUTE
     # eagerly and AQE's partition coalescing is precisely what collapses
     # each round's 32-task micro-shuffles to 1-2 tasks. Keep AQE on.
-    for _ in range(max_iter):
+    spill_dir: str | None = None
+    for rnd in range(1, max_iter + 1):
         nbr_min = (
             sym.join(labels.select(F.col("node").alias("v"), "lbl"), "v")
             .groupBy("u")
@@ -93,6 +118,22 @@ def connected_components(
         labels = jumped.select("node", "lbl")
         if changed == 0:
             return labels.select("node", F.col("lbl").alias("cluster_id"))
+        if rnd % _STATS_RESET_EVERY == 0:
+            # Catalyst-stats reset (see _STATS_RESET_EVERY above): spill the
+            # (node, lbl) longs to per-process scratch parquet and re-read.
+            # Values pass through parquet exactly (two int64 columns), so
+            # labels are unchanged; the scratch dir lives until process
+            # exit (the returned frame's lineage reads these files) and is
+            # removed by paths.py's atexit/pruning machinery.
+            from quantum_rag_data_pipeline_spark.paths import artifact_root
+
+            if spill_dir is None:
+                spill_dir = os.path.join(
+                    artifact_root(), f"cc_labels_{next(_CC_SPILL_SEQ)}"
+                )
+            part = os.path.join(spill_dir, f"round_{rnd}")
+            labels.write.mode("overwrite").parquet(part)
+            labels = labels.sparkSession.read.parquet(part)
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

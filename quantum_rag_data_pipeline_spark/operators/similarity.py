@@ -688,7 +688,20 @@ def knn_graph_incremental(
     # up to 4 executions of possibly expensive derived plans per call.
     # One count per side funds all three stages.
     n_part = int(old_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    n_old, n_new = old_df.count(), new_df.count()
+    # ONE job for both side counts (round 14): the two .count() calls were
+    # two job submissions, each a separate pass over its side; a tagged
+    # union aggregates both in a single action (same two scans, one job —
+    # per-query job latency is the measurable cost at bench scale, one
+    # fewer pass-coordination at cluster scale).
+    side_counts = {
+        r["_side"]: r["c"]
+        for r in old_df.select(F.lit(0).alias("_side"))
+        .unionByName(new_df.select(F.lit(1).alias("_side")))
+        .groupBy("_side")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_old, n_new = side_counts.get(0, 0), side_counts.get(1, 0)
     b_old = _auto_blocks(n_old, n_part)
     b_new = _auto_blocks(n_new, n_part)
     b_cross = _auto_blocks(max(n_old, n_new), n_part)

@@ -276,6 +276,29 @@ def test_connected_components_chain_and_islands(spark):
     assert got[200] == got[201] == got[202] == 200
 
 
+def test_connected_components_long_chain_crosses_stats_reset(spark):
+    """A path long enough that convergence takes more rounds than
+    _STATS_RESET_EVERY, so the loop's catalyst-stats spill (labels →
+    scratch parquet → re-read, round 14) executes mid-iteration: labels
+    must be unchanged by the round-trip, and the checkpointed plan's
+    sizeInBytes must actually have been reset (stays far below the
+    unguarded doubling trajectory)."""
+    from quantum_rag_data_pipeline_spark.operators import graph as g
+
+    n = 700  # diameter 699 → ~10-11 pointer-jump rounds > _STATS_RESET_EVERY=8
+    edges = spark.range(n - 1).selectExpr("id as src", "id + 1 as dst")
+    out = g.connected_components(edges)
+    stats_bits = int(
+        out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    ).bit_length()
+    got = {r["node"]: r["cluster_id"] for r in out.collect()}
+    assert len(got) == n and all(v == 0 for v in got.values())
+    # unguarded, round-11 stats carry ~125k bits (doubling from 83/round-1);
+    # the round-8 reset restarts from a file-size estimate (~20 bits), so
+    # anything near the doubling trajectory means the spill didn't happen.
+    assert stats_bits < 10_000, f"stats not reset: {stats_bits} bits"
+
+
 def test_curation_split_deterministic_and_complete(spark):
     from quantum_rag_data_pipeline_spark.operators.curation import assign_split
 
