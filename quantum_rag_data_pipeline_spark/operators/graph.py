@@ -54,14 +54,35 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the minimum
     node id of its connected component.
 
     Returns (node, cluster_id). Raises if ``max_iter`` rounds don't
     converge (pointer jumping makes that ~2^25 effective hops).
+
+    SIZE-ADAPTIVE SOLVE (round 14): when the deduplicated symmetrized
+    edge list has at most ``local_max_edges`` rows (default from
+    ``SPARK_GRAFT_CC_LOCAL_MAX_EDGES``, 200_000 ≈ 3 MB of long pairs),
+    the component labels are computed by a driver-side union-find over
+    ONE collect of the already-checkpointed edge list instead of the
+    iterative loop — the same philosophy as a broadcast join: below the
+    threshold the whole problem fits in one process, and a driver solve
+    replaces per-round shuffles + job-scheduling latency (the measured
+    cost of the loop on a 3.6k-edge graph is ~7 rounds x ~0.5 s of pure
+    job latency). The bound is on EDGES COLLECTED, not on input size —
+    a 100 TB corpus whose near-dup pair graph collapses to thousands of
+    edges after filtering takes the fast path; a billion-edge graph
+    runs the distributed loop unchanged. Labels are identical by
+    construction (union-find with min-label roots computes the same
+    per-component minimum the propagation fixpoint does; pinned by
+    test_connected_components_local_vs_distributed_parity).
     """
     import os
+
+    if local_max_edges is None:
+        local_max_edges = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "200000"))
 
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
@@ -75,6 +96,37 @@ def connected_components(
     sym = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+    # the count reads the checkpoint blocks just written — one cheap job
+    # that funds the size gate on BOTH paths.
+    n_sym = sym.count()
+    if n_sym <= 2 * local_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            u, v = row[0], row[1]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN root so every root IS its component minimum
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        rows = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(
+            rows, "node long, cluster_id long"
+        )
     labels = (
         sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint(eager=True)

@@ -629,7 +629,12 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint").alias("cents")
     )
-    ranked = rev.select(
+    # TOP-51 PRE-CUT (round 14): only rnk <= 51 is consumed (top-50 terms
+    # + the k+1 threshold), so sorted-limit first (TakeOrderedAndProject)
+    # and rank the 51-row frame — the docstring's "one TakeOrdered"
+    # promise, now true in the physical plan instead of an unpartitioned
+    # window full-sorting every customer into one partition.
+    ranked = rev.orderBy(F.desc("cents"), "o_custkey").limit(51).select(
         "cents",
         F.row_number().over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("rnk"),
     ).cache()
@@ -1237,8 +1242,18 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
+    # TOP-20 PRE-CUT (round 14): only ranks <= 20 survive downstream, so
+    # each side is cut with sorted-limit FIRST (TakeOrderedAndProject —
+    # per-partition top-20 + merge, scalable) and the row_number window
+    # ranks a 20-row frame. The old shape ranked EVERY scored doc through
+    # an unpartitioned window = Exchange SinglePartition + full sort of a
+    # corpus-proportional frame — the classic global-ranking scale trap.
+    # Identical ranks: limit(20) on the same (score desc, doc_id) total
+    # order keeps exactly the rows the old rank<=20 filter kept.
     ranked_a = (
         QUERIES["bm25_keyword_search"](spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
         .select(
             "doc_id",
             F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("ra"),
@@ -1246,6 +1261,8 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked_b = (
         QUERIES["query_likelihood_dirichlet"](spark, sf_dir)
+        .orderBy(F.desc("ql_log_score"), "doc_id")
+        .limit(20)
         .select(
             "doc_id",
             F.row_number().over(
@@ -1255,7 +1272,6 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     overlap = (
         ranked_a.join(ranked_b, "doc_id")
-        .filter((F.col("ra") <= 20) & (F.col("rb") <= 20))
         .select(F.greatest("ra", "rb").alias("m"))
         .cache()
     )
@@ -1511,23 +1527,29 @@ def borda_fusion_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     champion list. Output: top-10 fused."""
     from pyspark.sql.window import Window
 
+    # TOP-20 PRE-CUT (round 14): sorted-limit before ranking — see
+    # rank_biased_overlap for the equivalence argument (same total order,
+    # same 20 rows, window now ranks a constant-size frame instead of a
+    # SinglePartition full sort of every scored doc).
     rank_a = (
         QUERIES["bm25_keyword_search"](spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
         .select(
             "doc_id",
             F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("r"),
         )
-        .filter(F.col("r") <= 20)
     )
     rank_b = (
         QUERIES["query_likelihood_dirichlet"](spark, sf_dir)
+        .orderBy(F.desc("ql_log_score"), "doc_id")
+        .limit(20)
         .select(
             "doc_id",
             F.row_number().over(
                 Window.orderBy(F.desc("ql_log_score"), "doc_id")
             ).alias("r"),
         )
-        .filter(F.col("r") <= 20)
     )
     points = rank_a.select(
         "doc_id", (21 - F.col("r")).cast("bigint").alias("pts")

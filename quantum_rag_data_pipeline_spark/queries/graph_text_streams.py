@@ -853,15 +853,21 @@ def bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("dist")).alias("dist"),
         ).localCheckpoint(eager=False)
     reach = dist.filter(F.col("dist").isNotNull())
+    # TOP-20 PRE-CUT (round 14): the sorted-limit runs FIRST
+    # (TakeOrderedAndProject — scalable) and row_number ranks the 20-row
+    # frame; the old shape ranked every reachable node through an
+    # unpartitioned window (SinglePartition full sort) before limiting.
+    # Same total order (dist, node) both places → identical rows + ranks.
     return (
-        reach.select(
+        reach.orderBy("dist", "node")
+        .limit(20)
+        .select(
             "node",
             F.col("dist").cast("bigint").alias("dist_micro"),
             F.row_number().over(Window.orderBy("dist", "node")).cast("int")
             .alias("rk"),
         )
-        .orderBy("dist_micro", "node")
-        .limit(20)
+        .orderBy("dist_micro", "node")  # keep the returned-frame order contract
     )
 
 

@@ -287,7 +287,7 @@ def test_connected_components_long_chain_crosses_stats_reset(spark):
 
     n = 700  # diameter 699 → ~10-11 pointer-jump rounds > _STATS_RESET_EVERY=8
     edges = spark.range(n - 1).selectExpr("id as src", "id + 1 as dst")
-    out = g.connected_components(edges)
+    out = g.connected_components(edges, local_max_edges=0)  # force the loop
     stats_bits = int(
         out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     ).bit_length()
@@ -297,6 +297,30 @@ def test_connected_components_long_chain_crosses_stats_reset(spark):
     # the round-8 reset restarts from a file-size estimate (~20 bits), so
     # anything near the doubling trajectory means the spill didn't happen.
     assert stats_bits < 10_000, f"stats not reset: {stats_bits} bits"
+
+
+def test_connected_components_local_vs_distributed_parity(spark):
+    """The size-gated driver union-find (round 14) must label exactly as
+    the distributed pointer-jump loop — same (node, cluster_id) set,
+    cluster_id = component minimum — on a graph mixing a chain, a star,
+    islands, duplicate/reversed edges and self-loops."""
+    import random
+
+    from quantum_rag_data_pipeline_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(40)]                 # chain
+    edges += [(500, 500 + i) for i in range(1, 12)]         # star
+    edges += [(1000, 1001), (1002, 1001), (1001, 1000)]     # dup + reversed
+    edges += [(2000, 2000)]                                 # self-loop only
+    edges += [(rng.randrange(3000, 3050), rng.randrange(3000, 3050))
+              for _ in range(120)]                          # random clump
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    local = {(r["node"], r["cluster_id"])
+             for r in connected_components(df).collect()}            # gated path
+    dist = {(r["node"], r["cluster_id"])
+            for r in connected_components(df, local_max_edges=0).collect()}
+    assert local == dist and len(local) > 0
 
 
 def test_curation_split_deterministic_and_complete(spark):
