@@ -1785,23 +1785,36 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per distinct (source, shingle), never text."""
     d = _t(spark, sf_dir, "documents")
     idx = dedup_ops.shingle_index(d, n=5, max_df=64)
-    sfp = (
+    # Round 14: ONE groupBy(shingle) collects each shingle's distinct
+    # source set (collect_set subsumes the old (source, shingle) distinct;
+    # set size is bounded by max_df=64, so no skew), and ordered pairs
+    # explode from the sorted array — 2 shuffles, no cache. The old shape
+    # was distinct -> cache -> self-join on shingle -> pair agg (4
+    # shuffles + a cached mid-frame); pair counts are identical because
+    # both count one row per (pair, shingle-where-both-occur). A/B at
+    # sf0.1: min 2.006 -> 1.325 s, identical rows (tools/r14/
+    # ab_cross_source.py).
+    srcs = (
         idx.join(d.select("doc_id", "source"), "doc_id")
-        .select("source", "shingle")
-        .distinct()
-        # two join consumers — materialize once; cache(), not
-        # localCheckpoint: the checkpoint call does physical planning
-        # eagerly on the driver (~1-2 s on this plan, round-5 measured)
-        .cache()
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
     )
-    a = sfp.select(F.col("source").alias("src_a"), "shingle")
-    b = sfp.select(F.col("source").alias("src_b"), "shingle")
-    return (
-        a.join(b, "shingle")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
+    pairs = srcs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                        lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.groupBy(
+        F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
 
 
 @query(
