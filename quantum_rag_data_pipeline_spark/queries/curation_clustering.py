@@ -2772,14 +2772,20 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # epsilon only LENGTHENS the prefix (ceil(t*sz - eps) <= ceil(t*sz)),
     # so exactness is preserved.
     plen = F.col("sz") - F.ceil(F.col("sz") * 0.8 - 1e-9) + 1
+    # Probe join keyed on xxhash64(shingle) longs, not shingle strings
+    # (round 14, guide §2.3) — same narrowing as ngram_jaccard_pairs:
+    # the prefix-vs-full-postings join is this query's largest exchange,
+    # and the exact containment verification below makes hash-collision
+    # candidates harmless (equal shingles hash equal, so no qualifying
+    # pair is lost; extras fail the >= 0.8 filter).
     prefix = packed.select(
         "doc_id", F.explode(F.slice("sh", 1, plen.cast("int"))).alias("shingle")
-    )
+    ).select("doc_id", F.xxhash64("shingle").alias("_shk"))
     full = packed.select(
         F.col("doc_id").alias("fid"), F.explode("sh").alias("shingle")
-    )
+    ).select("fid", F.xxhash64("shingle").alias("_shk"))
     cand = (
-        prefix.join(full, "shingle")
+        prefix.join(full, "_shk")
         .filter(F.col("doc_id") != F.col("fid"))
         .select(
             F.least("doc_id", "fid").alias("id_a"),

@@ -133,6 +133,46 @@ def test_word_shingles(spark):
     assert sh2 == ["a b"]
 
 
+def test_ngram_jaccard_hashed_candidate_key(spark):
+    """Round-14 internals pin: the PPJoin candidate self-join is keyed on
+    xxhash64(shingle) LONGS (guide §2.3 — the exchange/broadcast ships 8
+    bytes per prefix row, not the n-gram string), and the output is still
+    the exact brute-force answer — the downstream array_intersect
+    verification makes hash-collision candidates harmless."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "a completely different document about spark shuffles"),
+        (4, "a completely different document about spark shuffles"),
+        (5, "short text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    # brute force on the same shingle definition
+    def sh(t, n=3):
+        tk = t.strip().split()
+        return ({" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+                if len(tk) >= n else {" ".join(tk)})
+    exp = {}
+    sets = {i: sh(t) for i, t in docs}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= 0.5:
+                    exp[(a, b)] = round(j, 6)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got == exp and (1, 2) in got and (3, 4) in got
+    # internals: the candidate join key must be the xxhash64 long, and the
+    # exact verification must still be present downstream
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "xxhash64(shingle" in plan, "candidate join key regressed to strings"
+    assert "array_intersect" in plan, "exact verification missing"
+    spark.catalog.clearCache()
+
+
 def test_minhash_lsh_finds_near_dups_that_jaccard_finds(spark, sf_dir):
     """LSH recall invariant: high-similarity pairs from the exact
     Jaccard operator must be recovered by the LSH candidates."""
