@@ -186,20 +186,14 @@ OVERRIDES: dict[str, float] = {
     # the removal note predicted), so the entry was deleted per its
     # documented condition and the ratchet adopted 0.857 with its era
     # stamp.
-    # Round 10: the 1.916 minimum is a JIT-hot-era artifact for a
-    # DRIVER-LOOP-bound query. Code unchanged since round 8 (git log on
-    # operators/graph.py); per-round instrumentation shows the cost is 7
-    # eager rounds x ~0.5 s of stage-scheduling latency on a 3.6k-edge
-    # graph — per-JOB latency, which tracks VM era, not data or plan.
-    # Structural alternatives were A/B'd and rejected: 2 jumps/round
-    # does not reduce the round count (the convergence tail is
-    # nbr-min-hop-bound, not pointer-depth-bound) and 3 jumps/round
-    # blows up the per-round catalyst/AQE compile 20x (BASELINE.md
-    # round-10 note). Driver records: r4-r7 2.4-2.9 s, r9 2.39 s, r10
-    # 3.21 s; quiet min-of-3 today 3.65 s on a noisy VM (median 5.0).
-    # 2.39 = best recent driver record. Remove if a future full bench
-    # records <= 1.916 again.
-    "graph_connected_components": 2.39,
+    # graph_connected_components' round-10 entry (2.39; displaced
+    # minimum 1.916) EXPIRED in round 14: the closing gate bench
+    # recorded 0.90 s on a paired cold run — the round-14 size-gated
+    # driver union-find (operators/graph.py) replaced the 7-round
+    # distributed loop whose per-JOB scheduling latency the override
+    # existed to excuse, so the entry was deleted per its documented
+    # condition and the ratchet adopts the new post-restructure minimum
+    # with its era stamp.
     # Round 13: the four r12 driver-bench violations, dispositioned by a
     # same-session era-bracketed A/B of r12 code vs r11 code (worktree
     # at 52b8d25), five alternating arms (r12/r11/r12/r11/r12, min-of-3
@@ -260,7 +254,6 @@ REMOVAL_THRESHOLDS: dict[str, float] = {
     "hits_hubs_authorities": 1.041,
     "streaming_sessionization": 1.02,
     "streaming_watermark_append_semantics": 1.03,
-    "graph_connected_components": 1.916,
     "streaming_outer_join_null_emission": 2.561,
     "streaming_update_mode_semantics": 0.925,
     "dynamic_partition_overwrite": 1.289,
