@@ -95,9 +95,14 @@ def connected_components(
     # truncates lineage so round N's plan doesn't embed rounds 0..N-1.
     sym = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    # the count reads the checkpoint blocks just written — one cheap job
-    # that funds the size gate on BOTH paths.
+    ).localCheckpoint(eager=False)
+    # eager=False + the size-gate count in ONE job (round 14, same
+    # fusion as the loop rounds below): the count is the first action on
+    # the checkpointed frame, so it materializes the blocks AND returns
+    # the edge tally in a single job submission — eager=True paid a
+    # second job's scheduling latency just to re-scan blocks it had
+    # just written. Both paths then read the materialized blocks (the
+    # local path's collect, the distributed loop's per-round joins).
     n_sym = sym.count()
     if n_sym <= 2 * local_max_edges:
         parent: dict[int, int] = {}
