@@ -84,54 +84,74 @@ def connected_components(
     if local_max_edges is None:
         local_max_edges = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "200000"))
 
+    # Checkpoint the DIRECTED distinct edge list BEFORE symmetrizing
+    # (round 15): `sym = e.union(swap(e))` puts the caller's edge lineage
+    # into TWO plan branches, and exchange reuse does NOT unify them (the
+    # dedup_pipeline_canonical measurement: the whole candidate-join +
+    # exact-verify pairs pipeline — 9 parquet scans, 12 joins, 34
+    # aggregates, 0 ReusedExchange — executed twice inside the gate
+    # count's job; only the `packed` cache was shared). Materializing e
+    # once makes both union branches read the same checkpoint blocks, so
+    # an expensive edge derivation runs exactly once however the caller
+    # built it. The count is still fused with the materialization
+    # (eager=False + first action, the round-14 pattern).
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    # materialize the symmetrized edge list ONCE: every round joins against
-    # it, and without this each iteration re-runs scan + distinct + union
-    # (measured 2x the whole query's wall at sf0.1). localCheckpoint also
-    # truncates lineage so round N's plan doesn't embed rounds 0..N-1.
-    sym = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
-    # eager=False + the size-gate count in ONE job (round 14, same
-    # fusion as the loop rounds below): the count is the first action on
-    # the checkpointed frame, so it materializes the blocks AND returns
-    # the edge tally in a single job submission — eager=True paid a
-    # second job's scheduling latency just to re-scan blocks it had
-    # just written. Both paths then read the materialized blocks (the
-    # local path's collect, the distributed loop's per-round joins).
-    n_sym = sym.count()
-    if n_sym <= 2 * local_max_edges:
-        parent: dict[int, int] = {}
+    n_e = e.count()
+    # Same gate as before: sym is e UNION ALL swap(e), so |sym| == 2·|e|
+    # and `2*n_e <= 2*local_max_edges` is the round-14 `n_sym` bound.
+    if n_e <= local_max_edges:
+        uf_parent: dict[int, int] = {}
 
         def find(x: int) -> int:
             r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
+            while uf_parent[r] != r:
+                r = uf_parent[r]
+            while uf_parent[x] != r:  # path compression
+                uf_parent[x], x = r, uf_parent[x]
             return r
 
-        for row in sym.collect():
+        # collect the DIRECTED edges only (half of sym): the reversed
+        # copies are union-find no-ops (union(u,v) == union(v,u)), so the
+        # labels are identical and the driver sees half the rows.
+        for row in e.collect():
             u, v = row[0], row[1]
-            if u not in parent:
-                parent[u] = u
-            if v not in parent:
-                parent[v] = v
+            if u not in uf_parent:
+                uf_parent[u] = u
+            if v not in uf_parent:
+                uf_parent[v] = v
             ru, rv = find(u), find(v)
             if ru != rv:
                 # union by MIN root so every root IS its component minimum
                 if ru < rv:
-                    parent[rv] = ru
+                    uf_parent[rv] = ru
                 else:
-                    parent[ru] = rv
-        rows = [(n, find(n)) for n in parent]
-        return edges.sparkSession.createDataFrame(
-            rows, "node long, cluster_id long"
-        )
+                    uf_parent[ru] = rv
+        # Return the labels through the ARROW createDataFrame path
+        # (guide §4 — eliminate the Python boundary): a plain list of
+        # tuples becomes a PICKLED Python RDD whose partitions are
+        # deserialized by PYTHON WORKER tasks on every downstream action
+        # (defaultParallelism tasks; measured in bench context: the
+        # canonical pipeline's noop save stage ran 32 python tasks with
+        # 69.6 s summed runTime and 0.3 s summed CPU — pure worker wait).
+        # A pandas frame converts to Arrow batches ONCE on the driver and
+        # executes as a JVM-side scan, no Python workers at all.
+        import pandas as pd
+
+        nodes = list(uf_parent)
+        pdf = pd.DataFrame({
+            "node": pd.Series(nodes, dtype="int64"),
+            "cluster_id": pd.Series([find(n) for n in nodes], dtype="int64"),
+        })
+        return edges.sparkSession.createDataFrame(pdf)
+    # The symmetrized view the loop joins against each round: a UNION ALL
+    # of two projections of the checkpointed blocks — cheap to re-read
+    # per round, no second copy persisted.
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (
         sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint(eager=True)
@@ -158,7 +178,7 @@ def connected_components(
             F.col("lbl").alias("old_lbl"),
             F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
         )
-        parent = cand.select(F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl"))
+        parent_df = cand.select(F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl"))
         # eager=False + the convergence count in ONE job (round 14): the
         # count is the round's first action, so it materializes the
         # checkpoint blocks AND returns the changed-label tally in a
@@ -167,7 +187,7 @@ def connected_components(
         # it had just written (2 jobs/round -> 1; the count reads every
         # partition either way, so no work is added).
         jumped = (
-            cand.join(parent, cand["lbl"] == parent["p_node"], "left")
+            cand.join(parent_df, cand["lbl"] == parent_df["p_node"], "left")
             .select("node", "old_lbl", F.coalesce("p_lbl", "lbl").alias("lbl"))
             .localCheckpoint(eager=False)
         )

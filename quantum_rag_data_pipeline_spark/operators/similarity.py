@@ -252,6 +252,22 @@ def _auto_blocks(n_rows: int, n_part: int, target_rows: int = 1024,
     return max(floor_, min(para, cap))
 
 
+def _block_grid(spark, B: int, full: bool = False) -> DataFrame:
+    """The (pid, bx, by) block-pair grid as a JVM ``spark.range``
+    projection (round 15, guide §4 — eliminate the Python boundary):
+    ``createDataFrame(list_of_tuples)`` compiles to a PICKLED python RDD,
+    so every broadcast build of the grid spawned python-worker tasks on
+    every execution of every block-BLAS consumer; a range plan stays
+    JVM-side end to end. Rows are identical: pid = bx·B + by over the
+    unordered pairs bx ≤ by (or the full B×B grid with ``full``)."""
+    g = spark.range(0, B * B, 1, 1).select(
+        F.col("id").cast("int").alias("pid"),
+        F.expr(f"cast(id div {B} as int)").alias("bx"),
+        (F.col("id") % B).cast("int").alias("by"),
+    )
+    return g if full else g.filter(F.col("bx") <= F.col("by"))
+
+
 def embedding_near_dup_pairs_fast(
     df: DataFrame,
     dim: int,
@@ -291,10 +307,7 @@ def embedding_near_dup_pairs_fast(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
     )
-    pair_df = spark.createDataFrame(
-        [(x * B + y, x, y) for x in range(B) for y in range(x, B)],
-        "pid int, bx int, by int",
-    )
+    pair_df = _block_grid(spark, B)
     mem_a = rows.join(F.broadcast(pair_df), rows["_blk"] == pair_df["bx"]) \
         .select("pid", F.lit("a").alias("_side"), "_id", "_vec")
     mem_b = rows.join(F.broadcast(pair_df.filter("bx <> by")), rows["_blk"] == pair_df["by"]) \
@@ -515,10 +528,7 @@ def knn_candidates(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
     )
-    pair_df = spark.createDataFrame(
-        [(x * B + y, x, y) for x in range(B) for y in range(x, B)],
-        "pid int, bx int, by int",
-    )
+    pair_df = _block_grid(spark, B)
     mem_a = rows.join(F.broadcast(pair_df), rows["_blk"] == pair_df["bx"]) \
         .select("pid", F.lit("a").alias("_side"), "_id", "_vec")
     mem_b = rows.join(F.broadcast(pair_df.filter("bx <> by")), rows["_blk"] == pair_df["by"]) \
@@ -609,10 +619,7 @@ def cross_topk_candidates(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
         )
 
-    grid = spark.createDataFrame(
-        [(x * B + y, x, y) for x in range(B) for y in range(B)],
-        "pid int, bx int, by int",
-    )
+    grid = _block_grid(spark, B, full=True)
     lrows, rrows = tagged(left, "a"), tagged(right, "b")
     mem = (
         lrows.join(F.broadcast(grid), lrows["_blk"] == grid["bx"])

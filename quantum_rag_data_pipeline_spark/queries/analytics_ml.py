@@ -1197,8 +1197,13 @@ def logreg_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.round(F.col("sq").cast("double") / F.col("n"), 6).alias("mse_step2"),
     )
+    # pandas → Arrow → JVM local relation (guide §4): no python tasks in
+    # this literal frame's scan (round 15).
+    import pandas as pd
+
     names = spark.createDataFrame(
-        [("bias",), ("kchars",), ("space_ratio",)], ["feature"]
+        pd.DataFrame({"feature": ["bias", "kchars", "space_ratio"]}),
+        "feature string",
     )
     sel = {"bias": "0", "kchars": "1", "space_ratio": "2"}
     pick = lambda fmt: F.coalesce(

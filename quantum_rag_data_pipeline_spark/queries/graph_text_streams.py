@@ -2432,12 +2432,19 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100.0).cast("bigint")).alias("v_cents"),
         )
     )
+    # pandas → Arrow → JVM local relation (guide §4): no python tasks in
+    # the broadcast build of this literal promo table (round 15).
+    import pandas as pd
+
     promos = spark.createDataFrame(
-        [
-            ("week1_flash", "2024-01-03 00:00:00", "2024-01-05 00:00:00"),
-            ("mid_month", "2024-01-14 12:00:00", "2024-01-16 12:00:00"),
-            ("month_end", "2024-01-27 00:00:00", "2024-01-31 00:00:00"),
-        ],
+        pd.DataFrame(
+            [
+                ("week1_flash", "2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+                ("mid_month", "2024-01-14 12:00:00", "2024-01-16 12:00:00"),
+                ("month_end", "2024-01-27 00:00:00", "2024-01-31 00:00:00"),
+            ],
+            columns=["promo", "p_start", "p_end"],
+        ),
         "promo string, p_start string, p_end string",
     ).select(
         "promo",

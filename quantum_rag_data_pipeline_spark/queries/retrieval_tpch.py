@@ -319,8 +319,17 @@ def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         and got["rev"] == recomputed["rev2"]
         and got["max_day"] == recomputed["max2"]
     )
+    # Arrow createDataFrame path (round 15, guide §4): a list-of-tuples
+    # literal compiles to a pickled python RDD that spawns python-worker
+    # tasks on every action; the pandas path plans as a JVM local
+    # relation.
+    import pandas as pd
+
     out = spark.createDataFrame(
-        [(int(got["n_rows"]), float(got["rev"]), got["max_day"], bool(parity))],
+        pd.DataFrame([(int(got["n_rows"]), float(got["rev"]), got["max_day"],
+                       bool(parity))],
+                     columns=["n_rows", "_rev", "max_order_day",
+                              "observed_equals_recomputed"]),
         "n_rows bigint, _rev double, max_order_day date, observed_equals_recomputed boolean",
     )
     return out.select(
@@ -939,14 +948,21 @@ def band_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest. The same shape at 100 TB: tier tables, rate cards, SLA
     bands — broadcast theta joins, never shuffles."""
     o = _t(spark, sf_dir, "orders")
+    # pandas → Arrow → JVM local relation (guide §4): no python tasks in
+    # the broadcast build of this literal tier table (round 15).
+    import pandas as pd
+
     tiers = spark.createDataFrame(
-        [
-            ("budget", 0.0, 100000.0),
-            ("standard", 100000.0, 200000.0),
-            ("premium", 200000.0, 300000.0),
-            ("luxury", 300000.0, 450000.0),
-            ("ultra", 450000.0, 1000000000.0),
-        ],
+        pd.DataFrame(
+            [
+                ("budget", 0.0, 100000.0),
+                ("standard", 100000.0, 200000.0),
+                ("premium", 200000.0, 300000.0),
+                ("luxury", 300000.0, 450000.0),
+                ("ultra", 450000.0, 1000000000.0),
+            ],
+            columns=["tier", "lo", "hi"],
+        ),
         "tier string, lo double, hi double",
     )
     j = o.join(
