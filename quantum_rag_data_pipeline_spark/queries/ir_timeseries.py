@@ -1120,13 +1120,25 @@ def kendall_tau_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-concordance view of the same monotone question."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # Explicit block-key repartition at the session's shuffle width
+    # (round 15, guide §2.5 — compute-heavy stage starved by bytes-based
+    # coalescing): the (seg, mo) pair join's input is only ~3.5 MB of
+    # shuffle, so AQE's parallelism-first coalescer folded the
+    # pair-EXPLOSION stage (Σ block² comparisons ≈ 27M pairs at sf0.1,
+    # 4.2 s of CPU) onto 3 tasks. The join needs this exact
+    # hashpartitioning anyway (the explicit repartition replaces the
+    # planner's ENSURE_REQUIREMENTS exchange, it does not add one), and
+    # a user-specified partition count is exempt from AQE coalescing, so
+    # the quadratic work stays spread across the cluster width. A/B:
+    # tools/r15/ab_kendall_width.py.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
         F.col("c_mktsegment").alias("seg"),
         F.date_trunc("month", "o_orderdate").alias("mo"),
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").alias("x"),
         F.col("c_acctbal").alias("y"),
-    )
+    ).repartition(n_part, "seg", "mo")
     b = j.select(
         F.col("seg").alias("seg2"), F.col("mo").alias("mo2"),
         F.col("k").alias("k2"), F.col("x").alias("x2"), F.col("y").alias("y2"),

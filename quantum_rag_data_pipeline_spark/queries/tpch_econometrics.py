@@ -1463,34 +1463,43 @@ def functional_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         "lineitem": ("l_orderkey", "l_returnflag"),
         "events": ("user_id", "event_type"),
     }
+    # Per-table aggregation on NATIVE key types (round 15, guide §2.3 —
+    # narrower shuffle rows): the old shape cast every key to string and
+    # tagged every row with three (tbl, lhs, rhs) literal strings BEFORE
+    # one unioned groupBy, so both count shuffles carried string-cast
+    # longs plus constant tags. Casting to string is injective on these
+    # key types, so per-table native grouping produces the identical
+    # counts; the (tbl, lhs, rhs) labels attach AFTER aggregation, on
+    # one row per candidate. Still one job: the five aggregate subtrees
+    # union into a single DAG and execute concurrently.
     parts = []
     for tbl, (lhs, rhs) in tables.items():
         t = _t(spark, sf_dir, tbl)
+        pair_counts = t.groupBy(
+            F.col(lhs).alias("l"), F.col(rhs).alias("r")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        per_lhs = pair_counts.groupBy("l").agg(
+            F.sum("c").cast("bigint").alias("n_l"),
+            F.max("c").cast("bigint").alias("max_r"),
+        )
         parts.append(
-            t.select(
+            per_lhs.agg(
+                F.sum("n_l").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+                (F.sum("n_l") - F.sum("max_r")).cast("bigint").alias("n_violations"),
+                F.round(F.sum("max_r").cast("double") / F.sum("n_l"), 6)
+                .alias("fd_strength"),
+                (F.sum("n_l") == F.sum("max_r")).alias("holds_exactly"),
+            ).select(
                 F.lit(tbl).alias("tbl"), F.lit(lhs).alias("lhs"),
-                F.lit(rhs).alias("rhs"),
-                F.col(lhs).cast("string").alias("l"),
-                F.col(rhs).cast("string").alias("r"),
+                F.lit(rhs).alias("rhs"), "n_rows", "n_lhs_groups",
+                "n_violations", "fd_strength", "holds_exactly",
             )
         )
-    cands = parts[0]
+    out = parts[0]
     for p in parts[1:]:
-        cands = cands.unionByName(p)
-    pair_counts = cands.groupBy("tbl", "lhs", "rhs", "l", "r").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    per_lhs = pair_counts.groupBy("tbl", "lhs", "rhs", "l").agg(
-        F.sum("c").cast("bigint").alias("n_l"),
-        F.max("c").cast("bigint").alias("max_r"),
-    )
-    return per_lhs.groupBy("tbl", "lhs", "rhs").agg(
-        F.sum("n_l").cast("bigint").alias("n_rows"),
-        F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
-        (F.sum("n_l") - F.sum("max_r")).cast("bigint").alias("n_violations"),
-        F.round(F.sum("max_r").cast("double") / F.sum("n_l"), 6).alias("fd_strength"),
-        (F.sum("n_l") == F.sum("max_r")).alias("holds_exactly"),
-    )
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------
