@@ -333,6 +333,13 @@ def embedding_near_dup_pairs_fast(
         # so allocation reaches steady state after one slice. Emitted
         # pair SETS are identical (thresholding is per-element).
         las, lbs = [], []
+        # diagonality from the GROUP ID, not len(b) (round 15 hardening,
+        # same as find_candidates): a cross group whose by-block is empty
+        # must emit nothing, not re-run the diagonal kernel (which would
+        # duplicate that block's within-pairs in the output).
+        pid = int(pdf["pid"].iloc[0])
+        if pid // B != pid % B and len(b) == 0:
+            return empty
         if len(b):  # cross-block pair (x < y): a-side × b-side only
             ids_b = b["_id"].to_numpy(dtype=np.int64)
             Bm = np.stack(b["_vec"].to_numpy()).astype(np.float64)
@@ -552,7 +559,19 @@ def knn_candidates(
         d_eff = dim if dim is not None else A.shape[1]
         na = _seq_norms(A, d_eff)
 
-        if len(b):  # cross pair: candidates in BOTH directions
+        # Diagonality comes from the GROUP ID, not from len(b) (round 15
+        # hardening): pid = bx*B + by, so bx == by identifies the
+        # within-block group structurally. The old len(b)==0 inference
+        # silently re-ran the diagonal kernel for a CROSS group whose
+        # by-block happened to be empty — emitting that bx-block's
+        # within-pairs a second time and corrupting the downstream
+        # row_number ranks. Unreachable with _auto_blocks sizing (blocks
+        # carry ≥ ~512 expected rows), but an explicit small n_blocks
+        # with a skewed corpus could hit it.
+        pid = int(pdf["pid"].iloc[0])
+        if pid // B != pid % B:  # cross group
+            if len(b) == 0:
+                return empty
             ids_b = b["_id"].to_numpy(dtype=np.int64)
             Bm = np.stack(b["_vec"].to_numpy()).astype(np.float64)
             Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)

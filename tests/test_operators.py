@@ -165,9 +165,16 @@ def test_ngram_jaccard_hashed_candidate_key(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
     assert got == exp and (1, 2) in got and (3, 4) in got
     # internals: the candidate join key must be the xxhash64 long, and the
-    # exact verification must still be present downstream
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted")
+    # exact verification must still be present downstream. Captured via
+    # the public explain() API (round-14 advisor: the py4j
+    # _jvm.PythonSQLUtils reach-through breaks under Spark Connect).
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
     assert "xxhash64(shingle" in plan, "candidate join key regressed to strings"
     assert "array_intersect" in plan, "exact verification missing"
     spark.catalog.clearCache()
@@ -361,6 +368,38 @@ def test_connected_components_local_vs_distributed_parity(spark):
     dist = {(r["node"], r["cluster_id"])
             for r in connected_components(df, local_max_edges=0).collect()}
     assert local == dist and len(local) > 0
+
+
+def test_knn_graph_exact_with_forced_empty_blocks(spark):
+    """Group-mode dispatch must come from the pid, not from len(b)
+    (round-15 hardening): with n_blocks forced far above the row count,
+    most blocks are EMPTY and cross groups (x, y) with an empty y-block
+    arrive b-less — the old inference re-ran the diagonal kernel there
+    and duplicated block-x's within-pairs, corrupting the ranks. Pin
+    knn_graph against brute force across block counts that guarantee
+    empty blocks."""
+    import random
+
+    import numpy as np
+
+    from quantum_rag_data_pipeline_spark.operators import similarity as sim
+
+    random.seed(3)
+    rows = [(i, [random.random() for _ in range(8)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    V = np.array([r[1] for r in rows])
+    ids = [r[0] for r in rows]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    G = Vn @ Vn.T
+    exp = set()
+    for i in range(12):
+        order = sorted((-(G[i, j]), ids[j]) for j in range(12) if j != i)[:3]
+        for rnk, (_negc, j) in enumerate(order, 1):
+            exp.add((ids[i], j, rnk))
+    for B in (5, 8):  # 12 rows into 5/8 blocks -> empty blocks guaranteed-ish
+        out = sim.knn_graph(df, k=3, dim=8, n_blocks=B)
+        got = {(r["src"], r["dst"], r["rnk"]) for r in out.collect()}
+        assert got == exp, f"B={B}: {sorted(got ^ exp)[:6]}"
 
 
 def test_connected_components_local_path_is_jvm_local_relation(spark):

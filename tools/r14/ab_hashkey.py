@@ -11,6 +11,14 @@ set-identical by construction; this tool pins that with a row-level
 compare before timing.
 
     python tools/r14/ab_hashkey.py            # equality check + min-of-N A/B
+
+POINT-IN-TIME RECORD (round-15 note, per the r14 advisor): the 'str'
+baseline arms call the PRODUCTION operators, which are hash-keyed since
+the r14 merge — re-running this tool today compares hashed vs hashed
+(the equality pin is tautological and the timing A/B no longer measures
+the string-keyed baseline). The recorded r14 numbers are valid at the
+pre-merge commit (6f71228^); to re-measure, inline a string-keyed
+variant for the baseline arms.
 """
 
 from __future__ import annotations
